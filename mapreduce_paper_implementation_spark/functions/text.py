@@ -1,0 +1,60 @@
+"""Text primitives: the engine's canonical tokenizer and token statistics.
+
+Tokenizer spec (SURVEY.md §2D(d)): split on runs of non-ASCII-letters
+(`[^A-Za-z]+`), drop empty tokens, case-sensitive. This matches the
+reference's word-count tokenizer (/root/reference/mr-main/mrapps/wc.go:23-26,
+split on `!unicode.IsLetter`) for ASCII input, declared as the ASCII class so
+Spark and DuckDB regex dialects agree.
+
+Everything here is a Column expression (JVM-side, codegen'd) — no Python UDFs
+in the tokenize hot path, so it scales to 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SEP_RE = "[^A-Za-z]+"
+
+# English stopword list for quality scoring / language-id heuristics.
+# Kept tiny + frozen so the DuckDB oracle can embed the identical list.
+STOPWORDS = (
+    "the", "of", "and", "a", "to", "in", "is", "it", "that", "was",
+    "for", "on", "with", "as", "at", "by", "be", "this", "are", "or",
+)
+
+
+def tokens(col: Column | str) -> Column:
+    """Array of non-empty tokens (order-preserving)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, TOKEN_SEP_RE), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def lower_tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return tokens(F.lower(c))
+
+
+def stopword_count(col: Column | str) -> Column:
+    """Number of tokens (lowercased) that are in STOPWORDS."""
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(lower_tokens(col), lambda t: F.array_contains(sw, t)))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined), the unit set for
+    Jaccard-based dedup. Built from transform over token offsets — stays
+    JVM-side."""
+    toks = tokens(col)
+    # slice(i..i+n-1) joined by single space; sequence is 1-based
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )

@@ -1,0 +1,632 @@
+"""The declared query manifest (SURVEY.md §2D, Q1-Q17).
+
+Each query is a function (spark, sf_dir) -> DataFrame paired with an ANSI-SQL
+oracle string DuckDB runs on the same parquet tables. Determinism contract
+(SURVEY.md §2D): outputs fully sorted by key columns; money sums as
+DECIMAL(18,4); averages ROUND(..., 4); tokenizer = `[^A-Za-z]+`
+case-sensitive drop-empties; similarity ranks round cosine to 6 decimals,
+tiebreak ascending id.
+
+Scale notes are inline per query: the manifest is tested at sf0.01/0.1 but
+every plan is written for a 1000-executor cluster reading 100 TB — broadcast
+hints on fixed-size dimensions, partial aggregation everywhere (Spark's
+HashAggregate partial/final pair is the combiner the reference lacks,
+/root/reference/mr/worker.go:86-89), no collect() in any operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mapreduce_paper_implementation_spark.functions.text import token_count, tokens
+from mapreduce_paper_implementation_spark.functions.vectors import cosine, norm, to_double_vec
+from mapreduce_paper_implementation_spark.sources.credit_fixture import credit_paths
+from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+DEC = "decimal(18,4)"
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, token) pairs — the engine's word-level view of `documents`.
+
+    Spark plan: parquet scan (pruned to doc_id,text) -> split/filter/explode,
+    all inside whole-stage codegen. Reference analog: the Map phase of wc
+    (/root/reference/mr-main/mrapps/wc.go:21-34)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+
+
+# ---------------------------------------------------------------------------
+# Q1 word count — mrapps/wc.go:21-42
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (
+  SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS token
+  FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+ORDER BY token
+"""
+
+
+@query("q01_wordcount", _Q1_ORACLE)
+def q01_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency over the corpus. The shuffle carries partially
+    aggregated (token, count) pairs, not raw ("word","1") pairs — the
+    combiner the reference never implemented."""
+    return (
+        _doc_tokens(spark, sf_dir)
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 inverted index — mrapps/indexer.go:21-40
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT token, CAST(doc_id AS VARCHAR) AS doc
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS token
+    FROM documents
+  )
+  WHERE token <> ''
+)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS df_count,
+       string_agg(doc, ',' ORDER BY doc) AS doc_list
+FROM toks
+GROUP BY token
+ORDER BY token
+"""
+
+
+@query("q02_inverted_index", _Q2_ORACLE)
+def q02_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per token: document frequency + comma-joined lexicographically sorted
+    doc list. distinct() is the map-side de-dup of indexer.go:22-27; Spark
+    runs it as a partial-aggregate before the shuffle."""
+    pairs = (
+        _doc_tokens(spark, sf_dir)
+        .select("token", F.col("doc_id").cast("string").alias("doc"))
+        .distinct()
+    )
+    return (
+        pairs.groupBy("token")
+        .agg(
+            F.count("*").alias("df_count"),
+            F.concat_ws(",", F.sort_array(F.collect_list("doc"))).alias("doc_list"),
+        )
+        .orderBy("token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 credit — mrapps/credit.go:21-58; mr/README.md:139-155
+# ---------------------------------------------------------------------------
+
+# The oracle reads the deterministic parquet fixture (well-formed rows only);
+# the Spark side reads the CSV *with* malformed lines and must drop them,
+# reproducing credit.go's permissive parse. Driver runs oracles at sf0.01.
+_Q3_ORACLE = """
+SELECT agency, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM read_parquet('/root/repo/fixtures/credit/sf0.01/credit_scores.parquet')
+WHERE year = 2023 AND credit_score > 400
+GROUP BY agency
+ORDER BY agency
+"""
+
+# All-string read + explicit validation mirrors credit.go's guards exactly
+# (len(fields) check -> non-null fields; strconv.Atoi -> int cast non-null)
+# and, unlike CSV mode=DROPMALFORMED, is independent of Catalyst's CSV column
+# pruning (DROPMALFORMED only drops a row when a *selected* column fails to
+# parse, so its semantics shift with the projection).
+_CREDIT_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType()),
+        T.StructField("agency", T.StringType()),
+        T.StructField("year", T.StringType()),
+        T.StructField("credit_score", T.StringType()),
+    ]
+)
+
+
+def read_credit_csv(spark: SparkSession, csv_path: str) -> DataFrame:
+    """Permissive credit_scores CSV reader with the reference's drop-malformed
+    semantics (credit.go:30-41): short rows and non-integer year/score are
+    dropped, not null-filled. Returns typed (user_id, agency, year,
+    credit_score)."""
+    raw = spark.read.csv(csv_path, header=True, schema=_CREDIT_RAW_SCHEMA)
+    typed = raw.select(
+        F.col("user_id"),
+        F.col("agency"),
+        F.col("year").try_cast("int").alias("year"),
+        F.col("credit_score").try_cast("int").alias("credit_score"),
+    )
+    return typed.where(
+        F.col("user_id").isNotNull()
+        & F.col("agency").isNotNull()
+        & F.col("year").isNotNull()
+        & F.col("credit_score").isNotNull()
+    )
+
+
+@query("q03_credit", _Q3_ORACLE)
+def q03_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) per agency WHERE year=2023 AND credit_score>400 over the
+    permissively parsed CSV (malformed rows dropped)."""
+    _, csv_path = credit_paths(sf_dir)
+    return (
+        read_credit_csv(spark, csv_path)
+        .where((F.col("year") == 2023) & (F.col("credit_score") > 400))
+        .groupBy("agency")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("agency")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 per-source doc stats — mrapps/crash.go:40-43 metadata generalized
+# ---------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+@query("q04_source_stats", _Q4_ORACLE)
+def q04_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("cnt"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 count per group key — mrapps/early_exit.go:19-23
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q05_event_counts", _Q5_ORACLE)
+def q05_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 filter + aggregate (TPC-H Q6 shape) — predicate capability of
+# credit.go:43 generalized
+# ---------------------------------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_rev
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+@query("q06_filtered_agg", _Q6_ORACLE)
+def q06_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All predicates push down to the parquet scan (PushedFilters in
+    .explain); the aggregate is a two-phase partial/final with no groups —
+    one row crosses the exchange per partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ship_t = li.schema["l_shipdate"].dataType
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast(ship_t))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast(ship_t))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC))
+            .cast(DEC)
+            .alias("sum_disc_rev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 multi-aggregate grouping (TPC-H Q1 shape) — A4/A6 generalized
+# ---------------------------------------------------------------------------
+
+_Q7_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS sum_disc_price,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("q07_pricing_summary", _Q7_ORACLE)
+def q07_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC)))
+            .cast(DEC)
+            .alias("sum_disc_price"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 top-k tokens — B1 + global sort capability (mrsequential.go:61)
+# ---------------------------------------------------------------------------
+
+_Q8_ORACLE = """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (
+  SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS token FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 10
+"""
+
+
+@query("q08_top_tokens", _Q8_ORACLE)
+def q08_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy().limit(k) compiles to TakeOrderedAndProject — a per-partition
+    top-k + driver merge, no global sort materialization."""
+    return (
+        _doc_tokens(spark, sf_dir)
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 distinct count — indexer.go:22-27 distinct pattern
+# ---------------------------------------------------------------------------
+
+_Q9_ORACLE = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q09_distinct_users", _Q9_ORACLE)
+def q09_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 equi-join — reduce-side join, model-expressible (paper §2.3)
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+@query("q10_orders_by_segment", _Q10_ORACLE)
+def q10_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer is orders/10 rows (TPC-H ratio) — broadcast it so the fact
+    table never shuffles for the join; only the tiny post-agg exchange runs."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 multi-way join (TPC-H Q5 shape, no supplier) — SURVEY §2D
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@query("q11_regional_revenue", _Q11_ORACLE)
+def q11_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: region/nation are fixed-size (5/25 rows at ANY scale
+    factor) -> broadcast; the region filter prunes customers before the
+    fact joins; lineitem⋈orders is the only big shuffle (AQE may pick
+    broadcast at small sf). At 100 TB, bucketing lineitem+orders by orderkey
+    would remove that shuffle too (see sources/bucketing.py)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    asian_nations = n.join(
+        F.broadcast(r.where(F.col("r_name") == "ASIA")),
+        n.n_regionkey == r.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    cust = c.join(F.broadcast(asian_nations), c.c_nationkey == F.col("n_nationkey")).select(
+        "c_custkey", "n_name"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC)))
+            .cast(DEC)
+            .alias("revenue")
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 set op — union-of-inputs capability generalized (mrsequential.go:41-53)
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+  SELECT DISTINCT o_custkey AS custkey FROM orders
+  EXCEPT
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+"""
+
+
+@query("q12_except_building", _Q12_ORACLE)
+def q12_except_building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    with_orders = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    building = customer.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return with_orders.subtract(building).agg(F.count("*").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Q13 window rank — beyond reference (SURVEY §2C committed)
+# ---------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+SELECT event_type, event_id, CAST(value AS DECIMAL(18,4)) AS value_dec, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+  FROM events
+)
+WHERE rnk <= 3
+ORDER BY event_type, rnk
+"""
+
+
+@query("q13_top_events_per_type", _Q13_ORACLE)
+def q13_top_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank within partition: value desc, event_id tiebreak (unique ->
+    row_number == dense_rank). One shuffle on event_type; the window itself
+    is a sort within partitions."""
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "event_id",
+            F.col("value").cast(DEC).alias("value_dec"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+        .orderBy("event_type", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 exact dedup — north star (dedup)
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = """
+SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(MIN(doc_id) AS BIGINT) AS keeper
+FROM documents
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+ORDER BY text_hash
+"""
+
+
+@query("q14_exact_dup_groups", _Q14_ORACLE)
+def q14_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content hash; `keeper` = the canonical
+    survivor (min doc_id). Hash-groupBy shuffles 16-byte digests, not
+    document bodies — the 100 TB-safe formulation."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(F.md5(F.col("text").cast("binary")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("keeper"))
+        .where(F.col("cnt") > 1)
+        .orderBy("text_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 text stats — north star (text analysis)
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(len(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), t -> t <> ''))) AS BIGINT) AS sum_tokens,
+       CAST(ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS DECIMAL(18,4)) AS avg_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("q15_lang_stats", _Q15_ORACLE)
+def q15_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(token_count("text").cast("long")).alias("sum_tokens"),
+            F.round(F.sum("n_chars").cast("double") / F.count("*"), 4)
+            .cast(DEC)
+            .alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 similarity top-k — north star (similarity search)
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         CAST(ROUND(list_dot_product(p.vec, c.vec) / (p.nrm * c.nrm), 6) AS DECIMAL(9,6)) AS cos_sim
+  FROM v p JOIN v c ON p.vec_id < 10 AND c.vec_id <> p.vec_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM pairs
+)
+SELECT probe_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 3
+ORDER BY probe_id, rnk
+"""
+
+
+@query("q16_knn_cosine", _Q16_ORACLE)
+def q16_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-3 for probes vec_id<10: broadcast the
+    probe set, one pass over candidates (BroadcastNestedLoopJoin), per-probe
+    top-k via window. Dot products are JVM higher-order functions — no
+    Python in the scan. The LSH-bucketed scale path is
+    operators/similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_vec("embedding").alias("vec")
+    )
+    emb = emb.withColumn("nrm", norm(F.col("vec")))
+    probes = (
+        emb.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("vec").alias("p_vec"),
+            F.col("nrm").alias("p_nrm"),
+        )
+    )
+    pairs = emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id")).select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            cosine(F.col("p_vec"), F.col("vec"), F.col("p_nrm"), F.col("nrm")), 6
+        )
+        .cast("decimal(9,6)")
+        .alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.select("probe_id", "neighbor_id", "cos_sim", F.row_number().over(w).cast("long").alias("rnk"))
+        .where(F.col("rnk") <= 3)
+        .orderBy("probe_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 user activity span — grouping on timestamps
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(epoch(date_trunc('second', MAX(ts))) - epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS span_s
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) >= 5
+ORDER BY user_id
+"""
+
+
+@query("q17_user_span", _Q17_ORACLE)
+def q17_user_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("long")
+            .alias("span_s"),
+        )
+        .where(F.col("cnt") >= 5)
+        .orderBy("user_id")
+    )
