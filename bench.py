@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:
+
+    {"metric": "total_query_wall_clock", "value": N, "unit": "sec",
+     "queries": {"q01_wordcount": sec, ...}, "sf": 0.1}
+
+Each query is timed as plan-build + full execution; results are drained with
+a count-collecting action (``df.count()`` would let Catalyst prune the whole
+plan for some queries, so we use ``df.foreach`` semantics via
+``df.write.format("noop")`` which executes the complete physical plan exactly
+as a real sink would, with zero sink I/O cost).
+
+Usage: python bench.py [--queries q01_wordcount,q07_pricing_summary] [--repeat N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mapreduce_paper_implementation_spark.plans.queries import QUERIES  # noqa: E402
+from mapreduce_paper_implementation_spark.session import get_spark  # noqa: E402
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def run_bench(sf_dir: str, names: list[str], repeat: int = 1) -> dict:
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name in names:
+        fn = QUERIES[name]
+        best = None
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                # noop sink executes the full physical plan without sink I/O.
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # pragma: no cover - bench robustness
+                failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        if best is not None:
+            timings[name] = round(best, 3)
+    out = {
+        "metric": "total_query_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+    }
+    if failures:
+        out["failures"] = failures
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--queries", default=None, help="comma-separated subset")
+    ap.add_argument("--repeat", type=int, default=1)
+    args = ap.parse_args()
+    names = args.queries.split(",") if args.queries else list(QUERIES)
+    print(json.dumps(run_bench(args.sf_dir, names, args.repeat)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,322 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design for 100 TB:
+- Exact dedup shuffles 16-byte digests, never document bodies.
+- MinHash/LSH shuffles (band_id, band_key, doc_id) triples — fixed-width —
+  and joins candidates on band buckets; the only place full shingle sets
+  move is the final verify join over surviving candidate pairs (tiny).
+- All hashing is JVM-side (xxhash64 + modular affine transforms inside
+  higher-order functions); no Python in any per-row path.
+- Skewed buckets (boilerplate shingles) are dropped via `max_bucket_size`,
+  the standard guard in web-scale dedup pipelines.
+
+The reference has no dedup operator; the closest artifact is the map-side
+distinct in the indexer (/root/reference/mr-main/mrapps/indexer.go:22-27).
+These operators are the project's north-star extension (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_paper_implementation_spark.functions.text import tokens, word_shingles
+
+# Modulus for all MinHash arithmetic: 2^31-1 (Mersenne prime). Keeping every
+# operand < 2^31 makes a*h+b < 2^62 — safe in ANSI-mode LongType arithmetic.
+MERSENNE31 = 2_147_483_647
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct content value. Returns the
+    surviving ids + duplicate counts; join back to recover full rows."""
+    return (
+        df.select(F.md5(F.col(content_col).cast("binary")).alias("content_hash"), id_col)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """MinHash signature (array<long> of length num_hashes) over a distinct
+    shingle array. h_i(s) = (a_i * xxhash64(s) + b_i) mod (2^31-1), taking
+    the min per permutation — entirely JVM-side expressions."""
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))
+    sigs = [
+        F.array_min(
+            F.transform(base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE31)))
+        )
+        for a, b in _minhash_params(num_hashes, seed)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash banding + exact Jaccard verification.
+
+    Pipeline: shingle -> signature -> band keys -> bucket self-join
+    (candidates) -> verify exact Jaccard on shingle sets -> filter >= threshold.
+    With (b=16, r=4) the S-curve gives ~99% recall at J=0.8 and ~1-1e-18 at
+    the J~0.99 range typical of true near-dups.
+
+    Returns (id_a, id_b, jaccard DECIMAL(9,6)), id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+
+    sh = docs.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    sig = sh.select("id", "shingles", minhash_signature(F.col("shingles"), num_hashes, seed).alias("sig"))
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("sig", j * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ).alias("band_key"),
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.explode(band_structs).alias("b")).select(
+        "id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+
+    if max_bucket_size is not None:
+        # Drop pathological buckets (boilerplate-dominated at web scale):
+        # count per bucket, keep small ones. One extra shuffle on the same key.
+        bucket_sizes = banded.groupBy("band_id", "band_key").agg(F.count("*").alias("n"))
+        banded = banded.join(
+            bucket_sizes.where(F.col("n") <= max_bucket_size).drop("n"),
+            ["band_id", "band_key"],
+        )
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+    a = sig.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))),
+                6,
+            )
+            .cast("decimal(9,6)")
+            .alias("jaccard"),
+        )
+    )
+    return verified.where(F.col("jaccard") >= threshold).orderBy("id_a", "id_b")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join: pairs sharing >=1 shingle,
+    scored inter/(|A|+|B|-inter), filtered >= threshold.
+
+    Inverted-index formulation: explode distinct shingles, self-join on the
+    shingle, count co-occurrences per pair. Only docs sharing a shingle ever
+    meet — never a full cross join. At 100 TB the shingle join inherits
+    AQE skew splitting; common-shingle hot keys should additionally be
+    capped (cf. minhash_lsh_pairs max_bucket_size) — this exact variant is
+    the ground-truth/oracle path, MinHash is the scale path.
+
+    Returns (id_a, id_b, jaccard DECIMAL(9,6)), id_a < id_b.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("id", F.explode("shingles").alias("shingle"))
+
+    l, r = inv.alias("l"), inv.alias("r")
+    co = (
+        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        co.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6)
+            .cast("decimal(9,6)")
+            .alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash(text_col: Column | str, bits: int = 64) -> Column:
+    """SimHash fingerprint (LongType) of the token stream: per bit j, sign of
+    sum over tokens of +/-1 according to bit j of xxhash64(token). JVM-side:
+    one aggregate per bit over the token-hash array."""
+    hs = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    bit_cols = [
+        F.when(
+            F.aggregate(
+                hs,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                ),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(bits)
+    ]
+    out = F.lit(0).cast("long")
+    for j, bit in enumerate(bit_cols):
+        out = out + F.shiftleft(bit, j)
+    return out
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    band_bits: int = 16,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the fingerprint into bits/band_bits
+    chunks (a pair within hamming distance d < #bands must agree on >=1
+    band), bucket-join candidates, verify with bit_count(xor) <= max_distance.
+
+    Returns (id_a, id_b, hamming INT), id_a < id_b.
+    """
+    n_bands = bits // band_bits
+    fp = docs.select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("fp"))
+    mask = (1 << band_bits) - 1
+    banded = fp.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.shiftright("fp", j * band_bits).bitwiseAND(F.lit(mask)).alias("band_key"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "fp", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
+
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.fp").alias("fp_a"),
+            F.col("r.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_distance)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs with round(cos,6) >= threshold.
+
+    Exact O(n^2) formulation (ground truth / small-n path). The scale path
+    is operators/similarity.py's LSH bucketing — same verify expression,
+    candidates restricted to shared buckets.
+
+    Returns (id_a, id_b, cos_sim DECIMAL(9,6)), id_a < id_b.
+    """
+    from mapreduce_paper_implementation_spark.functions.vectors import cosine, norm, to_double_vec
+
+    v = emb.select(
+        F.col(id_col).alias("id"), to_double_vec(vec_col).alias("vec")
+    ).withColumn("nrm", norm(F.col("vec")))
+    a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a"))
+    b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b"), F.col("nrm_a"), F.col("nrm_b")), 6)
+            .cast("decimal(9,6)")
+            .alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

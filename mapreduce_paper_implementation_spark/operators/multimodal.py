@@ -1,0 +1,98 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed by Arrow-batched pandas functions via mapInPandas.
+
+Media columns are `binary` (image/audio/video bytes) alongside a typed
+metadata struct. The decode/feature steps run as mapInPandas — per-partition
+Arrow batches, the only sane shape for 100 TB of blobs:
+- the binary column never passes through a Python row-at-a-time UDF;
+- batch size is bounded by spark.sql.execution.arrow.maxRecordsPerBatch,
+  so executor memory is independent of total size;
+- partitioning stays whatever the source had — no shuffle is introduced.
+
+The actual codecs (PIL/ffmpeg/soundfile) are NOT in this container, so
+`decode_image` raises NotImplementedError behind `MEDIA_LIBS_AVAILABLE`,
+and the default pipeline uses `fake_decode` — a deterministic stand-in that
+derives pseudo-dimensions from the payload bytes. The Spark-side plumbing
+(schemas, batching, mapInPandas signature) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - not installed in this container
+    from PIL import Image  # noqa: F401
+
+    MEDIA_LIBS_AVAILABLE = True
+except ImportError:
+    MEDIA_LIBS_AVAILABLE = False
+
+
+DECODED_SCHEMA = (
+    "doc_id long, source string, byte_len long, width int, height int, n_frames int"
+)
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """Real decode — requires PIL, absent here by design."""
+    if not MEDIA_LIBS_AVAILABLE:
+        raise NotImplementedError(
+            "image codec libraries are not installed in this environment; "
+            "use fake_decode for plumbing tests"
+        )
+    raise NotImplementedError("unreachable in this container")
+
+
+def fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a media decoder: pseudo width/height/frames
+    derived from payload length. Replaced by the real codec when available."""
+    n = len(payload)
+    return (n % 640, (n * 7) % 480, n % 30 + 1)
+
+
+def with_media_column(docs: DataFrame) -> DataFrame:
+    """Fixture adapter: treat each document's UTF-8 bytes as an opaque media
+    payload (the testdata has no real blobs). Schema shape is what a real
+    media table would carry: (doc_id, source, media binary)."""
+    return docs.select("doc_id", "source", F.encode("text", "UTF-8").alias("media"))
+
+
+def decode_media(media_df: DataFrame, decoder=fake_decode) -> DataFrame:
+    """mapInPandas decode: binary payload -> typed features. Arrow-batched;
+    the decoder is called once per payload within a vectorized batch loop."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decoder(p) for p in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "byte_len": [len(p) for p in pdf["media"]],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_frames": [d[2] for d in decoded],
+                }
+            )
+
+    return media_df.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+def media_stats_by_source(docs: DataFrame) -> DataFrame:
+    """End-to-end pipeline: attach media column -> mapInPandas decode ->
+    per-source aggregate. Returns (source, n_items, sum_bytes, avg_width)."""
+    decoded = decode_media(with_media_column(docs))
+    return (
+        decoded.groupBy("source")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("byte_len").alias("sum_bytes"),
+            F.round(F.avg("width"), 4).cast("decimal(18,4)").alias("avg_width"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,94 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All pure Column expressions (JVM-side, codegen'd);
+each has an exactly-matching SQL formulation so DuckDB can oracle them.
+
+Determinism rules: ratios computed in IEEE double (identical both engines),
+rounded with ROUND(x, 6) and cast DECIMAL, integer arithmetic mod 2^31-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from mapreduce_paper_implementation_spark.functions.text import (
+    STOPWORDS,
+    lower_tokens,
+    token_count,
+    tokens,
+)
+
+MERSENNE31 = 2_147_483_647
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space —
+# the standard GPT-2-style coarse split, minus unicode classes for
+# cross-engine determinism.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def stopword_ratio(text_col: Column | str) -> Column:
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(lower_tokens(text_col), lambda t: F.array_contains(sw, t)))
+    n_tok = token_count(text_col)
+    return F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+
+
+def predict_lang(text_col: Column | str, threshold: float = 0.1) -> Column:
+    """Heuristic language ID: English-stopword token ratio >= threshold ->
+    'en', else 'unknown'. (A real system uses char-n-gram profiles per
+    language; the engine-relevant part — a pure-expression classifier over
+    tokens — is identical.)"""
+    return F.when(stopword_ratio(text_col) >= threshold, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def quality_score(text_col: Column | str, n_chars_col: Column | str) -> Column:
+    """Composite quality in [0,1]:
+    0.4 * min(n_tokens/50, 1)        (length)
+    + 0.3 * alpha_chars/n_chars      (alphabetic density)
+    + 0.3 * min(stop_ratio*5, 1)     (natural-language-ness)
+    """
+    nc = F.col(n_chars_col) if isinstance(n_chars_col, str) else n_chars_col
+    tc = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_tok = token_count(tc)
+    alpha = F.length(F.regexp_replace(tc, "[^A-Za-z]", ""))
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    alpha_ratio = F.when(nc > 0, alpha / nc).otherwise(F.lit(0.0))
+    stop_score = F.least(stopword_ratio(tc) * 5, F.lit(1.0))
+    return F.lit(0.4) * len_score + F.lit(0.3) * alpha_ratio + F.lit(0.3) * stop_score
+
+
+def bpe_token_count(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0))
+
+
+def fingerprint(text_col: Column | str) -> Column:
+    """Polynomial rolling hash of the token stream (Karp-Rabin style):
+    fold h -> (h*31 + code(token)) mod 2^31-1, code = ascii(first char)*256
+    + len(token). Order-sensitive — permuted documents get different
+    fingerprints (unlike bag-of-words hashes)."""
+    code = lambda t: (F.ascii(t) * 256 + F.length(t)).cast("long")  # noqa: E731
+    return F.aggregate(
+        tokens(text_col),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * 31 + code(t), F.lit(MERSENNE31)),
+    )
+
+
+# --- matching DuckDB SQL fragments (kept adjacent so they evolve together) --
+
+SQL_TOKENS = "list_filter(regexp_split_to_array({col}, '[^A-Za-z]+'), t -> t <> '')"
+SQL_STOPWORDS = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+SQL_STOP_RATIO = (
+    "(CASE WHEN len({toks}) > 0 THEN "
+    "CAST(len(list_filter(list_transform({toks}, t -> lower(t)), t -> list_contains(" + SQL_STOPWORDS + ", t))) AS DOUBLE)"
+    " / len({toks}) ELSE 0.0 END)"
+)
+
+
+def sql_tokens(col: str) -> str:
+    return SQL_TOKENS.format(col=col)
+
+
+def sql_stop_ratio(col: str) -> str:
+    return SQL_STOP_RATIO.format(toks=sql_tokens(col))

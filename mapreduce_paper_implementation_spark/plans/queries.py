@@ -16,6 +16,7 @@ HashAggregate partial/final pair is the combiner the reference lacks,
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -24,6 +25,7 @@ from pyspark.sql import types as T
 
 from mapreduce_paper_implementation_spark.functions.text import token_count, tokens
 from mapreduce_paper_implementation_spark.functions.vectors import cosine, norm, to_double_vec
+from mapreduce_paper_implementation_spark.shipping import ensure_shipped
 from mapreduce_paper_implementation_spark.sources.credit_fixture import credit_paths
 from mapreduce_paper_implementation_spark.sources.tables import load_table
 
@@ -35,10 +37,17 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        # ensure_shipped: the grading driver hands us a vanilla session whose
+        # executors can't import this package; ship it before any UDF runs.
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 
@@ -630,3 +639,341 @@ def q17_user_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cnt") >= 5)
         .orderBy("user_id")
     )
+
+
+# ===========================================================================
+# North-star operators (SURVEY.md §2C committed-beyond-reference;
+# BASELINE.json north_star): dedup, similarity search, text analysis,
+# sessionization, multimodal plumbing, grouping sets.
+# ===========================================================================
+
+from mapreduce_paper_implementation_spark.operators.dedup import (  # noqa: E402
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from mapreduce_paper_implementation_spark.operators.multimodal import (  # noqa: E402
+    media_stats_by_source,
+)
+from mapreduce_paper_implementation_spark.operators.sessionize import session_stats  # noqa: E402
+from mapreduce_paper_implementation_spark.operators.similarity import (  # noqa: E402
+    ivf_topk,
+    lsh_topk,
+)
+from mapreduce_paper_implementation_spark.operators.text_analysis import (  # noqa: E402
+    bpe_token_count,
+    fingerprint,
+    predict_lang,
+    quality_score,
+    sql_stop_ratio,
+    sql_tokens,
+)
+
+# ---------------------------------------------------------------------------
+# Q18 MinHash+LSH near-dup — north star (dedup, scale path)
+# ---------------------------------------------------------------------------
+
+# Oracle = EXACT all-pairs Jaccard >= 0.8. The LSH path must recover every
+# such pair: at (b=16, r=4) the miss probability for the J>=0.9 pairs the
+# fixtures plant is < 1e-12, so exact equality is the expected outcome.
+_Q18_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(
+    list_transform(
+      range(1, greatest(len({sql_tokens('text')}) - 1, 1)),
+      i -> array_to_string(list_slice({sql_tokens('text')}, i, i + 2), ' ')
+    )) AS shingles
+  FROM documents
+  WHERE len({sql_tokens('text')}) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6)
+            AS DECIMAL(9,6)) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+  AND CAST(ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6)
+      AS DECIMAL(9,6)) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+@query("q18_minhash_neardup", _Q18_ORACLE)
+def q18_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 SimHash near-dup — north star (dedup); no SQL oracle (xxhash64 is
+# Spark-specific), driver records rows-only; property tests in pytest.
+# ---------------------------------------------------------------------------
+
+
+@query("q19_simhash_neardup")
+def q19_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Q20 exact n-gram Jaccard similarity join — north star (dedup, ground truth)
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(
+    list_transform(
+      range(1, greatest(len({sql_tokens('text')}) - 1, 1)),
+      i -> array_to_string(list_slice({sql_tokens('text')}, i, i + 2), ' ')
+    )) AS shingles
+  FROM documents
+  WHERE len({sql_tokens('text')}) >= 3
+),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+co AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
+  FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS DECIMAL(9,6)) AS jaccard
+FROM co
+JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON sa.doc_id = id_a
+JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON sb.doc_id = id_b
+WHERE CAST(ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS DECIMAL(9,6)) >= 0.1
+ORDER BY id_a, id_b
+"""
+
+
+@query("q20_ngram_jaccard", _Q20_ORACLE)
+def q20_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
+
+
+# ---------------------------------------------------------------------------
+# Q21 embedding-cosine near-dup — north star (dedup over embeddings)
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(ROUND(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS DECIMAL(9,6)) AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE CAST(ROUND(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS DECIMAL(9,6)) >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
+@query("q21_embedding_neardup", _Q21_ORACLE)
+def q21_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Q22 rollup — grouping sets capability (§2C "not in manifest v1", now added)
+# ---------------------------------------------------------------------------
+
+_Q22_ORACLE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+@query("q22_rollup_pricing", _Q22_ORACLE)
+def q22_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "cnt",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q23 language ID — north star (text analysis)
+# ---------------------------------------------------------------------------
+
+_Q23_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN {sql_stop_ratio('text')} >= 0.1 THEN 'en' ELSE 'unknown' END AS pred_lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("q23_langid", _Q23_ORACLE)
+def q23_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", predict_lang("text").alias("pred_lang"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q24 quality score — north star (text analysis)
+# ---------------------------------------------------------------------------
+
+_Q24_ORACLE = f"""
+SELECT doc_id,
+       CAST(ROUND(
+         0.4 * LEAST(len({sql_tokens('text')}) / 50.0, 1.0)
+         + 0.3 * (CASE WHEN n_chars > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / n_chars ELSE 0.0 END)
+         + 0.3 * LEAST({sql_stop_ratio('text')} * 5, 1.0)
+       , 6) AS DECIMAL(9,6)) AS quality
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("q24_quality_score", _Q24_ORACLE)
+def q24_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.round(quality_score("text", "n_chars"), 6).cast("decimal(9,6)").alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q25 token stats (whitespace + BPE-ish regex) — north star (text analysis)
+# ---------------------------------------------------------------------------
+
+_Q25_ORACLE = f"""
+SELECT doc_id,
+       CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+       n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("q25_token_stats", _Q25_ORACLE)
+def q25_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.functions.text import token_count as tc
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            tc("text").cast("long").alias("n_tokens"),
+            bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+            "n_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q26 document fingerprint (rolling hash) — north star (text analysis)
+# ---------------------------------------------------------------------------
+
+_Q26_ORACLE = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform({sql_tokens('text')}, t -> CAST(ascii(t) * 256 + length(t) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % 2147483647
+       ) AS fp
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("q26_fingerprint", _Q26_ORACLE)
+def q26_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", fingerprint("text").alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q27 sessionization (batch) — beyond reference; streaming analog in
+# streaming/sessions.py
+# ---------------------------------------------------------------------------
+
+_Q27_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(is_new) AS BIGINT) AS n_sessions
+FROM marked GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("q27_sessionize", _Q27_ORACLE)
+def q27_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_stats(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Q28/Q29 approximate nearest neighbors — north star (similarity, scale
+# paths). No SQL oracle (hash-bucketed candidate sets are engine-specific);
+# recall vs the exact Q16 is asserted in pytest instead.
+# ---------------------------------------------------------------------------
+
+
+@query("q28_ann_lsh")
+def q28_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 10))
+
+
+@query("q29_ann_ivf")
+def q29_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 10))
+
+
+# ---------------------------------------------------------------------------
+# Q30 multimodal metadata pipeline — north star (multimodal columns).
+# The fake decoder is deterministic on payload bytes, so the pipeline IS
+# SQL-expressible: byte_len == n_chars (ASCII corpus), width == n_chars % 640.
+# ---------------------------------------------------------------------------
+
+_Q30_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_bytes,
+       CAST(ROUND(AVG(length(text) % 640), 4) AS DECIMAL(18,4)) AS avg_width
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("q30_media_stats", _Q30_ORACLE)
+def q30_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_stats_by_source(load_table(spark, sf_dir, "documents"))

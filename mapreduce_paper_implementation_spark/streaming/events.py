@@ -1,0 +1,137 @@
+"""Structured Streaming over the `events` table.
+
+The reference is batch-only (SURVEY.md §2C: streaming ❌); this module is the
+committed-beyond-reference streaming surface: watermarked tumbling-window
+aggregation, session windows, and a custom stateful operator via
+applyInPandasWithState.
+
+Local tests drive a parquet file source with a memory sink and
+processAllAvailable() — one synchronous pass over the fixture. In production
+the same queries run unchanged over Kafka/file streams; watermarks bound
+state so a 100 TB/day stream holds only (watermark window x key cardinality)
+state, checkpointed incrementally.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# Raw parquet schema: ts is TIMESTAMP(NANOS) which Spark only reads as long
+# (see sources/tables.py) — the stream source declares it as long and the
+# normalizer projects to TimestampType.
+_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events fixture with normalized timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # File stream sources take a directory; pathGlobFilter narrows it to the
+    # events table so sibling parquet files in the fixture dir are ignored.
+    raw = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts + sums per event_type with late-data bound.
+    Works on both streaming and batch DataFrames (same expression tree),
+    which is how the tests cross-check stream output against batch truth."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session-window (inactivity gap) event counts per user — the streaming
+    analog of operators/sessionize.py."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "user_id",
+            "cnt",
+        )
+    )
+
+
+_STATE_SCHEMA = "total LONG"
+_OUT_SCHEMA = "user_id LONG, total LONG"
+
+
+def _count_updates(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    total = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        total += len(pdf)
+    state.update((total,))
+    yield pd.DataFrame({"user_id": [user_id], "total": [total]})
+
+
+def user_running_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event totals across
+    micro-batches (applyInPandasWithState). State is one counter per user —
+    O(users) not O(events)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _count_updates,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> None:
+    """Drive a streaming query to completion over the available input and
+    leave the result in an in-memory table `name`."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1,0 +1,140 @@
+"""Property/behavior tests for the north-star operators, beyond the
+per-query oracle checks in test_queries.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_paper_implementation_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from mapreduce_paper_implementation_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
+from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_synthetic(spark):
+    df = _docs_df(
+        spark,
+        [(1, "aa bb cc"), (2, "aa bb cc"), (3, "unique text"), (7, "aa bb cc")],
+    )
+    out = {(r["keeper"], r["n_copies"]) for r in exact_dedup(df, "text", "doc_id").collect()}
+    assert out == {(1, 3), (3, 1)}
+
+
+def test_minhash_identical_and_disjoint(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words nothing shared here at all whatsoever truly"
+    df = _docs_df(spark, [(1, base), (2, near), (3, far), (4, base)])
+    pairs = {
+        (r["id_a"], r["id_b"]): float(r["jaccard"])
+        for r in minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # identical docs
+    assert (1, 2) in pairs  # near-dup found
+    assert all((3 not in p) for p in pairs)  # disjoint doc never paired
+
+
+def test_minhash_matches_exact_jaccard_on_fixture(spark, sf_dir):
+    """LSH candidates + verify must equal the exact similarity join at the
+    same threshold (recall ~1 at J>=0.8 with b=16,r=4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = {
+        (r["id_a"], r["id_b"], str(r["jaccard"]))
+        for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"], str(r["jaccard"]))
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_planted_near_dups_recovered(spark, sf_dir):
+    """Every fixture near-dup pair with J>=0.95 must be within simhash
+    distance 3 (they differ by ~1 token)."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.95).collect()
+    }
+    sim = {(r["id_a"], r["id_b"]) for r in simhash_pairs(docs).collect()}
+    assert planted, "fixture should contain planted near-dups"
+    missed = planted - sim
+    assert len(missed) <= len(planted) * 0.2, f"simhash missed too many: {missed}"
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    exact = {(r["probe_id"], r["neighbor_id"]) for r in brute_force_topk(emb, probes).collect()}
+    lsh = {(r["probe_id"], r["neighbor_id"]) for r in lsh_topk(emb, probes).collect()}
+    ivf = {(r["probe_id"], r["neighbor_id"]) for r in ivf_topk(emb, probes).collect()}
+    assert len(exact) == 30
+    # approximate methods: recall bounded below (tuned params on fixture)
+    assert len(lsh & exact) / len(exact) >= 0.5, f"LSH recall too low: {len(lsh & exact)}/30"
+    assert len(ivf & exact) / len(exact) >= 0.3, f"IVF recall too low: {len(ivf & exact)}/30"
+    # every approximate hit must carry the same cosine the exact path computes
+    bf = {
+        (r["probe_id"], r["neighbor_id"]): str(r["cos_sim"])
+        for r in brute_force_topk(emb, probes, k=500).collect()
+    }
+    for r in lsh_topk(emb, probes).collect():
+        assert str(r["cos_sim"]) == bf[(r["probe_id"], r["neighbor_id"])]
+
+
+def test_multimodal_decode_plumbing(spark):
+    from mapreduce_paper_implementation_spark.operators.multimodal import (
+        MEDIA_LIBS_AVAILABLE,
+        decode_image,
+        decode_media,
+        with_media_column,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "s1", "hello world"), (2, "s2", "xyz")],
+        "doc_id long, source string, text string",
+    )
+    out = {tuple(r) for r in decode_media(with_media_column(df)).collect()}
+    assert out == {
+        (1, "s1", 11, 11 % 640, (11 * 7) % 480, 11 % 30 + 1),
+        (2, "s2", 3, 3 % 640, (3 * 7) % 480, 3 % 30 + 1),
+    }
+    if not MEDIA_LIBS_AVAILABLE:
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG")
+
+
+def test_sessionize_gap_boundary(spark):
+    import datetime as dt
+
+    from mapreduce_paper_implementation_spark.operators.sessionize import session_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: gaps 1799s (same session), 1801s (new session)
+        (1, t0, 1, "a", 0.0, ""),
+        (2, t0 + dt.timedelta(seconds=1799), 1, "a", 0.0, ""),
+        (3, t0 + dt.timedelta(seconds=1799 + 1801), 1, "a", 0.0, ""),
+        # user 2: exactly 1800s gap -> same session (strictly greater breaks)
+        (4, t0, 2, "a", 0.0, ""),
+        (5, t0 + dt.timedelta(seconds=1800), 2, "a", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {(r["user_id"], r["n_events"], r["n_sessions"]) for r in session_stats(df).collect()}
+    assert out == {(1, 3, 2), (2, 2, 1)}

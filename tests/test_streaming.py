@@ -1,0 +1,82 @@
+"""Structured Streaming tests: drive the parquet-file stream to completion
+with a memory sink and cross-check against the identical batch expression."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_paper_implementation_spark.sources.tables import load_table
+from mapreduce_paper_implementation_spark.streaming import (
+    run_to_memory,
+    session_counts,
+    stream_events,
+    user_running_counts,
+    windowed_counts,
+)
+
+
+def test_windowed_counts_stream_equals_batch(spark, sf_dir):
+    # complete mode: append would (correctly) hold back windows newer than
+    # the final watermark, which never advances past end-of-fixture
+    stream = windowed_counts(stream_events(spark, sf_dir))
+    run_to_memory(stream, "win_counts", output_mode="complete")
+    got = {
+        (str(r["win_start"]), r["event_type"], r["cnt"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = windowed_counts(load_table(spark, sf_dir, "events"))
+    want = {(str(r["win_start"]), r["event_type"], r["cnt"]) for r in batch.collect()}
+    assert got == want
+    assert len(want) > 0
+
+
+def test_session_counts_stream_equals_batch(spark, sf_dir):
+    stream = session_counts(stream_events(spark, sf_dir))
+    run_to_memory(stream, "sess_counts", output_mode="complete")
+    got = {
+        (str(r["sess_start"]), r["user_id"], r["cnt"])
+        for r in spark.sql("SELECT * FROM sess_counts").collect()
+    }
+    want = {
+        (str(r["sess_start"]), r["user_id"], r["cnt"])
+        for r in session_counts(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == want
+
+
+def test_session_counts_agree_with_batch_sessionize(spark, sf_dir):
+    """The streaming session_window and the batch lag/cumsum sessionizer
+    must agree on sessions-per-user at the same 30-minute gap."""
+    from mapreduce_paper_implementation_spark.operators.sessionize import session_stats
+
+    sw = (
+        session_counts(load_table(spark, sf_dir, "events"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    got = {(r["user_id"], r["n_sessions"]) for r in sw.collect()}
+    want = {
+        (r["user_id"], r["n_sessions"])
+        for r in session_stats(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == want
+
+
+def test_stateful_running_counts(spark, sf_dir):
+    stream = user_running_counts(stream_events(spark, sf_dir))
+    run_to_memory(stream, "run_counts", output_mode="update")
+    # single micro-batch over the fixture: final totals = batch group counts
+    got = {
+        (r["user_id"], r["total"])
+        for r in spark.sql(
+            "SELECT user_id, max(total) AS total FROM run_counts GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        (r["user_id"], r["cnt"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want
