@@ -46,15 +46,28 @@ def stopword_count(col: Column | str) -> Column:
     return F.size(F.filter(lower_tokens(col), lambda t: F.array_contains(sw, t)))
 
 
+def let(value: Column, body) -> Column:
+    """Bind `value` to a lambda variable so `body` can reference it without
+    re-evaluating it. Spark's higher-order functions are CodegenFallback
+    (interpreted), and interpreted eval has no common-subexpression
+    elimination — an expression referenced inside a HOF lambda is recomputed
+    on EVERY element iteration. transform(array(v), x -> body(x))[0]
+    evaluates v exactly once per row."""
+    return F.transform(F.array(value), body)[0]
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles (space-joined), the unit set for
     Jaccard-based dedup. Built from transform over token offsets — stays
-    JVM-side."""
-    toks = tokens(col)
+    JVM-side. The token array is let-bound: without it the regex
+    split+filter re-runs once per shingle position (~50x per row)."""
     # slice(i..i+n-1) joined by single space; sequence is 1-based
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
+    return let(
+        tokens(col),
+        lambda toks: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
     )

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_paper_implementation_spark.functions.text import tokens, word_shingles
+from mapreduce_paper_implementation_spark.functions.vectors import to_double_vec
 
 # Modulus for all MinHash arithmetic: 2^31-1 (Mersenne prime). Keeping every
 # operand < 2^31 makes a*h+b < 2^62 — safe in ANSI-mode LongType arithmetic.
@@ -51,15 +52,29 @@ def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
 def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
     """MinHash signature (array<long> of length num_hashes) over a distinct
     shingle array. h_i(s) = (a_i * xxhash64(s) + b_i) mod (2^31-1), taking
-    the min per permutation — entirely JVM-side expressions."""
+    the min per permutation — entirely JVM-side expressions.
+
+    Single-pass formulation: one F.aggregate over the shingle-hash array with
+    an array<long> accumulator updated by zip_with against the (a_i, b_i)
+    constant array. One traversal of the (potentially long) shingle array
+    instead of num_hashes traversals, and an expression tree of O(1) nodes
+    instead of O(num_hashes) nested transforms — both codegen size and row
+    cost scale with |shingles| * num_hashes exactly once."""
+    params = _minhash_params(num_hashes, seed)
+    ab = F.array(
+        *[
+            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+            for a, b in params
+        ]
+    )
     base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))
-    sigs = [
-        F.array_min(
-            F.transform(base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE31)))
-        )
-        for a, b in _minhash_params(num_hashes, seed)
-    ]
-    return F.array(*sigs)
+    return F.aggregate(
+        base,
+        F.array_repeat(F.lit(MERSENNE31).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda m, p: F.least(m, F.pmod(p["a"] * h + p["b"], F.lit(MERSENNE31)))
+        ),
+    )
 
 
 def minhash_lsh_pairs(
@@ -203,28 +218,32 @@ def ngram_jaccard_pairs(
 
 def simhash(text_col: Column | str, bits: int = 64) -> Column:
     """SimHash fingerprint (LongType) of the token stream: per bit j, sign of
-    sum over tokens of +/-1 according to bit j of xxhash64(token). JVM-side:
-    one aggregate per bit over the token-hash array."""
+    sum over tokens of +/-1 according to bit j of xxhash64(token).
+
+    Single-pass formulation: one F.aggregate over the token-hash array with an
+    array<long> of per-bit counters, each step zip_with-ing against the
+    constant power-of-two mask array (bit j of h == (h & 2^j) != 0, which the
+    mask expresses without a column-typed shift amount). The final fingerprint
+    re-ORs the winning masks: summing distinct powers of two is exact in
+    two's complement, including the 2^63 sign bit."""
+    masks = F.array(
+        *[F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long") for j in range(bits)]
+    )
     hs = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
-    bit_cols = [
-        F.when(
-            F.aggregate(
-                hs,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                    F.lit(-1)
-                ),
-            )
-            > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for j in range(bits)
-    ]
-    out = F.lit(0).cast("long")
-    for j, bit in enumerate(bit_cols):
-        out = out + F.shiftleft(bit, j)
-    return out
+    sums = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(sums, masks, lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def simhash_pairs(
@@ -316,6 +335,93 @@ def embedding_neardup_pairs(
             F.round(cosine(F.col("vec_a"), F.col("vec_b"), F.col("nrm_a"), F.col("nrm_b")), 6)
             .cast("decimal(9,6)")
             .alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_neardup_pairs_blocked(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup via blocked matrix multiplication.
+
+    The scale path for exact all-pairs similarity: split the n vectors into
+    B = n_blocks buckets (id mod B), materialize every unordered block pair
+    (a <= b) — B(B+1)/2 groups — and compute each group's full cosine
+    submatrix with one vectorized numpy GEMM inside applyInPandas. Each
+    unordered vector pair lands in exactly one block pair, so output is
+    duplicate-free by construction.
+
+    Cost model at scale: data replication factor is B (each block joins B
+    partners) and per-task memory is (n/B)*dim doubles for the two operand
+    matrices plus the (n/B)^2 score tile; choose B ~ n*dim*8 / executor_mem.
+    The GEMM runs at BLAS speed — orders of magnitude above per-pair
+    expression evaluation — and the per-group Arrow transfer is the only
+    Python boundary.
+
+    Rounding contract: numpy only pre-filters with an epsilon margin; the
+    final round(.,6)/decimal cast and threshold compare are Spark-side,
+    identical to embedding_neardup_pairs.
+
+    Returns (id_a, id_b, cos_sim DECIMAL(9,6)), id_a < id_b.
+    """
+    import pandas as pd
+
+    spark = emb.sparkSession
+    v = emb.select(F.col(id_col).alias("id"), to_double_vec(vec_col).alias("vec")).withColumn(
+        "blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int")
+    )
+    block_pairs = spark.createDataFrame(
+        [(a, b) for a in range(n_blocks) for b in range(n_blocks) if a <= b], "pa int, pb int"
+    )
+    left = v.join(F.broadcast(block_pairs), F.col("blk") == F.col("pa")).select(
+        "pa", "pb", F.lit("L").alias("role"), "id", "vec"
+    )
+    right = v.join(F.broadcast(block_pairs), F.col("blk") == F.col("pb")).select(
+        "pa", "pb", F.lit("R").alias("role"), "id", "vec"
+    )
+    both = left.unionByName(right)
+
+    # Pre-filter margin: must exceed the max round-half-up shift (5e-7) so a
+    # raw score just under threshold that ROUNDS to threshold is still kept;
+    # the exact round+compare is Spark-side. Over-inclusion is harmless.
+    margin = 1e-6
+
+    def score(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pa, pb = int(key[0]), int(key[1])
+        lrows = pdf[pdf["role"] == "L"]
+        rrows = pdf[pdf["role"] == "R"]
+        if lrows.empty or rrows.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        lids = lrows["id"].to_numpy()
+        rids = rrows["id"].to_numpy()
+        ml = np.vstack(lrows["vec"].to_numpy())
+        mr = np.vstack(rrows["vec"].to_numpy())
+        ml = ml / np.linalg.norm(ml, axis=1, keepdims=True)
+        mr = mr / np.linalg.norm(mr, axis=1, keepdims=True)
+        g = ml @ mr.T
+        ii, jj = np.nonzero(g >= threshold - margin)
+        ia, ib = lids[ii], rids[jj]
+        if pa == pb:
+            keep = ia < ib
+        else:
+            keep = np.ones(len(ia), dtype=bool)
+        ia, ib, cs = ia[keep], ib[keep], g[ii, jj][keep]
+        return pd.DataFrame(
+            {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib), "cos": cs}
+        )
+
+    scored = both.groupBy("pa", "pb").applyInPandas(score, "id_a long, id_b long, cos double")
+    return (
+        scored.select(
+            "id_a", "id_b", F.round("cos", 6).cast("decimal(9,6)").alias("cos_sim")
         )
         .where(F.col("cos_sim") >= threshold)
         .orderBy("id_a", "id_b")

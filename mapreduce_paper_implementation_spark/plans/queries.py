@@ -59,7 +59,13 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     all inside whole-stage codegen. Reference analog: the Map phase of wc
     (/root/reference/mr-main/mrapps/wc.go:21-34)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    # Row-level explode(split) + WHERE keeps the whole pipeline inside
+    # whole-stage codegen (GenerateExec); an array-filter HOF here would be
+    # CodegenFallback and break the codegen span.
+    return (
+        docs.select("doc_id", F.explode(F.split("text", "[^A-Za-z]+")).alias("token"))
+        .where(F.col("token") != "")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -649,6 +655,7 @@ def q17_user_span(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from mapreduce_paper_implementation_spark.operators.dedup import (  # noqa: E402
     embedding_neardup_pairs,
+    embedding_neardup_pairs_blocked,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -773,7 +780,11 @@ ORDER BY id_a, id_b
 
 @query("q21_embedding_neardup", _Q21_ORACLE)
 def q21_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
+    # Blocked-GEMM path (B(B+1)/2 numpy submatrix products via applyInPandas);
+    # operators/dedup.py keeps the pure-JVM all-pairs variant as ground truth.
+    return embedding_neardup_pairs_blocked(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
 
 
 # ---------------------------------------------------------------------------
