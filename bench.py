@@ -39,8 +39,18 @@ def _sf_of(sf_dir: str) -> float:
     return -1.0
 
 
+def _warmup(spark, sf_dir: str) -> None:
+    """One tiny untimed job: initializes the JVM, parquet reader, noop sink,
+    and codegen machinery so per-query timings measure the engine, not
+    first-job startup cost."""
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).limit(1).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
 def run_bench(sf_dir: str, names: list[str], repeat: int = 1) -> dict:
     spark = get_spark("bench")
+    _warmup(spark, sf_dir)
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in names:

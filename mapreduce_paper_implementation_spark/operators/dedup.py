@@ -103,7 +103,22 @@ def minhash_lsh_pairs(
     sh = docs.select(
         F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
     ).where(F.size("shingles") > 0)
-    sig = sh.select("id", "shingles", minhash_signature(F.col("shingles"), num_hashes, seed).alias("sig"))
+    # Exploded-row signature: 64 codegen'd MIN aggregates over (id, h) rows.
+    # Unlike the array-lambda formulation (minhash_signature), this stays in
+    # whole-stage codegen end to end, and Spark's partial aggregation
+    # (map-side combine) means the shuffle carries one 64-min row per id per
+    # partition — the combiner the reference lacks (mr/worker.go:86-89).
+    params = _minhash_params(num_hashes, seed)
+    hash_rows = sh.select("id", F.explode("shingles").alias("s")).select(
+        "id", F.pmod(F.xxhash64("s"), F.lit(MERSENNE31)).alias("h")
+    )
+    mins = hash_rows.groupBy("id").agg(
+        *[
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE31))).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    sig = mins.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
 
     band_structs = F.array(
         *[
@@ -148,8 +163,11 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    a = sig.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sig.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    # Verify on the (tiny) surviving candidate set with exact Jaccard over
+    # shingle sets, re-derived from `sh` — full shingle arrays only ever move
+    # for candidate pairs, never through the banding shuffle.
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     verified = (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -246,6 +264,35 @@ def simhash(text_col: Column | str, bits: int = 64) -> Column:
     )
 
 
+def _simhash_df(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """(id, fp) via exploded row-level aggregation: one row per token hash,
+    then `bits` codegen'd conditional SUMs per id (partial aggregation =
+    map-side combine). Identical fingerprints to the Column-API simhash(),
+    but stays in whole-stage codegen instead of interpreted array lambdas.
+    Docs with zero tokens keep fp = 0 via the left join."""
+    masks = [(1 << j) if j < 63 else -(1 << 63) for j in range(bits)]
+    tok_rows = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.split(text_col, "[^A-Za-z]+")).alias("t"))
+        .where(F.col("t") != "")
+        .select("id", F.xxhash64("t").alias("h"))
+    )
+    sums = tok_rows.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(m).cast("long")) != 0, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j, m in enumerate(masks)
+        ]
+    )
+    fp_expr = None
+    for j, m in enumerate(masks):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(m).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp_expr = term if fp_expr is None else fp_expr + term
+    fps = sums.select("id", fp_expr.alias("fp"))
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(fps, "id", "left").select("id", F.coalesce("fp", F.lit(0).cast("long")).alias("fp"))
+
+
 def simhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -261,7 +308,7 @@ def simhash_pairs(
     Returns (id_a, id_b, hamming INT), id_a < id_b.
     """
     n_bands = bits // band_bits
-    fp = docs.select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("fp"))
+    fp = _simhash_df(docs, id_col, text_col, bits)
     mask = (1 << band_bits) - 1
     banded = fp.select(
         "id",
