@@ -83,6 +83,67 @@ def decode_media(media_df: DataFrame, decoder=fake_decode) -> DataFrame:
     return media_df.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
+def resize_media(decoded: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
+    """Resize step: scale (width, height) to fit the target box, preserving
+    aspect ratio. Pure column arithmetic — the real pixel resample would run
+    in the decode mapInPandas batch; the dimension bookkeeping (what the
+    pipeline schedules around) is engine-side and exact."""
+    scale = F.least(
+        F.lit(float(max_w)) / F.greatest("width", F.lit(1)),
+        F.lit(float(max_h)) / F.greatest("height", F.lit(1)),
+        F.lit(1.0),
+    )
+    return decoded.select(
+        "doc_id",
+        "source",
+        "byte_len",
+        F.greatest(F.floor(F.col("width") * scale), F.lit(1)).cast("int").alias("out_w"),
+        F.greatest(F.floor(F.col("height") * scale), F.lit(1)).cast("int").alias("out_h"),
+        "n_frames",
+    )
+
+
+def sample_frames(decoded: DataFrame, stride: int = 4) -> DataFrame:
+    """Frame sampling for video-like payloads: one output row per kept frame
+    (every `stride`-th frame starting at 0). explode(sequence(...)) keeps the
+    fan-out JVM-side; the per-frame decode would be a second mapInPandas over
+    (payload, frame_idx) batches. Returns (doc_id, source, frame_idx)."""
+    idxs = F.sequence(
+        F.lit(0), F.col("n_frames") - 1, F.lit(stride)
+    )
+    return decoded.select(
+        "doc_id", "source", F.explode(idxs).alias("frame_idx")
+    )
+
+
+FEATURE_DIM = 8
+FEATURES_SCHEMA = "doc_id long, source string, features array<float>"
+
+
+def extract_features(media_df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature extraction: binary payload -> fixed-dim float vector, as an
+    Arrow-batched mapInPandas (numpy per batch, no per-row Python). The
+    deterministic stand-in is an L1-normalized byte histogram folded to
+    `dim` buckets — a real extractor (CLIP/wav2vec) drops into the same
+    batch loop with GPU scoring per partition."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            feats = []
+            for payload in pdf["media"]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float64")
+                total = hist.sum()
+                feats.append((hist / total if total else hist).astype("float32"))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "source": pdf["source"], "features": feats}
+            )
+
+    return media_df.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
 def media_stats_by_source(docs: DataFrame) -> DataFrame:
     """End-to-end pipeline: attach media column -> mapInPandas decode ->
     per-source aggregate. Returns (source, n_items, sum_bytes, avg_width)."""

@@ -661,7 +661,11 @@ from mapreduce_paper_implementation_spark.operators.dedup import (  # noqa: E402
     simhash_pairs,
 )
 from mapreduce_paper_implementation_spark.operators.multimodal import (  # noqa: E402
+    decode_media,
+    extract_features,
     media_stats_by_source,
+    sample_frames,
+    with_media_column,
 )
 from mapreduce_paper_implementation_spark.operators.sessionize import session_stats  # noqa: E402
 from mapreduce_paper_implementation_spark.operators.similarity import (  # noqa: E402
@@ -988,3 +992,44 @@ ORDER BY source
 @query("q30_media_stats", _Q30_ORACLE)
 def q30_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_stats_by_source(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Q31 frame sampling — multimodal video-style fan-out. Deterministic fake
+# decode: n_frames = byte_len % 30 + 1; stride-4 sampling keeps
+# (n_frames-1)/4 + 1 frames per item.
+# ---------------------------------------------------------------------------
+
+_Q31_ORACLE = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled
+FROM (
+  SELECT source,
+         unnest(range(0, length(text) % 30 + 1, 4)) AS frame_idx
+  FROM documents
+)
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("q31_frame_sample", _Q31_ORACLE)
+def q31_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = decode_media(with_media_column(load_table(spark, sf_dir, "documents")))
+    return (
+        sample_frames(decoded, stride=4)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q32 media feature extraction — rows-only (byte-histogram features are not
+# reasonably SQL-expressible); vector validity is asserted in pytest.
+# ---------------------------------------------------------------------------
+
+
+@query("q32_media_features")
+def q32_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = extract_features(with_media_column(load_table(spark, sf_dir, "documents")))
+    return feats.orderBy("doc_id")

@@ -138,3 +138,46 @@ def test_sessionize_gap_boundary(spark):
     )
     out = {(r["user_id"], r["n_events"], r["n_sessions"]) for r in session_stats(df).collect()}
     assert out == {(1, 3, 2), (2, 2, 1)}
+
+
+def test_multimodal_resize_and_frames(spark):
+    from mapreduce_paper_implementation_spark.operators.multimodal import (
+        decode_media,
+        resize_media,
+        sample_frames,
+        with_media_column,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "x" * 700), (2, "b", "y" * 10)], "doc_id long, source string, text string"
+    )
+    decoded = decode_media(with_media_column(df))
+    rs = {r["doc_id"]: r for r in resize_media(decoded, 224, 224).collect()}
+    # doc 1: fake w=700%640=60, h=(700*7)%480=100 -> scale=min(224/60,224/100,1)=1
+    assert (rs[1]["out_w"], rs[1]["out_h"]) == (60, 100)
+    # aspect ratio preserved and bounded
+    assert rs[2]["out_w"] <= 224 and rs[2]["out_h"] <= 224
+    fr = sample_frames(decoded, stride=4).groupBy("doc_id").count().collect()
+    want = {1: (700 % 30 + 1 - 1) // 4 + 1, 2: (10 % 30 + 1 - 1) // 4 + 1}
+    assert {r["doc_id"]: r["count"] for r in fr} == want
+
+
+def test_multimodal_feature_extraction(spark):
+    import numpy as np
+
+    from mapreduce_paper_implementation_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        with_media_column,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "abcabc"), (2, "b", "")], "doc_id long, source string, text string"
+    )
+    out = {r["doc_id"]: r["features"] for r in extract_features(with_media_column(df)).collect()}
+    assert len(out[1]) == FEATURE_DIM
+    assert abs(sum(out[1]) - 1.0) < 1e-6  # L1-normalized histogram
+    # deterministic: 'a'=97 -> bucket 1, 'b'=98 -> 2, 'c'=99 -> 3, each 2/6
+    arr = np.array(out[1])
+    assert abs(arr[1] - 2 / 6) < 1e-6 and abs(arr[2] - 2 / 6) < 1e-6
+    assert sum(out[2]) == 0.0  # empty payload -> zero vector, no NaN

@@ -1,0 +1,74 @@
+"""Physical-plan shape regression tests.
+
+Correctness says WHAT the engine computes; these assert HOW — that the plans
+we'd want at 100 TB are the plans Catalyst actually produces at any SF:
+filters reach the parquet scan, scans are column-pruned, fixed-size
+dimensions broadcast, fact-fact joins sort-merge, and nothing degenerates
+into a cartesian product. A regression here is a scale bug even when every
+value still matches the oracle.
+"""
+
+from __future__ import annotations
+
+from mapreduce_paper_implementation_spark.plans.queries import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q06_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q06_filtered_agg")
+    # predicates reach the parquet reader, not a post-scan Filter only
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:400]
+    # scan reads exactly the 4 referenced columns, not the 16-column table
+    scan_cols = plan.split("FileScan parquet [")[1].split("]")[0]
+    assert set(c.split("#")[0] for c in scan_cols.split(",")) == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    }
+
+
+def test_q11_join_strategies(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q11_regional_revenue")
+    # fixed-size dims (region, nation) + customer broadcast; the fact-fact
+    # orders-lineitem join stays shuffle-based (sort-merge) — the only shape
+    # that survives when both sides are 100 TB-scale
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q10_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q10_orders_by_segment")
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_q16_probe_side_is_broadcast(spark, sf_dir):
+    # similarity top-k must broadcast the small probe set, never shuffle the
+    # candidate corpus against it
+    plan = _plan(spark, sf_dir, "q16_knn_cosine")
+    assert "Broadcast" in plan
+
+
+def test_q01_partial_aggregation(spark, sf_dir):
+    # the combiner the reference lacks: HashAggregate appears as a
+    # partial/final pair around the exchange
+    plan = _plan(spark, sf_dir, "q01_wordcount")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_q14_shuffles_digests_not_bodies(spark, sf_dir):
+    # exact dedup must shuffle md5 digests, never document text: the hash
+    # shuffle partitions on text_hash and a partial aggregate (combiner)
+    # runs below it, so each document body dies in its scan task
+    plan = _plan(spark, sf_dir, "q14_exact_dup_groups")
+    assert "Exchange hashpartitioning(text_hash" in plan
+    assert "partial_count" in plan
