@@ -1033,3 +1033,90 @@ def q31_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q32_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(with_media_column(load_table(spark, sf_dir, "documents")))
     return feats.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q33 CUBE — full grouping-sets surface (ROLLUP covered by Q22)
+# ---------------------------------------------------------------------------
+
+_Q33_ORACLE = """
+SELECT COALESCE(event_type, 'ALL') AS etype,
+       COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS eday,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+FROM events
+GROUP BY CUBE(event_type, CAST(ts AS DATE))
+ORDER BY etype, eday
+"""
+
+
+@query("q33_cube_events", _Q33_ORACLE)
+def q33_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(event_type, event_day): all four grouping sets in one pass —
+    Spark expands the cube map-side and shares a single shuffle; at scale
+    this replaces four separate jobs over the same 100 TB scan."""
+    ev = load_table(spark, sf_dir, "events").withColumn("eday", F.to_date("ts"))
+    return (
+        ev.cube("event_type", "eday")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast(DEC)).cast(DEC).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("etype"),
+            F.coalesce(F.col("eday").cast("string"), F.lit("ALL")).alias("eday"),
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("etype", "eday")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q34 approximate distinct — HyperLogLog++ (rows-only: approx results can't
+# hash-match an exact oracle; pytest asserts <5% relative error vs exact)
+# ---------------------------------------------------------------------------
+
+
+@query("q34_approx_distinct_users")
+def q34_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++, rsd=0.01): sketches merge associatively
+    so the shuffle carries one ~kB sketch per group per partition instead of
+    the distinct-value set — the only viable COUNT(DISTINCT) at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q35 salted word count — skew-mitigation surface, oracle = Q1's truth
+# ---------------------------------------------------------------------------
+
+_Q35_ORACLE = """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (
+  SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS token
+  FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+ORDER BY token
+"""
+
+
+@query("q35_salted_wordcount", _Q35_ORACLE)
+def q35_salted_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count through the explicit two-stage salted aggregation: a
+    Zipf-heavy token (every corpus has one) spreads over 16 reducers in
+    stage 1. Oracle-gated against the same truth as Q1, so the skew path
+    can never drift from the plain path."""
+    from mapreduce_paper_implementation_spark.operators.skew import salted_group_agg
+
+    toks = _doc_tokens(spark, sf_dir)
+    return (
+        salted_group_agg(toks, ["token"], {"cnt": (F.count("*"), "sum")}, n_salts=16)
+        .orderBy("token")
+    )

@@ -181,3 +181,34 @@ def test_multimodal_feature_extraction(spark):
     arr = np.array(out[1])
     assert abs(arr[1] - 2 / 6) < 1e-6 and abs(arr[2] - 2 / 6) < 1e-6
     assert sum(out[2]) == 0.0  # empty payload -> zero vector, no NaN
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from mapreduce_paper_implementation_spark.operators.skew import salted_join
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = orders.join(cust, "c_custkey").groupBy("c_mktsegment").count()
+    salted = salted_join(orders, cust, "c_custkey", n_salts=8).groupBy("c_mktsegment").count()
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    approx = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.05 * n)
