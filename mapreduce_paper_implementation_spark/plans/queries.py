@@ -1107,6 +1107,40 @@ ORDER BY token
 """
 
 
+# ---------------------------------------------------------------------------
+# Q36 PIVOT — wide conditional aggregation (one shuffle, n columns)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_Q36_ORACLE = """
+SELECT CAST(ts AS DATE) AS eday,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q36_pivot_daily", _Q36_ORACLE)
+def q36_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type matrix via pivot. The value list is declared, not
+    discovered — at 100 TB an undeclared pivot first runs a distinct scan
+    over the full table just to learn the columns."""
+    ev = load_table(spark, sf_dir, "events").withColumn("eday", F.to_date("ts"))
+    return (
+        ev.groupBy("eday")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+        .orderBy("eday")
+    )
+
+
 @query("q35_salted_wordcount", _Q35_ORACLE)
 def q35_salted_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word count through the explicit two-stage salted aggregation: a
