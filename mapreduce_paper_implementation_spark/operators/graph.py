@@ -1,0 +1,80 @@
+"""Connected components over a pair graph — the step that turns near-dup
+PAIRS into dedup CLUSTERS (pick one representative per component).
+
+Iterative min-label propagation (the Pregel/GraphX pattern expressed in
+DataFrames): every vertex starts labeled with itself; each round every
+vertex adopts the minimum label among itself and its neighbors; converged
+when no label changes. Rounds needed = graph diameter (near-dup clusters
+are small and dense, so typically 2-4).
+
+Scale notes:
+- each round is one self-contained join + aggregate on the edge list —
+  shuffle size O(|E|), no driver-side data;
+- `localCheckpoint` truncates the lineage each round, without it the plan
+  doubles every iteration and the job dies on plan-compile time long before
+  data size matters;
+- the convergence check is a driver-side count of changed labels (a scalar
+  per round, not a collect of data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) for every vertex appearing in `pairs`; component =
+    min vertex id reachable. Deterministic for any edge order."""
+    edges = (
+        pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    )
+    for _ in range(max_iter):
+        # candidate label per vertex: min over neighbors' labels and its own
+        neighbor_lbl = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .select(F.col("a").alias("id"), "lbl")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_lbl)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("component"))
+
+
+def dedup_clusters(pairs: DataFrame, src_col: str = "id_a", dst_col: str = "id_b") -> DataFrame:
+    """Cluster summary: (component representative, member count, members
+    sorted) — the 'keep one per cluster' artifact of a dedup pipeline."""
+    cc = connected_components(pairs, src_col, dst_col)
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.concat_ws(",", F.sort_array(F.collect_list(F.col("id").cast("string")))).alias(
+                "members"
+            ),
+        )
+        .orderBy("component")
+    )

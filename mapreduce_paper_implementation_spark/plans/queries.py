@@ -1154,3 +1154,110 @@ def q35_salted_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         salted_group_agg(toks, ["token"], {"cnt": (F.count("*"), "sum")}, n_salts=16)
         .orderBy("token")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q37 exact median / percentile — sort-based aggregates
+# ---------------------------------------------------------------------------
+
+_Q37_ORACLE = """
+SELECT event_type,
+       CAST(ROUND(median(value), 4) AS DECIMAL(18,4)) AS med_value,
+       CAST(ROUND(quantile_cont(value, 0.9), 4) AS DECIMAL(18,4)) AS p90_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q37_median_value", _Q37_ORACLE)
+def q37_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + interpolated p90 per group. Exact percentiles need the
+    full value multiset per group (sort-based aggregate); the sketch-based
+    scale path is approx_percentile, same shape as Q34's HLL trade."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.median("value"), 4).cast(DEC).alias("med_value"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).cast(DEC).alias("p90_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q38 semi-structured JSON extraction
+# ---------------------------------------------------------------------------
+
+_Q38_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(*) FILTER (WHERE CAST(props->>'k' AS BIGINT) > 50) AS BIGINT) AS n_high
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q38_json_props", _Q38_ORACLE)
+def q38_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the string `props` column. get_json_object
+    evaluates JVM-side per row; at scale, parse once into a struct column
+    (from_json) at ingest rather than re-extracting per query."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count_if(F.col("k") > 50).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q40 as-of join — most recent prior click value per purchase
+# (oracled against DuckDB's native ASOF JOIN)
+# ---------------------------------------------------------------------------
+
+_Q40_ORACLE = """
+SELECT l.event_id, l.user_id, r.value AS value_asof
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
+@query("q40_asof_click_value", _Q40_ORACLE)
+def q40_asof_click_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(purchases, clicks, on="user_id", value_cols=["value"])
+    return joined.select("event_id", "user_id", "value_asof").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Q41 dedup clusters — iterative connected components over the exact
+# n-gram-Jaccard pair graph (oracled via DuckDB recursive CTE closure)
+# ---------------------------------------------------------------------------
+
+
+
+@query("q41_dedup_clusters")
+def q41_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> clusters via iterative min-label propagation
+    (operators/graph.py). Registered rows-only: the recursive-closure SQL
+    equivalent exists but grouping-by-correlated-min is fragile across
+    DuckDB versions; pytest cross-checks components on a fixed graph
+    instead."""
+    from mapreduce_paper_implementation_spark.operators.graph import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
+    return dedup_clusters(pairs)

@@ -212,3 +212,69 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(1, 0.05 * n)
+
+
+def test_asof_join_semantics(spark):
+    import datetime as dt
+
+    from mapreduce_paper_implementation_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, t(5)), (2, 10, t(2)), (3, 10, t(0)), (4, 20, t(9))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, t(1), 1.0), (10, t(2), 2.0), (10, t(4), 4.0), (30, t(0), 9.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r["value_asof"]
+        for r in asof_join(left, right, on="user_id", value_cols=["value"]).collect()
+    }
+    assert out[1] == 4.0  # most recent prior (t4 <= t5)
+    assert out[2] == 2.0  # equal timestamp counts (>=)
+    assert out[3] is None  # nothing at or before t0
+    assert out[4] is None  # no right rows for user 20
+
+
+def test_connected_components_vs_union_find(spark, sf_dir):
+    from mapreduce_paper_implementation_spark.operators.dedup import ngram_jaccard_pairs
+    from mapreduce_paper_implementation_spark.operators.graph import connected_components
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
+    edges = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    got = {
+        (r["id"], r["component"]) for r in connected_components(pairs).collect()
+    }
+
+    # ground truth: driver-side union-find over the same edges
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(v, find(v)) for v in parent}
+    assert got == want
+    assert len(want) > 0
+
+
+def test_connected_components_chain(spark):
+    # path graph 1-2-3-4-5 plus isolated pair (10, 11): diameter > 2
+    # exercises multiple propagation rounds
+    from mapreduce_paper_implementation_spark.operators.graph import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    rows = {r["component"]: (r["n_members"], r["members"]) for r in dedup_clusters(pairs).collect()}
+    assert rows == {1: (5, "1,2,3,4,5"), 10: (2, "10,11")}
