@@ -1219,6 +1219,62 @@ def q38_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q39 grouped-map applyInPandas — per-group z-score top-k. The same result is
+# window-expressible (the oracle is), which is exactly why it's in the
+# manifest: the arbitrary-pandas-per-group surface is correctness-gated
+# against declarative truth.
+# ---------------------------------------------------------------------------
+
+_Q39_ORACLE = """
+WITH stats AS (
+  SELECT event_id, event_type, value,
+         (value - AVG(value) OVER (PARTITION BY event_type))
+           / stddev_samp(value) OVER (PARTITION BY event_type) AS z
+  FROM events
+)
+SELECT event_id, event_type,
+       CAST(ROUND(z, 4) AS DECIMAL(18,4)) AS z_score
+FROM (
+  SELECT event_id, event_type, z,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(z) DESC, event_id) AS rn
+  FROM stats
+)
+WHERE rn <= 3
+ORDER BY event_type, event_id
+"""
+
+
+@query("q39_zscore_outliers", _Q39_ORACLE)
+def q39_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 |z-score| outlier events per type via applyInPandas: each group
+    arrives as one Arrow batch, pandas/numpy does the stats. Grouped-map is
+    the 'arbitrary per-group program' surface (the reference's Reduce UDF,
+    mr/worker.go:33, generalized); state per task is one group, so executor
+    memory bounds group size, not table size."""
+    import pandas as pd  # noqa: F401
+
+    def topk(pdf):
+        import numpy as np
+
+        z = (pdf["value"] - pdf["value"].mean()) / pdf["value"].std(ddof=1)
+        pdf = pdf.assign(z=z, az=np.abs(z))
+        pdf = pdf.sort_values(["az", "event_id"], ascending=[False, True]).head(3)
+        return pdf[["event_id", "event_type"]].assign(z_score=pdf["z"])
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return (
+        ev.groupBy("event_type")
+        .applyInPandas(topk, "event_id long, event_type string, z_score double")
+        # rounding stays engine-side (F.round matches the oracle's ROUND;
+        # pandas .round is banker's rounding)
+        .select(
+            "event_id", "event_type", F.round("z_score", 4).cast(DEC).alias("z_score")
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q40 as-of join — most recent prior click value per purchase
 # (oracled against DuckDB's native ASOF JOIN)
 # ---------------------------------------------------------------------------
