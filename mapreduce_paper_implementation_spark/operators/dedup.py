@@ -103,6 +103,14 @@ def minhash_lsh_pairs(
     sh = docs.select(
         F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
     ).where(F.size("shingles") > 0)
+    # The shingle projection feeds two consumers (banding hash rows + the
+    # verify join); persist so shingling runs once. At 100 TB this is the
+    # materialize-signatures step every production dedup pipeline has;
+    # MEMORY_AND_DISK spills rather than OOMs, and unused entries are
+    # LRU-evicted so repeated operator calls don't accumulate.
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     # Exploded-row signature: 64 codegen'd MIN aggregates over (id, h) rows.
     # Unlike the array-lambda formulation (minhash_signature), this stays in
     # whole-stage codegen end to end, and Spark's partial aggregation

@@ -1275,6 +1275,36 @@ def q39_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q42 SQL front end — the regional-revenue star join written as SQL text over
+# registered views. Same Catalyst plan as Q11 (broadcast dims + sort-merge
+# fact join), same oracle: proves the spark.sql surface, not a new operator.
+# ---------------------------------------------------------------------------
+
+
+@query("q42_sql_regional_revenue", _Q11_ORACLE)
+def q42_sql_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4))
+                 AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q40 as-of join — most recent prior click value per purchase
 # (oracled against DuckDB's native ASOF JOIN)
 # ---------------------------------------------------------------------------
