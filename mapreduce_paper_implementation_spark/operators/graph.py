@@ -40,27 +40,26 @@ def connected_components(
     labels = edges.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("lbl")
     )
+    # Convergence metric: labels only ever decrease, so sum(lbl) is strictly
+    # monotone until the fixpoint — one cheap scalar aggregate per round
+    # instead of a join-and-count of changed rows.
+    prev_sum: int | None = None
     for _ in range(max_iter):
         # candidate label per vertex: min over neighbors' labels and its own
         neighbor_lbl = (
             edges.join(labels, edges["b"] == labels["id"])
             .select(F.col("a").alias("id"), "lbl")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(neighbor_lbl)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("id", F.col("lbl").alias("component"))
 
 

@@ -1275,6 +1275,51 @@ def q39_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q43 end-to-end corpus cleaning pipeline — exact dedup (keep min doc_id per
+# md5) -> language filter -> quality threshold -> token stats, one lazy
+# DataFrame chain (operators/pipeline.py). Oracle reuses Q14/Q23/Q24's SQL
+# fragments, so the composition is gated by the same truths as its stages.
+# ---------------------------------------------------------------------------
+
+
+def _q43_oracle() -> str:
+    from mapreduce_paper_implementation_spark.operators.text_analysis import (
+        sql_stop_ratio,
+        sql_tokens,
+    )
+
+    return f"""
+WITH survivors AS (
+  SELECT * FROM documents
+  WHERE doc_id IN (
+    SELECT MIN(doc_id) FROM documents GROUP BY md5(text)
+  )
+),
+scored AS (
+  SELECT doc_id, source,
+         CASE WHEN {sql_stop_ratio('text')} >= 0.1 THEN 'en' ELSE 'unknown' END AS lang,
+         CAST(ROUND(
+           0.4 * LEAST(len({sql_tokens('text')}) / 50.0, 1.0)
+           + 0.3 * (CASE WHEN n_chars > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / n_chars ELSE 0.0 END)
+           + 0.3 * LEAST({sql_stop_ratio('text')} * 5, 1.0)
+         , 6) AS DECIMAL(9,6)) AS quality,
+         CAST(len({sql_tokens('text')}) AS INT) AS n_tokens
+  FROM survivors
+)
+SELECT * FROM scored
+WHERE lang = 'en' AND quality >= 0.5
+ORDER BY doc_id
+"""
+
+
+@query("q43_clean_corpus", _q43_oracle())
+def q43_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.pipeline import clean_corpus
+
+    return clean_corpus(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Q42 SQL front end — the regional-revenue star join written as SQL text over
 # registered views. Same Catalyst plan as Q11 (broadcast dims + sort-merge
 # fact join), same oracle: proves the spark.sql surface, not a new operator.
