@@ -1,13 +1,17 @@
 from mapreduce_paper_implementation_spark.streaming.events import (
     run_to_memory,
     session_counts,
+    stream_documents,
     stream_events,
+    streaming_dedup_counts,
     user_running_counts,
     windowed_counts,
 )
 
 __all__ = [
     "stream_events",
+    "stream_documents",
+    "streaming_dedup_counts",
     "windowed_counts",
     "session_counts",
     "user_running_counts",

@@ -122,6 +122,40 @@ def user_running_counts(events: DataFrame) -> DataFrame:
     )
 
 
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the documents fixture."""
+    return (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def streaming_dedup_counts(docs: DataFrame) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates on the md5 digest (state = one
+    entry per distinct digest — at 100 TB/day bound it with
+    dropDuplicatesWithinWatermark and an ingest-time column), then distinct
+    docs per source. Batch twin: operators/dedup.exact_dedup."""
+    digested = docs.select("source", F.md5(F.col("text").cast("binary")).alias("digest"))
+    return (
+        digested.dropDuplicates(["digest"])
+        .groupBy("source")
+        .agg(F.count("*").alias("n_unique"))
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drive a streaming query to completion over the available input and
     leave the result in an in-memory table `name`."""

@@ -80,3 +80,57 @@ def test_stateful_running_counts(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_equals_batch(spark, sf_dir):
+    from mapreduce_paper_implementation_spark.streaming import (
+        stream_documents,
+        streaming_dedup_counts,
+    )
+
+    stream = streaming_dedup_counts(stream_documents(spark, sf_dir))
+    run_to_memory(stream, "dedup_counts", output_mode="complete")
+    got = {
+        (r["source"], r["n_unique"])
+        for r in spark.sql("SELECT * FROM dedup_counts").collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        (r["source"], r["n"])
+        for r in docs.select("source", F.md5(F.col("text").cast("binary")).alias("d"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_checkpoint_restart_no_duplicate_output(spark, sf_dir, tmp_path):
+    """Exactly-once across restarts: re-starting a checkpointed query over
+    unchanged input must not re-emit — the committed offsets live in the
+    checkpoint, the reference's analog being the skip-if-output-non-empty
+    guard (mr/worker.go:141-146) which is NOT restart-safe (SURVEY §4.2.2)."""
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            windowed_counts(stream_events(spark, sf_dir))
+            .select("win_start", "event_type", "cnt")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", sink)
+            .format("parquet")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n1 = spark.read.parquet(sink).count()
+    run_once()  # same checkpoint, same input: nothing new to process
+    n2 = spark.read.parquet(sink).count()
+    assert n1 == n2
