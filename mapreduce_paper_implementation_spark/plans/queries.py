@@ -145,7 +145,11 @@ def q02_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The oracle reads the deterministic parquet fixture (well-formed rows only);
 # the Spark side reads the CSV *with* malformed lines and must drop them,
-# reproducing credit.go's permissive parse. Driver runs oracles at sf0.01.
+# reproducing credit.go's permissive parse. NOTE: the oracle SQL is a static
+# string with no sf_dir parameter, so it pins the sf0.01 fixture — the SF the
+# driver's correctness gate runs at. Running the oracle comparison at any
+# other SF reports a (spurious) mismatch for this one query; the Spark side
+# itself is SF-correct (it derives the CSV path from sf_dir).
 _Q3_ORACLE = """
 SELECT agency, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM read_parquet('/root/repo/fixtures/credit/sf0.01/credit_scores.parquet')
