@@ -168,3 +168,79 @@ def test_mr_keys_with_pipes_survive(spark, tmp_path_factory):
 
     got = {(r["key"], r["value"]) for r in mr_run(spark, mapf, reducef, str(d), 2).collect()}
     assert got == {("a|b", "1"), ("c\nd", "2")}
+
+
+def test_mr_crash_app_data_shape(spark, corpus_dir):
+    """B5/B6 (mrapps/crash.go:36-57, nocrash.go): per-file metadata emission
+    with sort+space-join reduce — the data output the chaos test
+    byte-compares. Cross-checked against a pure-Python run over the same
+    files."""
+    import glob as _glob
+    import os as _os
+
+    def mapf(filename: str, contents: str):
+        # crash.go:40-43 emits (a, filename), (b, len(filename)), (c, len(contents)), (d, xyzzy)
+        return [
+            ("a", filename),
+            ("b", str(len(filename))),
+            ("c", str(len(contents))),
+            ("d", "xyzzy"),
+        ]
+
+    def reducef(key: str, values: list[str]) -> str:
+        return " ".join(sorted(values))  # crash.go:50-56
+
+    got = {
+        (r["key"], r["value"])
+        for r in mr_run(spark, mapf, reducef, corpus_dir, n_reduce=4).collect()
+    }
+    files = sorted(_glob.glob(_os.path.join(corpus_dir, "*")))
+    names = [_os.path.basename(f) for f in files]
+    texts = {n: open(f).read() for n, f in zip(names, files)}
+    want = {
+        ("a", " ".join(sorted(names))),
+        ("b", " ".join(sorted(str(len(n)) for n in names))),
+        ("c", " ".join(sorted(str(len(texts[n])) for n in names))),
+        ("d", " ".join(["xyzzy"] * len(names))),
+    }
+    assert got == want
+
+
+def test_mr_early_exit_count_per_file(spark, corpus_dir):
+    """B7 (mrapps/early_exit.go:19-23): one count per input file."""
+    import glob as _glob
+    import os as _os
+
+    def mapf(filename: str, contents: str):
+        return [(filename, "1")]
+
+    def reducef(key: str, values: list[str]) -> str:
+        return str(len(values))
+
+    got = {
+        (r["key"], r["value"])
+        for r in mr_run(spark, mapf, reducef, corpus_dir, n_reduce=4).collect()
+    }
+    want = {
+        (_os.path.basename(f), "1") for f in _glob.glob(_os.path.join(corpus_dir, "*"))
+    }
+    assert got == want
+
+
+def test_parallelism_probe_barrier(spark):
+    """B8/B9 (mrapps/mtiming.go, rtiming.go): the reference measures that >=2
+    workers run concurrently. Spark's barrier mode proves the same property
+    structurally: barrier() only returns when ALL tasks of the stage are
+    running simultaneously — if the scheduler serialized them, this would
+    hang (pytest timeout guards)."""
+    from pyspark import BarrierTaskContext
+
+    def probe(it):
+        ctx = BarrierTaskContext.get()
+        ctx.barrier()  # requires all 4 tasks concurrently alive
+        yield ctx.partitionId()
+
+    got = sorted(
+        spark.sparkContext.parallelize(range(4), 4).barrier().mapPartitions(probe).collect()
+    )
+    assert got == [0, 1, 2, 3]
