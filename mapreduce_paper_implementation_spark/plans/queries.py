@@ -1324,6 +1324,73 @@ def q43_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q44 semi/anti joins — existence predicates without row multiplication
+# ---------------------------------------------------------------------------
+
+_Q44_ORACLE = """
+SELECT 'with_orders' AS cohort, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT 'without_orders', CAST(COUNT(*) AS BIGINT)
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY cohort
+"""
+
+
+@query("q44_semi_anti_cohorts", _Q44_ORACLE)
+def q44_semi_anti_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with/without orders via left_semi / left_anti: existence
+    joins never duplicate left rows (no post-join distinct) and the right
+    side reduces to its join key — at scale that's a broadcast of distinct
+    custkeys, not an orders-sized shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    witho = cust.join(orders, "c_custkey", "semi").agg(F.count("*").alias("n")).select(
+        F.lit("with_orders").alias("cohort"), "n"
+    )
+    without = cust.join(orders, "c_custkey", "anti").agg(F.count("*").alias("n")).select(
+        F.lit("without_orders").alias("cohort"), "n"
+    )
+    return witho.unionByName(without).orderBy("cohort")
+
+
+# ---------------------------------------------------------------------------
+# Q45 set operations — intersect / union distinct
+# ---------------------------------------------------------------------------
+
+_Q45_ORACLE = """
+SELECT 'both' AS src, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+UNION ALL
+SELECT 'either', CAST(COUNT(*) AS BIGINT) FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  UNION
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+ORDER BY src
+"""
+
+
+@query("q45_set_ops", _Q45_ORACLE)
+def q45_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id")
+    both = clicks.intersect(buys).agg(F.count("*").alias("n")).select(
+        F.lit("both").alias("src"), "n"
+    )
+    either = clicks.union(buys).distinct().agg(F.count("*").alias("n")).select(
+        F.lit("either").alias("src"), "n"
+    )
+    return both.unionByName(either).orderBy("src")
+
+
+# ---------------------------------------------------------------------------
 # Q42 SQL front end — the regional-revenue star join written as SQL text over
 # registered views. Same Catalyst plan as Q11 (broadcast dims + sort-merge
 # fact join), same oracle: proves the spark.sql surface, not a new operator.
