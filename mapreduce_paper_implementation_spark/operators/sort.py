@@ -1,0 +1,59 @@
+"""Distributed global sort / global ranking — the "distributed sort" workload
+of the MapReduce paper (§2.3; the reference ships the paper as
+mapreduce-paper.pdf but implements no sort app; the closest artifact is the
+sequential engine's global key sort, /root/reference/mr-main/mrsequential.go:61).
+
+A naive global rank (`row_number() OVER (ORDER BY ...)` with no PARTITION BY)
+collapses the whole table into ONE task — the classic 100 TB killer. This
+module implements the TeraSort-shaped two-pass alternative:
+
+1. range-partition on the sort key (Spark samples boundaries — the paper's
+   "ordering guarantee" partitioner);
+2. rank locally inside each sorted range partition;
+3. add per-partition row-count offsets (an n_partitions-row broadcast join).
+
+Every heavy stage is parallel over the range partitions; the only global
+object is the offsets table (one row per partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_col: str = "rank",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Append a 1-based dense global rank under the total order `order_by`.
+
+    `order_by` must be a TOTAL order (include a unique tiebreak column) or
+    the assigned ranks are nondeterministic between runs.
+
+    Plan shape: one range exchange (reused by both the local-rank window and
+    the per-partition counts via AQE exchange reuse), one tiny single-row-
+    per-partition aggregate, one broadcast join. No stage sees more than one
+    range partition of data.
+    """
+    spark = df.sparkSession
+    n = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n, *order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_by)
+    local = ranged.withColumn("_lrn", F.row_number().over(w_local))
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_n"))
+    # offsets: exclusive prefix sum over partition ids — n rows total, so the
+    # single-partition window here is over the COUNTS, never the data.
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )

@@ -1452,6 +1452,157 @@ def q40_asof_click_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# ---------------------------------------------------------------------------
+# Q46-Q49: the remaining canonical MapReduce workloads from the paper the
+# reference ships (mapreduce-paper.pdf §2.3) but never implemented as apps —
+# distributed grep, distributed sort, term-vector per host, tf-idf (the
+# "count of URL access frequency" / "inverted index" family is Q1/Q2).
+# ---------------------------------------------------------------------------
+
+_Q46_ORACLE = """
+SELECT doc_id, CAST(len(regexp_extract_all(text, 'data [a-z]+')) AS BIGINT) AS n_matches
+FROM documents
+WHERE len(regexp_extract_all(text, 'data [a-z]+')) > 0
+ORDER BY doc_id
+"""
+
+
+@query("q46_grep", _Q46_ORACLE)
+def q46_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grep (paper §2.3: "map emits a line if it matches a
+    pattern"). Generalized to per-document match counts; the regex runs
+    JVM-side inside the scan's codegen stage and the WHERE prunes
+    non-matching docs before anything else happens — grep never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.regexp_count("text", F.lit("data [a-z]+"))
+    return (
+        docs.select("doc_id", n.cast("long").alias("n_matches"))
+        .where(F.col("n_matches") > 0)
+        .orderBy("doc_id")
+    )
+
+
+_Q47_ORACLE = """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS BIGINT) AS rnk,
+       event_id,
+       CAST(value AS DECIMAL(18,4)) AS value_dec
+FROM events
+ORDER BY rnk
+"""
+
+
+@query("q47_global_sort", _Q47_ORACLE)
+def q47_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed sort with a GLOBAL rank (paper §2.3 sort / TeraSort). The
+    naive `row_number() OVER (ORDER BY ...)` is a one-task plan; this is the
+    two-pass range-partition + local-rank + offset-join formulation
+    (operators/sort.py) where every data-sized stage is parallel."""
+    from mapreduce_paper_implementation_spark.operators.sort import global_rank
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    ranked = global_rank(ev, [F.col("value").desc(), F.col("event_id").asc()], rank_col="rnk")
+    return ranked.select(
+        "rnk", "event_id", F.col("value").cast(DEC).alias("value_dec")
+    ).orderBy("rnk")
+
+
+_Q48_ORACLE = """
+SELECT source, token, cnt, rnk FROM (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, token) AS BIGINT) AS rnk
+  FROM (
+    SELECT source, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS token
+    FROM documents
+  )
+  WHERE token <> ''
+  GROUP BY source, token
+)
+WHERE rnk <= 5
+ORDER BY source, rnk
+"""
+
+
+@query("q48_term_vector", _Q48_ORACLE)
+def q48_term_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term vector per host (paper §2.3): top-5 most frequent tokens per
+    source. The (source, token) aggregate is partial/final, then the window
+    reshuffles only the aggregated term counts — never raw tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", "[^A-Za-z]+")).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("source", "token").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.select("source", "token", "cnt", F.row_number().over(w).cast("long").alias("rnk"))
+        .where(F.col("rnk") <= 5)
+        .orderBy("source", "rnk")
+    )
+
+
+# Determinism note: the score uses the rational idf N/df (not ln) so every
+# arithmetic step — integer product, one IEEE-correctly-rounded double
+# division, round-6 — is bit-identical between the JVM and DuckDB; ln()
+# differs by ulps across libm implementations and would flake the hash gate.
+_Q49_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS token
+    FROM documents
+  )
+  WHERE token <> ''
+  GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS dfreq FROM tf GROUP BY token),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT doc_id, token, score, rnk FROM (
+  SELECT tf.doc_id, tf.token,
+         CAST(ROUND(CAST(tf.tf AS DOUBLE) * n.n_docs / dfreq.dfreq, 6) AS DECIMAL(18,6)) AS score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) * n.n_docs / dfreq.dfreq DESC, tf.token
+         ) AS BIGINT) AS rnk
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+)
+WHERE rnk <= 3
+ORDER BY doc_id, rnk
+"""
+
+
+@query("q49_tfidf", _Q49_ORACLE)
+def q49_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document (rational idf = N/df). Composition of
+    the Q1 (term frequency) and Q2 (document frequency) dataflows: tf and df
+    both come off ONE (doc_id, token) aggregate; N arrives as a broadcast
+    single-row cross join so the plan stays fully lazy (no driver count)."""
+    tf = (
+        _doc_tokens(spark, sf_dir)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn("raw", F.col("tf").cast("double") * F.col("n_docs") / F.col("dfreq"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("raw"), F.asc("token"))
+    return (
+        scored.select(
+            "doc_id",
+            "token",
+            F.round("raw", 6).cast("decimal(18,6)").alias("score"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+        .orderBy("doc_id", "rnk")
+    )
+
+
 @query("q41_dedup_clusters")
 def q41_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> clusters via iterative min-label propagation

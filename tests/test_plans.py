@@ -72,3 +72,32 @@ def test_q14_shuffles_digests_not_bodies(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q14_exact_dup_groups")
     assert "Exchange hashpartitioning(text_hash" in plan
     assert "partial_count" in plan
+
+
+def test_q47_no_single_partition_data_sort(spark, sf_dir):
+    # distributed sort: the global rank must come from range partitioning +
+    # per-partition offsets, NOT a row_number window over one partition.
+    # SinglePartition may appear only in the per-partition-counts branch
+    # (n_partitions rows); the event data itself must flow through a range
+    # exchange and a window partitioned by _pid.
+    plan = _plan(spark, sf_dir, "q47_global_sort")
+    assert "rangepartitioning(value" in plan
+    assert "windowspecdefinition(_pid" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q46_grep_filter_stays_in_scan_stage(spark, sf_dir):
+    # grep is a scan-side filter + project: no exchange should appear at all
+    # (the only ordering is the final presentation sort)
+    plan = _plan(spark, sf_dir, "q46_grep")
+    assert "Join" not in plan
+    # one range exchange for the final orderBy is acceptable; no hash shuffle
+    assert "hashpartitioning" not in plan
+
+
+def test_q49_tfidf_broadcasts_corpus_count(spark, sf_dir):
+    # N (total docs) must arrive as a broadcast single-row join, not a
+    # driver-side count() that would split the job in two
+    plan = _plan(spark, sf_dir, "q49_tfidf")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
