@@ -1603,6 +1603,84 @@ def q49_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q51 cogrouped applyInPandas — same as-of semantics as Q40, computed by the
+# two-table per-key pandas surface (operators/cogroup.py) and gated by the
+# SAME DuckDB ASOF oracle, so the cogroup path can never drift from the
+# JVM window path.
+# ---------------------------------------------------------------------------
+
+
+@query("q51_asof_cogrouped", _Q40_ORACLE)
+def q51_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.cogroup import (
+        asof_join_cogrouped,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join_cogrouped(purchases, clicks, on="user_id", value_cols=["value"])
+    return joined.select("event_id", "user_id", "value_asof").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Q50 full outer join — the outer-join family (semi/anti = Q44, inner = Q10,
+# as-of/left = Q40). (user, day) cells where only one side exists keep NULLs
+# that coalesce to 0, so both outer sides are genuinely exercised.
+# ---------------------------------------------------------------------------
+
+_Q50_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, CAST(ts AS DATE) AS eday, CAST(COUNT(*) AS BIGINT) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+buys AS (
+  SELECT user_id, CAST(ts AS DATE) AS eday, CAST(COUNT(*) AS BIGINT) AS n_buys
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+       COALESCE(c.eday, b.eday) AS eday,
+       COALESCE(c.n_clicks, 0) AS n_clicks,
+       COALESCE(b.n_buys, 0) AS n_buys
+FROM clicks c FULL OUTER JOIN buys b
+  ON c.user_id = b.user_id AND c.eday = b.eday
+ORDER BY user_id, eday
+"""
+
+
+@query("q50_click_buy_matrix", _Q50_ORACLE)
+def q50_click_buy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (user, day): click count FULL OUTER JOIN purchase count. Both
+    inputs aggregate before the join, so the outer join moves one row per
+    (user, day, type) — never raw events; a full outer join can't broadcast
+    (either side may produce unmatched rows), so this is the sort-merge path
+    by construction."""
+    ev = load_table(spark, sf_dir, "events").withColumn("eday", F.to_date("ts"))
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "eday")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "eday")
+        .agg(F.count("*").alias("n_buys"))
+    )
+    return (
+        clicks.join(buys, ["user_id", "eday"], "full_outer")
+        .select(
+            "user_id",
+            "eday",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_buys", F.lit(0)).alias("n_buys"),
+        )
+        .orderBy("user_id", "eday")
+    )
+
+
 @query("q41_dedup_clusters")
 def q41_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> clusters via iterative min-label propagation

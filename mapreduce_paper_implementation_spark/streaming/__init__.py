@@ -1,5 +1,6 @@
 from mapreduce_paper_implementation_spark.streaming.events import (
     run_to_memory,
+    segment_counts,
     session_counts,
     stream_documents,
     stream_events,
@@ -13,6 +14,7 @@ __all__ = [
     "stream_documents",
     "streaming_dedup_counts",
     "windowed_counts",
+    "segment_counts",
     "session_counts",
     "user_running_counts",
     "run_to_memory",

@@ -156,6 +156,23 @@ def streaming_dedup_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def segment_counts(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join + aggregate: enrich each event with the customer's
+    market segment (a static dimension table) and count events per segment —
+    the standard streaming dimension-enrichment topology. The static side is
+    broadcast into every micro-batch, so the stream never shuffles for the
+    join; the same expression tree runs on a batch DataFrame, which is how
+    the test cross-checks it."""
+    dim = F.broadcast(
+        customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    return (
+        events.join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drive a streaming query to completion over the available input and
     leave the result in an in-memory table `name`."""

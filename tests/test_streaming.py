@@ -82,6 +82,27 @@ def test_stateful_running_counts(spark, sf_dir):
     assert got == want
 
 
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    """Dimension enrichment: events stream joined to the static customer
+    table (broadcast) must produce the same per-segment counts as the
+    identical batch join."""
+    from mapreduce_paper_implementation_spark.streaming import segment_counts
+
+    cust = load_table(spark, sf_dir, "customer")
+    stream = segment_counts(stream_events(spark, sf_dir), cust)
+    run_to_memory(stream, "seg_counts", output_mode="complete")
+    got = {
+        (r["c_mktsegment"], r["cnt"])
+        for r in spark.sql("SELECT * FROM seg_counts").collect()
+    }
+    want = {
+        (r["c_mktsegment"], r["cnt"])
+        for r in segment_counts(load_table(spark, sf_dir, "events"), cust).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
 def test_streaming_dedup_equals_batch(spark, sf_dir):
     from mapreduce_paper_implementation_spark.streaming import (
         stream_documents,
