@@ -85,3 +85,65 @@ def test_grouped_sum_matches_python(spark, vals):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-6 * max(1.0, abs(want[k]))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.floats(-1000, 1000, allow_nan=False), min_size=1, max_size=60),
+    n_parts=st.integers(1, 6),
+)
+def test_global_rank_matches_python(spark, vals, n_parts):
+    """The two-pass range-partition global rank must equal the single-node
+    sort rank for ANY partition count — including n_parts > n_rows (empty
+    range partitions must contribute zero offset, not break the prefix sum)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_paper_implementation_spark.operators.sort import global_rank
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    ranked = global_rank(
+        df, [F.col("v").desc(), F.col("id").asc()], rank_col="rnk", n_partitions=n_parts
+    )
+    got = {(r["id"], r["rnk"]) for r in ranked.collect()}
+    order = sorted(rows, key=lambda t: (-t[1], t[0]))
+    want = {(rid, i + 1) for i, (rid, _) in enumerate(order)}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=20),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=0, max_size=20),
+)
+def test_asof_cogrouped_matches_window_path(spark, left, right):
+    """The cogrouped-pandas as-of join and the JVM window as-of join must
+    agree row-for-row. Right timestamps are de-duplicated per key first:
+    BOTH implementations leave the equal-right-ts winner unspecified, so a
+    differential test must not depend on it."""
+    import datetime
+
+    from mapreduce_paper_implementation_spark.operators.asof import asof_join
+    from mapreduce_paper_implementation_spark.operators.cogroup import asof_join_cogrouped
+
+    def ts(s):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+    seen: set[tuple[int, int]] = set()
+    rrows = []
+    for i, (k, s) in enumerate(right):
+        if (k, s) not in seen:
+            seen.add((k, s))
+            rrows.append((k, ts(s), float(i)))
+    lrows = [(i, k, ts(s)) for i, (k, s) in enumerate(left)]
+    ldf = spark.createDataFrame(lrows, "event_id long, user_id int, ts timestamp")
+    rdf = spark.createDataFrame(rrows, "user_id int, ts timestamp, value double")
+    a = {
+        (r["event_id"], r["value_asof"])
+        for r in asof_join(ldf, rdf, on="user_id", value_cols=["value"]).collect()
+    }
+    b = {
+        (r["event_id"], r["value_asof"])
+        for r in asof_join_cogrouped(ldf, rdf, on="user_id", value_cols=["value"]).collect()
+    }
+    assert a == b
