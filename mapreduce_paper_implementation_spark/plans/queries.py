@@ -1681,13 +1681,58 @@ def q50_click_buy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q41_dedup_clusters")
+# Oracle: the Q20 pair graph closed into components by a recursive CTE
+# (min reachable label per vertex), then the same cluster summary. Members
+# concatenate as STRINGS in both engines (Spark sort_array on cast-to-string,
+# DuckDB ORDER BY CAST AS VARCHAR), so the lexicographic member order agrees.
+_Q41_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(
+    list_transform(
+      range(1, greatest(len({sql_tokens('text')}) - 1, 1)),
+      i -> array_to_string(list_slice({sql_tokens('text')}, i, i + 2), ' ')
+    )) AS shingles
+  FROM documents
+  WHERE len({sql_tokens('text')}) >= 3
+),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+co AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
+  FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM co
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON sa.doc_id = id_a
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON sb.doc_id = id_b
+  WHERE CAST(ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS DECIMAL(9,6)) >= 0.1
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+rec AS (
+  WITH RECURSIVE reach(id, lbl) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+  )
+  SELECT id, MIN(lbl) AS component FROM reach GROUP BY id
+)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+       string_agg(CAST(id AS VARCHAR), ',' ORDER BY CAST(id AS VARCHAR)) AS members
+FROM rec GROUP BY component ORDER BY component
+"""
+
+
+@query("q41_dedup_clusters", _Q41_ORACLE)
 def q41_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> clusters via iterative min-label propagation
-    (operators/graph.py). Registered rows-only: the recursive-closure SQL
-    equivalent exists but grouping-by-correlated-min is fragile across
-    DuckDB versions; pytest cross-checks components on a fixed graph
-    instead."""
+    (operators/graph.py), hash-checked against a DuckDB recursive-CTE
+    transitive closure of the same Q20 pair graph; pytest additionally
+    cross-checks components against union-find on a fixed graph."""
     from mapreduce_paper_implementation_spark.operators.graph import dedup_clusters
 
     pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
