@@ -1604,20 +1604,31 @@ def q49_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q51 cogrouped applyInPandas — same as-of semantics as Q40, computed by the
-# two-table per-key pandas surface (operators/cogroup.py) and gated by the
-# SAME DuckDB ASOF oracle, so the cogroup path can never drift from the
-# JVM window path.
+# Q51 cogrouped applyInPandas — same as-of semantics as Q40 on a 10% user
+# sample, computed by the two-table per-key pandas surface
+# (operators/cogroup.py) and gated by the matching DuckDB ASOF oracle, so
+# the cogroup path can never drift from the JVM window path. Sampled because
+# per-key cogroup pays a fixed Arrow/pandas cost per group — the full-corpus
+# production path is Q40's window formulation; this entry exists to
+# correctness-gate the surface, not to race it.
 # ---------------------------------------------------------------------------
 
+_Q51_ORACLE = """
+SELECT l.event_id, l.user_id, r.value AS value_asof
+FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id % 10 = 1) l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click' AND user_id % 10 = 1) r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
 
-@query("q51_asof_cogrouped", _Q40_ORACLE)
+
+@query("q51_asof_cogrouped", _Q51_ORACLE)
 def q51_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_paper_implementation_spark.operators.cogroup import (
         asof_join_cogrouped,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 10 == 1)
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
