@@ -1,4 +1,5 @@
 from mapreduce_paper_implementation_spark.streaming.events import (
+    click_purchase_interval_join,
     run_to_memory,
     segment_counts,
     session_counts,
@@ -14,6 +15,7 @@ __all__ = [
     "stream_documents",
     "streaming_dedup_counts",
     "windowed_counts",
+    "click_purchase_interval_join",
     "segment_counts",
     "session_counts",
     "user_running_counts",

@@ -156,6 +156,34 @@ def streaming_dedup_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_interval_join(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join: each purchase matched with every click by the
+    same user in the preceding hour. Both sides carry watermarks and the join
+    condition bounds event time on BOTH ends, so Spark can expire buffered
+    state — the two requirements for an unbounded stream-stream join to hold
+    finite state. Same expression tree runs on batch for the differential
+    test."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    buys = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", "2 hours")
+        buys = buys.withWatermark("buy_ts", "2 hours")
+    return clicks.join(
+        buys,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("click_ts") <= F.col("buy_ts"))
+        & (F.col("click_ts") >= F.col("buy_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("buy_id", "b_user", "click_ts", "click_value")
+
+
 def segment_counts(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Stream-static join + aggregate: enrich each event with the customer's
     market segment (a static dimension table) and count events per segment —

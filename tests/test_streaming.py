@@ -103,6 +103,30 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
     assert len(want) > 0
 
 
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    """Watermarked stream-stream join (clicks preceding purchases within 1h,
+    same user) must emit exactly the rows the batch interval join produces —
+    append mode, since inner-join output is final once both watermarks pass."""
+    from mapreduce_paper_implementation_spark.streaming import (
+        click_purchase_interval_join,
+    )
+
+    stream = click_purchase_interval_join(stream_events(spark, sf_dir))
+    run_to_memory(stream, "ss_join", output_mode="append")
+    got = {
+        (r["buy_id"], str(r["click_ts"]), r["click_value"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    want = {
+        (r["buy_id"], str(r["click_ts"]), r["click_value"])
+        for r in click_purchase_interval_join(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
 def test_streaming_dedup_equals_batch(spark, sf_dir):
     from mapreduce_paper_implementation_spark.streaming import (
         stream_documents,
