@@ -50,6 +50,25 @@ def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
         )
 
 
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    # ORC is the remaining built-in columnar format; same predicate-pushdown
+    # contract as parquet
+    src = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_orc")
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in src.collect()
+    )
+    plan = (
+        back.where(F.col("n_regionkey") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan
+
+
 def test_text_kv_reference_format(spark, sf_dir, tmp_path):
     wc = _wc(spark, sf_dir).withColumnRenamed("token", "key").withColumnRenamed("cnt", "value")
     out = str(tmp_path / "mr_out")
