@@ -1692,6 +1692,65 @@ def q50_click_buy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q52/Q53 subquery surface — correlated scalar subquery (TPC-H Q17 shape)
+# and EXISTS (TPC-H Q22 family), both through the spark.sql front end so
+# Catalyst's subquery decorrelation (rewrite to aggregate + join) is what
+# actually executes; the same SQL text runs on DuckDB as the oracle.
+# ---------------------------------------------------------------------------
+
+# Determinism: l_quantity is integer-valued, so AVG is a ratio of exact
+# doubles and 0.2*AVG is identical across engines; the money sum uses the
+# decimal-cast rule before the one double division.
+_Q52_SQL = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_small,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0, 4) AS DECIMAL(18,4)) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_quantity < (
+  SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@query("q52_small_quantity_parts", _Q52_SQL)
+def q52_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: lineitems below 20% of their part's mean
+    quantity. Catalyst decorrelates to a per-partkey aggregate joined back to
+    the probe side — at 100 TB that's one extra partial-agg pass over
+    lineitem, not a per-row subquery execution."""
+    from mapreduce_paper_implementation_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q52_SQL)
+
+
+_Q53_SQL = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("q53_exists_big_spenders", _Q53_SQL)
+def q53_exists_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS subquery: customers with at least one >100k order, counted per
+    segment. Catalyst plans the EXISTS as a left-semi join, so customer rows
+    are never duplicated and the orders side reduces to its join key."""
+    from mapreduce_paper_implementation_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q53_SQL)
+
+
 # Oracle: the Q20 pair graph closed into components by a recursive CTE
 # (min reachable label per vertex), then the same cluster summary. Members
 # concatenate as STRINGS in both engines (Spark sort_array on cast-to-string,

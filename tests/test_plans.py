@@ -101,3 +101,18 @@ def test_q49_tfidf_broadcasts_corpus_count(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q49_tfidf")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q52_subquery_decorrelates(spark, sf_dir):
+    # the correlated scalar subquery must rewrite to an aggregate + equi-join
+    # on partkey, never a per-row subquery or cartesian expansion
+    plan = _plan(spark, sf_dir, "q52_small_quantity_parts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # subquery avg + outer group-by
+
+
+def test_q53_exists_plans_as_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q53_exists_big_spenders")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
