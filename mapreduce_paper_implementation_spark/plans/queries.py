@@ -1751,6 +1751,53 @@ def q53_exists_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q53_SQL)
 
 
+# ---------------------------------------------------------------------------
+# Q54 window frame — sliding aggregate (ROWS BETWEEN), the frame surface the
+# other window queries (rank/lag) don't touch. Scoped to users with >= 20
+# events to keep output compact; frame order is the (ts, event_id) total
+# order so the 3-row sum is evaluated in the same sequence by both engines.
+# ---------------------------------------------------------------------------
+
+_Q54_ORACLE = """
+SELECT user_id, event_id,
+       CAST(ROUND(AVG(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ), 4) AS DECIMAL(18,4)) AS mov_avg
+FROM events
+WHERE user_id IN (SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) >= 20)
+ORDER BY user_id, event_id
+"""
+
+
+@query("q54_moving_avg", _Q54_ORACLE)
+def q54_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user moving average of the last 3 event values (window frame).
+    The eligibility filter is a semi-join against a per-user aggregate, then
+    one shuffle on user_id serves both the window and the final sort."""
+    ev = load_table(spark, sf_dir, "events")
+    busy = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 20)
+        .select("user_id")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        ev.join(busy, "user_id", "semi")
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.avg("value").over(w), 4).cast(DEC).alias("mov_avg"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 # Oracle: the Q20 pair graph closed into components by a recursive CTE
 # (min reachable label per vertex), then the same cluster summary. Members
 # concatenate as STRINGS in both engines (Spark sort_array on cast-to-string,
