@@ -37,9 +37,12 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    labels = edges.select(F.col("a").alias("id")).distinct().select(
-        "id", F.col("id").alias("lbl")
-    )
+    # Initial label = min(self, direct neighbors): one aggregate over the
+    # edge list, which IS the first propagation round — the loop below then
+    # only runs the remaining (diameter - 1) rounds.
+    labels = edges.groupBy("a").agg(
+        F.least(F.col("a"), F.min("b")).alias("lbl")
+    ).select(F.col("a").alias("id"), "lbl")
     # Convergence metric: labels only ever decrease, so sum(lbl) is strictly
     # monotone until the fixpoint — one cheap scalar aggregate per round
     # instead of a join-and-count of changed rows.
