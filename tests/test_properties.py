@@ -147,3 +147,35 @@ def test_asof_cogrouped_matches_window_path(spark, left, right):
         for r in asof_join_cogrouped(ldf, rdf, on="user_id", value_cols=["value"]).collect()
     }
     assert a == b
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 3)), st.integers(0, 100)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_null_key_groupby_and_join_semantics(spark, vals):
+    """NULL grouping keys form their own group (SQL GROUP BY semantics) but
+    never match in equi-joins — the two behaviors a string-typed engine like
+    the reference can't even express, pinned here against pure Python."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(vals, "k int, v int")
+    got_groups = {
+        (r["k"], r["s"]) for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    want: dict[int | None, int] = {}
+    for k, v in vals:
+        want[k] = want.get(k, 0) + v
+    assert got_groups == set(want.items())
+
+    # self equi-join on k: null keys must produce no matches
+    j = df.alias("a").join(df.alias("b"), F.col("a.k") == F.col("b.k"))
+    got_join = j.count()
+    from collections import Counter
+
+    counts = Counter(k for k, _ in vals if k is not None)
+    assert got_join == sum(c * c for c in counts.values())
