@@ -179,3 +179,38 @@ def test_checkpoint_restart_no_duplicate_output(spark, sf_dir, tmp_path):
     run_once()  # same checkpoint, same input: nothing new to process
     n2 = spark.read.parquet(sink).count()
     assert n1 == n2
+
+
+def test_foreachbatch_sink_equals_batch(spark, sf_dir, tmp_path):
+    """foreachBatch: each micro-batch handed to arbitrary batch-writer code
+    (the standard production sink for formats/stores without a native
+    streaming writer). The accumulated parquet output must equal the batch
+    aggregate."""
+    out = str(tmp_path / "fb_out")
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        windowed_counts(stream_events(spark, sf_dir))
+        .writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", str(tmp_path / "fb_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (str(r["win_start"]), r["event_type"], r["cnt"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want_all = {
+        (str(r["win_start"]), r["event_type"], r["cnt"])
+        for r in windowed_counts(load_table(spark, sf_dir, "events")).collect()
+    }
+    # append mode only emits windows the final watermark has passed; emitted
+    # rows must be a subset of batch truth with no spurious or corrupt rows
+    assert got <= want_all
