@@ -173,12 +173,20 @@ _CREDIT_RAW_SCHEMA = T.StructType(
 )
 
 
-def read_credit_csv(spark: SparkSession, csv_path: str) -> DataFrame:
+def read_credit_csv(spark: SparkSession, csv_path: str, observation=None) -> DataFrame:
     """Permissive credit_scores CSV reader with the reference's drop-malformed
     semantics (credit.go:30-41): short rows and non-integer year/score are
     dropped, not null-filled. Returns typed (user_id, agency, year,
-    credit_score)."""
+    credit_score).
+
+    Pass a pyspark Observation as `observation` to collect the raw row count
+    during whatever action consumes the result — dropped-row accounting with
+    ZERO extra passes over the data (at 100 TB a second counting scan is a
+    second 100 TB read). observation.get["raw_rows"] - result_count =
+    malformed rows dropped."""
     raw = spark.read.csv(csv_path, header=True, schema=_CREDIT_RAW_SCHEMA)
+    if observation is not None:
+        raw = raw.observe(observation, F.count(F.lit(1)).alias("raw_rows"))
     typed = raw.select(
         F.col("user_id"),
         F.col("agency"),

@@ -298,3 +298,22 @@ def test_connected_components_chain(spark):
     )
     rows = {r["component"]: (r["n_members"], r["members"]) for r in dedup_clusters(pairs).collect()}
     assert rows == {1: (5, "1,2,3,4,5"), 10: (2, "10,11")}
+
+
+def test_credit_read_observes_dropped_rows(spark, sf_dir):
+    """Observation metrics: the permissive CSV reader reports the raw row
+    count inside the SAME job that consumes the parsed rows (no second
+    scan); raw - valid = malformed rows dropped, matching an independent
+    count."""
+    from pyspark.sql import Observation
+
+    from mapreduce_paper_implementation_spark.plans.queries import read_credit_csv
+    from mapreduce_paper_implementation_spark.sources.credit_fixture import credit_paths
+
+    _, csv_path = credit_paths(sf_dir)
+    obs = Observation("credit_raw")
+    valid = read_credit_csv(spark, csv_path, observation=obs).count()
+    raw_rows = obs.get["raw_rows"]
+    independent_raw = spark.read.option("header", True).csv(csv_path).count()
+    assert raw_rows == independent_raw
+    assert raw_rows > valid, "fixture plants malformed rows; some must drop"
