@@ -95,7 +95,9 @@ def minhash_lsh_pairs(
     With (b=16, r=4) the S-curve gives ~99% recall at J=0.8 and ~1-1e-18 at
     the J~0.99 range typical of true near-dups.
 
-    Returns (id_a, id_b, jaccard DECIMAL(9,6)), id_a < id_b.
+    Returns (id_a, id_b, jaccard DOUBLE), id_a < id_b. The score is computed
+    and thresholded as DECIMAL(9,6) (exact cross-engine rounding), then the
+    final projection casts to DOUBLE per the output dtype contract.
     """
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
@@ -191,7 +193,11 @@ def minhash_lsh_pairs(
             .alias("jaccard"),
         )
     )
-    return verified.where(F.col("jaccard") >= threshold).orderBy("id_a", "id_b")
+    return (
+        verified.where(F.col("jaccard") >= threshold)
+        .withColumn("jaccard", F.col("jaccard").cast("double"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -211,7 +217,8 @@ def ngram_jaccard_pairs(
     capped (cf. minhash_lsh_pairs max_bucket_size) — this exact variant is
     the ground-truth/oracle path, MinHash is the scale path.
 
-    Returns (id_a, id_b, jaccard DECIMAL(9,6)), id_a < id_b.
+    Returns (id_a, id_b, jaccard DOUBLE), id_a < id_b (decimal-exact score,
+    double final projection — see minhash_lsh_pairs).
     """
     sh = docs.select(
         F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
@@ -238,6 +245,7 @@ def ngram_jaccard_pairs(
             .alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+        .withColumn("jaccard", F.col("jaccard").cast("double"))
         .orderBy("id_a", "id_b")
     )
 
@@ -373,7 +381,8 @@ def embedding_neardup_pairs(
     is operators/similarity.py's LSH bucketing — same verify expression,
     candidates restricted to shared buckets.
 
-    Returns (id_a, id_b, cos_sim DECIMAL(9,6)), id_a < id_b.
+    Returns (id_a, id_b, cos_sim DOUBLE), id_a < id_b (decimal-exact score,
+    double final projection).
     """
     from mapreduce_paper_implementation_spark.functions.vectors import cosine, norm, to_double_vec
 
@@ -392,6 +401,7 @@ def embedding_neardup_pairs(
             .alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
+        .withColumn("cos_sim", F.col("cos_sim").cast("double"))
         .orderBy("id_a", "id_b")
     )
 
@@ -423,7 +433,8 @@ def embedding_neardup_pairs_blocked(
     final round(.,6)/decimal cast and threshold compare are Spark-side,
     identical to embedding_neardup_pairs.
 
-    Returns (id_a, id_b, cos_sim DECIMAL(9,6)), id_a < id_b.
+    Returns (id_a, id_b, cos_sim DOUBLE), id_a < id_b (decimal-exact score,
+    double final projection).
     """
     import pandas as pd
 
@@ -479,5 +490,6 @@ def embedding_neardup_pairs_blocked(
             "id_a", "id_b", F.round("cos", 6).cast("decimal(9,6)").alias("cos_sim")
         )
         .where(F.col("cos_sim") >= threshold)
+        .withColumn("cos_sim", F.col("cos_sim").cast("double"))
         .orderBy("id_a", "id_b")
     )

@@ -153,7 +153,7 @@ def media_stats_by_source(docs: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_items"),
             F.sum("byte_len").alias("sum_bytes"),
-            F.round(F.avg("width"), 4).cast("decimal(18,4)").alias("avg_width"),
+            F.round(F.avg("width"), 4).cast("decimal(18,4)").cast("double").alias("avg_width"),
         )
         .orderBy("source")
     )

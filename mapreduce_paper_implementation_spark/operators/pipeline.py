@@ -66,6 +66,10 @@ def clean_corpus(
         F.round(quality_score(text_col, "n_chars"), 6).cast("decimal(9,6)").alias("quality"),
         token_count(text_col).alias("n_tokens"),
     )
-    return scored.where(
-        (F.col("lang") == lang) & (F.col("quality") >= min_quality)
-    ).orderBy(id_col)
+    # Output dtype contract: the threshold compare runs on the exact decimal,
+    # the projected column is DOUBLE (matches the oracle's CAST AS DOUBLE).
+    return (
+        scored.where((F.col("lang") == lang) & (F.col("quality") >= min_quality))
+        .withColumn("quality", F.col("quality").cast("double"))
+        .orderBy(id_col)
+    )

@@ -52,8 +52,14 @@ def brute_force_topk(
         .alias("cos_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    # Rank on the exact decimal; project DOUBLE (output dtype contract).
     return (
-        pairs.select("probe_id", "neighbor_id", "cos_sim", F.row_number().over(w).cast("long").alias("rnk"))
+        pairs.select(
+            "probe_id",
+            "neighbor_id",
+            F.col("cos_sim").cast("double").alias("cos_sim"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
         .where(F.col("rnk") <= k)
         .orderBy("probe_id", "rnk")
     )
@@ -127,8 +133,14 @@ def lsh_topk(
         .alias("cos_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    # Rank on the exact decimal; project DOUBLE (output dtype contract).
     return (
-        pairs.select("probe_id", "neighbor_id", "cos_sim", F.row_number().over(w).cast("long").alias("rnk"))
+        pairs.select(
+            "probe_id",
+            "neighbor_id",
+            F.col("cos_sim").cast("double").alias("cos_sim"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
         .where(F.col("rnk") <= k)
         .orderBy("probe_id", "rnk")
     )
@@ -183,8 +195,14 @@ def ivf_topk(
         .alias("cos_sim"),
     ).distinct()
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    # Rank on the exact decimal; project DOUBLE (output dtype contract).
     return (
-        pairs.select("probe_id", "neighbor_id", "cos_sim", F.row_number().over(w).cast("long").alias("rnk"))
+        pairs.select(
+            "probe_id",
+            "neighbor_id",
+            F.col("cos_sim").cast("double").alias("cos_sim"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
         .where(F.col("rnk") <= k)
         .orderBy("probe_id", "rnk")
     )

@@ -2,10 +2,20 @@
 
 Each query is a function (spark, sf_dir) -> DataFrame paired with an ANSI-SQL
 oracle string DuckDB runs on the same parquet tables. Determinism contract
-(SURVEY.md §2D): outputs fully sorted by key columns; money sums as
-DECIMAL(18,4); averages ROUND(..., 4); tokenizer = `[^A-Za-z]+`
+(SURVEY.md §2D): outputs fully sorted by key columns; money sums computed as
+DECIMAL(18,4) internally; averages ROUND(..., 4); tokenizer = `[^A-Za-z]+`
 case-sensitive drop-empties; similarity ranks round cosine to 6 decimals,
 tiebreak ascending id.
+
+Output dtype contract (round-2 fix): every FINAL projected inexact-valued
+column is DOUBLE on both sides — Spark appends `.cast("double")` after the
+exact decimal arithmetic, the oracle wraps the identical decimal expression
+in `CAST(... AS DOUBLE)`. Rationale: the grading driver canonicalizes both
+results through pandas, where DuckDB decimals arrive as float64 but Spark
+rows keep `Decimal('765205.0000')` objects — trailing-zero scale then breaks
+the value hash even when every value is identical. Converting the SAME exact
+decimal to double on both engines is bit-identical (IEEE correctly-rounded
+conversion, unscaled values << 2^53), so the contract is float64-vs-float64.
 
 Scale notes are inline per query: the manifest is tested at sf0.01/0.1 but
 every plan is written for a 1000-executor cluster reading 100 TB — broadcast
@@ -260,11 +270,15 @@ def q05_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # credit.go:43 generalized
 # ---------------------------------------------------------------------------
 
+# Window [1996-01-01, 1997-01-01): the fixture's l_shipdate range is
+# 1995-01-02 .. 2001-11-04, so this selects a real year of rows (the r1
+# window of 1994 matched ZERO rows at every SF — vacuously green).
+# tests/test_queries.py asserts the match count is non-zero.
 _Q6_ORACLE = """
 SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_rev
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_rev
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 """
 
@@ -278,8 +292,8 @@ def q06_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_t = li.schema["l_shipdate"].dataType
     return (
         li.where(
-            (F.col("l_shipdate") >= F.lit("1994-01-01").cast(ship_t))
-            & (F.col("l_shipdate") < F.lit("1995-01-01").cast(ship_t))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast(ship_t))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast(ship_t))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -288,6 +302,7 @@ def q06_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("cnt"),
             F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC))
             .cast(DEC)
+            .cast("double")
             .alias("sum_disc_rev"),
         )
     )
@@ -299,9 +314,9 @@ def q06_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q7_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS sum_disc_price,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
        CAST(COUNT(*) AS BIGINT) AS cnt
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -315,10 +330,11 @@ def q07_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).cast("double").alias("sum_base_price"),
             F.sum(F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC)))
             .cast(DEC)
+            .cast("double")
             .alias("sum_disc_price"),
             F.count("*").alias("cnt"),
         )
@@ -406,7 +422,7 @@ def q10_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q11_ORACLE = """
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS revenue
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -444,6 +460,7 @@ def q11_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC)))
             .cast(DEC)
+            .cast("double")
             .alias("revenue")
         )
         .orderBy("n_name")
@@ -479,7 +496,7 @@ def q12_except_building(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q13_ORACLE = """
-SELECT event_type, event_id, CAST(value AS DECIMAL(18,4)) AS value_dec, CAST(rnk AS BIGINT) AS rnk
+SELECT event_type, event_id, CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value_dec, CAST(rnk AS BIGINT) AS rnk
 FROM (
   SELECT event_type, event_id, value,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
@@ -501,7 +518,7 @@ def q13_top_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "event_id",
-            F.col("value").cast(DEC).alias("value_dec"),
+            F.col("value").cast(DEC).cast("double").alias("value_dec"),
             F.row_number().over(w).cast("long").alias("rnk"),
         )
         .where(F.col("rnk") <= 3)
@@ -545,7 +562,7 @@ _Q15_ORACLE = """
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS cnt,
        CAST(SUM(len(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), t -> t <> ''))) AS BIGINT) AS sum_tokens,
-       CAST(ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS DECIMAL(18,4)) AS avg_chars
+       CAST(CAST(ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS DECIMAL(18,4)) AS DOUBLE) AS avg_chars
 FROM documents
 GROUP BY lang
 ORDER BY lang
@@ -562,6 +579,7 @@ def q15_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(token_count("text").cast("long")).alias("sum_tokens"),
             F.round(F.sum("n_chars").cast("double") / F.count("*"), 4)
             .cast(DEC)
+            .cast("double")
             .alias("avg_chars"),
         )
         .orderBy("lang")
@@ -588,7 +606,8 @@ ranked AS (
          CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
   FROM pairs
 )
-SELECT probe_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 3
+SELECT probe_id, neighbor_id, CAST(cos_sim AS DOUBLE) AS cos_sim, rnk
+FROM ranked WHERE rnk <= 3
 ORDER BY probe_id, rnk
 """
 
@@ -623,7 +642,12 @@ def q16_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        pairs.select("probe_id", "neighbor_id", "cos_sim", F.row_number().over(w).cast("long").alias("rnk"))
+        pairs.select(
+            "probe_id",
+            "neighbor_id",
+            F.col("cos_sim").cast("double").alias("cos_sim"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
         .where(F.col("rnk") <= 3)
         .orderBy("probe_id", "rnk")
     )
@@ -711,9 +735,9 @@ WITH sh AS (
   WHERE len({sql_tokens('text')}) >= 3
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       CAST(CAST(ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6)
-            AS DECIMAL(9,6)) AS jaccard
+            AS DECIMAL(9,6)) AS DOUBLE) AS jaccard
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.shingles, b.shingles)) > 0
   AND CAST(ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
@@ -762,7 +786,7 @@ co AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
-       CAST(ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS DECIMAL(9,6)) AS jaccard
+       CAST(CAST(ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS DECIMAL(9,6)) AS DOUBLE) AS jaccard
 FROM co
 JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON sa.doc_id = id_a
 JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON sb.doc_id = id_b
@@ -787,7 +811,7 @@ WITH v AS (
   FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       CAST(ROUND(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS DECIMAL(9,6)) AS cos_sim
+       CAST(CAST(ROUND(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS DECIMAL(9,6)) AS DOUBLE) AS cos_sim
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE CAST(ROUND(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS DECIMAL(9,6)) >= 0.45
 ORDER BY id_a, id_b
@@ -811,7 +835,7 @@ _Q22_ORACLE = """
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
        CAST(COUNT(*) AS BIGINT) AS cnt,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY returnflag, linestatus
@@ -825,7 +849,7 @@ def q22_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).cast("double").alias("sum_qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -864,11 +888,11 @@ def q23_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q24_ORACLE = f"""
 SELECT doc_id,
-       CAST(ROUND(
+       CAST(CAST(ROUND(
          0.4 * LEAST(len({sql_tokens('text')}) / 50.0, 1.0)
          + 0.3 * (CASE WHEN n_chars > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / n_chars ELSE 0.0 END)
          + 0.3 * LEAST({sql_stop_ratio('text')} * 5, 1.0)
-       , 6) AS DECIMAL(9,6)) AS quality
+       , 6) AS DECIMAL(9,6)) AS DOUBLE) AS quality
 FROM documents
 ORDER BY doc_id
 """
@@ -880,7 +904,10 @@ def q24_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select(
             "doc_id",
-            F.round(quality_score("text", "n_chars"), 6).cast("decimal(9,6)").alias("quality"),
+            F.round(quality_score("text", "n_chars"), 6)
+            .cast("decimal(9,6)")
+            .cast("double")
+            .alias("quality"),
         )
         .orderBy("doc_id")
     )
@@ -994,7 +1021,7 @@ _Q30_ORACLE = """
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_items,
        CAST(SUM(length(text)) AS BIGINT) AS sum_bytes,
-       CAST(ROUND(AVG(length(text) % 640), 4) AS DECIMAL(18,4)) AS avg_width
+       CAST(CAST(ROUND(AVG(length(text) % 640), 4) AS DECIMAL(18,4)) AS DOUBLE) AS avg_width
 FROM documents
 GROUP BY source
 ORDER BY source
@@ -1036,15 +1063,44 @@ def q31_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q32 media feature extraction — rows-only (byte-histogram features are not
-# reasonably SQL-expressible); vector validity is asserted in pytest.
+# Q32 media feature extraction. The manifest projection EXPLODES the float
+# vector to (doc_id, source, dim_idx, feature) scalar rows — a raw
+# array<float> column crashes the driver's pandas canonicalizer (r1:
+# "unhashable type: 'list'"). Determinism: the stand-in extractor is an
+# L1-normalized byte histogram; both engines compute the exact integer
+# count / total as an IEEE double, round it to float32 (numpy astype vs
+# DuckDB CAST AS FLOAT — both correctly rounded, bit-identical), then widen
+# back to double for the output contract.
 # ---------------------------------------------------------------------------
 
+_Q32_ORACLE = """
+WITH codes AS (
+  SELECT doc_id, source, length(text) AS total,
+         list_transform(string_split(text, ''), c -> ascii(c) % 8) AS code
+  FROM documents
+)
+SELECT doc_id, source, CAST(i AS INT) AS dim_idx,
+       CASE WHEN total = 0 THEN 0.0
+            ELSE CAST(CAST(CAST(len(list_filter(code, x -> x = i)) AS DOUBLE) / total AS FLOAT) AS DOUBLE)
+       END AS feature
+FROM codes, range(0, 8) t(i)
+ORDER BY doc_id, dim_idx
+"""
 
-@query("q32_media_features")
+
+@query("q32_media_features", _Q32_ORACLE)
 def q32_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(with_media_column(load_table(spark, sf_dir, "documents")))
-    return feats.orderBy("doc_id")
+    return feats.select(
+        "doc_id",
+        "source",
+        F.posexplode("features").alias("dim_idx", "feature"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.col("feature").cast("double").alias("feature"),
+    ).orderBy("doc_id", "dim_idx")
 
 
 # ---------------------------------------------------------------------------
@@ -1055,7 +1111,7 @@ _Q33_ORACLE = """
 SELECT COALESCE(event_type, 'ALL') AS etype,
        COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS eday,
        CAST(COUNT(*) AS BIGINT) AS cnt,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY CUBE(event_type, CAST(ts AS DATE))
 ORDER BY etype, eday
@@ -1072,7 +1128,7 @@ def q33_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.cube("event_type", "eday")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("value").cast(DEC)).cast(DEC).alias("sum_value"),
+            F.sum(F.col("value").cast(DEC)).cast(DEC).cast("double").alias("sum_value"),
         )
         .select(
             F.coalesce("event_type", F.lit("ALL")).alias("etype"),
@@ -1174,8 +1230,8 @@ def q35_salted_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q37_ORACLE = """
 SELECT event_type,
-       CAST(ROUND(median(value), 4) AS DECIMAL(18,4)) AS med_value,
-       CAST(ROUND(quantile_cont(value, 0.9), 4) AS DECIMAL(18,4)) AS p90_value
+       CAST(CAST(ROUND(median(value), 4) AS DECIMAL(18,4)) AS DOUBLE) AS med_value,
+       CAST(CAST(ROUND(quantile_cont(value, 0.9), 4) AS DECIMAL(18,4)) AS DOUBLE) AS p90_value
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -1191,8 +1247,8 @@ def q37_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            F.round(F.median("value"), 4).cast(DEC).alias("med_value"),
-            F.round(F.percentile("value", F.lit(0.9)), 4).cast(DEC).alias("p90_value"),
+            F.round(F.median("value"), 4).cast(DEC).cast("double").alias("med_value"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).cast(DEC).cast("double").alias("p90_value"),
         )
         .orderBy("event_type")
     )
@@ -1245,7 +1301,7 @@ WITH stats AS (
   FROM events
 )
 SELECT event_id, event_type,
-       CAST(ROUND(z, 4) AS DECIMAL(18,4)) AS z_score
+       CAST(CAST(ROUND(z, 4) AS DECIMAL(18,4)) AS DOUBLE) AS z_score
 FROM (
   SELECT event_id, event_type, z,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(z) DESC, event_id) AS rn
@@ -1280,7 +1336,9 @@ def q39_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rounding stays engine-side (F.round matches the oracle's ROUND;
         # pandas .round is banker's rounding)
         .select(
-            "event_id", "event_type", F.round("z_score", 4).cast(DEC).alias("z_score")
+            "event_id",
+            "event_type",
+            F.round("z_score", 4).cast(DEC).cast("double").alias("z_score"),
         )
         .orderBy("event_type", "event_id")
     )
@@ -1318,7 +1376,8 @@ scored AS (
          CAST(len({sql_tokens('text')}) AS INT) AS n_tokens
   FROM survivors
 )
-SELECT * FROM scored
+SELECT doc_id, source, lang, CAST(quality AS DOUBLE) AS quality, n_tokens
+FROM scored
 WHERE lang = 'en' AND quality >= 0.5
 ORDER BY doc_id
 """
@@ -1413,8 +1472,8 @@ def q42_sql_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT n_name,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4))
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE)
                  AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
@@ -1493,7 +1552,7 @@ def q46_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q47_ORACLE = """
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS BIGINT) AS rnk,
        event_id,
-       CAST(value AS DECIMAL(18,4)) AS value_dec
+       CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value_dec
 FROM events
 ORDER BY rnk
 """
@@ -1510,7 +1569,7 @@ def q47_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "value")
     ranked = global_rank(ev, [F.col("value").desc(), F.col("event_id").asc()], rank_col="rnk")
     return ranked.select(
-        "rnk", "event_id", F.col("value").cast(DEC).alias("value_dec")
+        "rnk", "event_id", F.col("value").cast(DEC).cast("double").alias("value_dec")
     ).orderBy("rnk")
 
 
@@ -1566,7 +1625,7 @@ dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS dfreq FROM tf GROUP BY token
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
 SELECT doc_id, token, score, rnk FROM (
   SELECT tf.doc_id, tf.token,
-         CAST(ROUND(CAST(tf.tf AS DOUBLE) * n.n_docs / dfreq.dfreq, 6) AS DECIMAL(18,6)) AS score,
+         CAST(CAST(ROUND(CAST(tf.tf AS DOUBLE) * n.n_docs / dfreq.dfreq, 6) AS DECIMAL(18,6)) AS DOUBLE) AS score,
          CAST(ROW_NUMBER() OVER (
            PARTITION BY tf.doc_id
            ORDER BY CAST(tf.tf AS DOUBLE) * n.n_docs / dfreq.dfreq DESC, tf.token
@@ -1603,7 +1662,7 @@ def q49_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select(
             "doc_id",
             "token",
-            F.round("raw", 6).cast("decimal(18,6)").alias("score"),
+            F.round("raw", 6).cast("decimal(18,6)").cast("double").alias("score"),
             F.row_number().over(w).cast("long").alias("rnk"),
         )
         .where(F.col("rnk") <= 3)
@@ -1713,7 +1772,7 @@ def q50_click_buy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q52_SQL = """
 SELECT p_brand,
        CAST(COUNT(*) AS BIGINT) AS n_small,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0, 4) AS DECIMAL(18,4)) AS avg_yearly
+       CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0, 4) AS DECIMAL(18,4)) AS DOUBLE) AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE l_quantity < (
@@ -1768,10 +1827,10 @@ def q53_exists_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q54_ORACLE = """
 SELECT user_id, event_id,
-       CAST(ROUND(AVG(value) OVER (
+       CAST(CAST(ROUND(AVG(value) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-       ), 4) AS DECIMAL(18,4)) AS mov_avg
+       ), 4) AS DECIMAL(18,4)) AS DOUBLE) AS mov_avg
 FROM events
 WHERE user_id IN (SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) >= 20)
 ORDER BY user_id, event_id
@@ -1800,7 +1859,7 @@ def q54_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "event_id",
-            F.round(F.avg("value").over(w), 4).cast(DEC).alias("mov_avg"),
+            F.round(F.avg("value").over(w), 4).cast(DEC).cast("double").alias("mov_avg"),
         )
         .orderBy("user_id", "event_id")
     )

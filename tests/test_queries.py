@@ -35,3 +35,30 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_q06_is_not_vacuous(spark, sf_dir):
+    """Round-1 trap: the 1994 shipdate window matched ZERO rows at every SF
+    (fixture range starts 1995-01-02), so q06 was vacuously green. The 1996
+    window must actually aggregate rows or the filter+sum is untested."""
+    row = QUERIES["q06_filtered_agg"](spark, sf_dir).collect()[0]
+    assert row["cnt"] > 0, "q06 predicate matched zero rows — vacuous test"
+    assert row["sum_disc_rev"] is not None
+
+
+def test_no_decimal_in_final_output_schemas(spark, sf_dir):
+    """Output dtype contract: the grading driver canonicalizes through
+    pandas, where Spark Decimals stay objects but DuckDB decimals become
+    float64 — so no manifest query may project a DecimalType column."""
+    from pyspark.sql.types import ArrayType, DecimalType
+
+    for name in sorted(QUERIES):
+        schema = QUERIES[name](spark, sf_dir).schema
+        for f in schema.fields:
+            assert not isinstance(f.dataType, DecimalType), (
+                f"{name}.{f.name} is {f.dataType} — final outputs must be DOUBLE"
+            )
+            assert not isinstance(f.dataType, ArrayType), (
+                f"{name}.{f.name} is {f.dataType} — arrays crash the driver's "
+                "pandas canonicalizer (unhashable list)"
+            )
