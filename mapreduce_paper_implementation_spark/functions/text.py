@@ -60,14 +60,23 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles (space-joined), the unit set for
     Jaccard-based dedup. Built from transform over token offsets — stays
     JVM-side. The token array is let-bound: without it the regex
-    split+filter re-runs once per shingle position (~50x per row)."""
+    split+filter re-runs once per shingle position (~50x per row).
+
+    Documents with fewer than n tokens yield an EMPTY array. The guard is
+    load-bearing: F.sequence(1, 0) is a DESCENDING [1, 0] array (not empty),
+    so without the when() a short document evaluates slice(toks, 0, n) and
+    aborts the whole job with INVALID_PARAMETER_VALUE.START — real corpora
+    always contain short/empty docs."""
     # slice(i..i+n-1) joined by single space; sequence is 1-based
     return let(
         tokens(col),
-        lambda toks: F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        ),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )

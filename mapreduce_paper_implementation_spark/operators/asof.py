@@ -39,18 +39,26 @@ def asof_join(
     ]
     lcols = left.columns
 
+    # The right row's values travel as ONE struct that is non-null exactly on
+    # right rows — last(struct, ignoreNulls) then finds the most recent RIGHT
+    # ROW, not the most recent non-null value: a matched right row whose value
+    # column is legitimately NULL yields NULL (DuckDB ASOF semantics), instead
+    # of leaking an older row's value.
+    import pyspark.sql.types as T
+
+    rstruct_type = T.StructType([T.StructField(c, right.schema[c].dataType) for c in value_cols])
     tagged_r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_rvals"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
     )
     tagged_l = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(rstruct_type).alias("_rvals"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
     )
     w = (
@@ -59,13 +67,9 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = tagged_r.unionByName(tagged_l).select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_v_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("_rvals", ignorenulls=True).over(w).alias("_v")
     )
     return merged.where(F.col("_side") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
-        *[F.col(f"_v_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        *[F.col("_v").getField(c).alias(f"{c}{suffix}") for c in value_cols],
     )

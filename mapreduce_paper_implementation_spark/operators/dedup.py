@@ -324,6 +324,15 @@ def simhash_pairs(
     Returns (id_a, id_b, hamming INT), id_a < id_b.
     """
     n_bands = bits // band_bits
+    assert n_bands * band_bits == bits, "band_bits must divide bits"
+    # Banding guarantee: a pair within hamming distance d differs in at most
+    # d bands, so it agrees on >= n_bands - d bands — candidate recall is
+    # complete only when max_distance < n_bands. (mirrors the rows_per_band
+    # assertion in minhash_lsh_pairs)
+    assert max_distance < n_bands, (
+        f"max_distance={max_distance} >= n_bands={n_bands}: banding would "
+        "silently miss qualifying pairs; use more/narrower bands"
+    )
     fp = _simhash_df(docs, id_col, text_col, bits)
     mask = (1 << band_bits) - 1
     banded = fp.select(

@@ -47,6 +47,7 @@ def connected_components(
     # monotone until the fixpoint — one cheap scalar aggregate per round
     # instead of a join-and-count of changed rows.
     prev_sum: int | None = None
+    converged = False
     for _ in range(max_iter):
         # candidate label per vertex: min over neighbors' labels and its own
         neighbor_lbl = (
@@ -61,8 +62,17 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("lbl")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Returning silently here would emit SPLIT clusters (wrong labels)
+        # on chain-shaped graphs with diameter > max_iter. Fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (labels still changing) — the pair graph has diameter > "
+            f"{max_iter}; raise max_iter"
+        )
     return labels.select("id", F.col("lbl").alias("component"))
 
 

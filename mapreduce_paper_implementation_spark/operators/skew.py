@@ -61,7 +61,17 @@ def salted_join(
     of one. The small side grows n_salts-fold — size it like a broadcast.
 
     Salt is derived deterministically from xxhash64 of the big side's whole
-    key + a per-row uniform id, so repeated runs produce identical plans."""
+    key + a per-row uniform id, so repeated runs produce identical plans.
+
+    Only inner/left are supported: for right/full/anti variants every
+    unmatched small-side row appears once PER SALT COPY (n_salts duplicates
+    of each unmatched row), which is wrong — use a plain join (AQE skew
+    handling) for outer shapes."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner', 'left'), got {how!r}: "
+            "outer variants would duplicate unmatched small-side rows n_salts times"
+        )
     big_s = big.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(on), F.monotonically_increasing_id()), F.lit(n_salts))
     )

@@ -288,6 +288,89 @@ def test_connected_components_vs_union_find(spark, sf_dir):
     assert len(want) > 0
 
 
+def test_word_shingles_short_and_empty_docs(spark):
+    """Regression: docs with < n tokens used to abort the job (F.sequence(1,0)
+    is a DESCENDING [1,0] array, so slice(toks, 0, n) threw
+    INVALID_PARAMETER_VALUE.START). They must yield empty shingle sets, and
+    the dedup operators must run end-to-end on corpora containing them."""
+    from mapreduce_paper_implementation_spark.functions.text import word_shingles
+
+    df = _docs_df(
+        spark,
+        [
+            (1, ""),
+            (2, "one"),
+            (3, "just two"),
+            (4, "exactly three tokens"),
+            (5, "now four whole tokens"),
+            (6, "now four whole tokens"),
+        ],
+    )
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", F.size(word_shingles("text")).alias("n")).collect()
+    }
+    assert sizes == {1: 0, 2: 0, 3: 0, 4: 1, 5: 2, 6: 2}
+
+    # operators built on shingles must survive short docs (previously crashed)
+    mh = minhash_lsh_pairs(df, threshold=0.8).collect()
+    nj = ngram_jaccard_pairs(df, threshold=0.1).collect()
+    assert {(r["id_a"], r["id_b"]) for r in mh} == {(5, 6)}
+    assert {(r["id_a"], r["id_b"]) for r in nj} == {(5, 6)}
+
+
+def test_asof_join_preserves_matched_null_value(spark):
+    """Regression: a matched right row whose value column is legitimately
+    NULL must yield NULL (DuckDB ASOF semantics), not an older row's value."""
+    import datetime as dt
+
+    from mapreduce_paper_implementation_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, t(5))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, t(1), 1.0), (10, t(4), None)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = asof_join(left, right, on="user_id", value_cols=["value"]).collect()
+    assert out[0]["value_asof"] is None  # t4 row matches; its NULL wins
+
+
+def test_salted_join_rejects_outer_shapes(spark):
+    import pytest
+
+    from mapreduce_paper_implementation_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, "x")], "k long, v string")
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(df, df, on="k", how="full")
+
+
+def test_simhash_pairs_rejects_incomplete_banding(spark):
+    import pytest
+
+    df = _docs_df(spark, [(1, "a b c")])
+    with pytest.raises(AssertionError, match="banding"):
+        simhash_pairs(df, band_bits=32, max_distance=3).collect()
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """Regression: exhausting max_iter used to silently return split
+    clusters; now it must fail loudly."""
+    import pytest
+
+    from mapreduce_paper_implementation_spark.operators.graph import connected_components
+
+    # path graph 1-2-3-...-8: needs several propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1)
+
+
 def test_connected_components_chain(spark):
     # path graph 1-2-3-4-5 plus isolated pair (10, 11): diameter > 2
     # exercises multiple propagation rounds
