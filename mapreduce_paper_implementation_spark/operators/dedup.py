@@ -200,22 +200,36 @@ def minhash_lsh_pairs(
     )
 
 
+# Document-frequency cut for the shingle inverted index: a boilerplate
+# shingle shared by k documents creates k^2 join rows, the quadratic
+# scale-killer of any similarity self-join on web text. Shingles in more
+# than this many docs are dropped from the INDEX (not from the per-doc
+# set sizes). Shared with the q20/q41 oracle SQL so the differential
+# still matches exactly.
+DEFAULT_MAX_SHINGLE_DF = 1000
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.1,
+    max_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity join: pairs sharing >=1 shingle,
     scored inter/(|A|+|B|-inter), filtered >= threshold.
 
     Inverted-index formulation: explode distinct shingles, self-join on the
     shingle, count co-occurrences per pair. Only docs sharing a shingle ever
-    meet — never a full cross join. At 100 TB the shingle join inherits
-    AQE skew splitting; common-shingle hot keys should additionally be
-    capped (cf. minhash_lsh_pairs max_bucket_size) — this exact variant is
-    the ground-truth/oracle path, MinHash is the scale path.
+    meet — never a full cross join. At 100 TB the shingle join inherits AQE
+    skew splitting, and `max_df` caps hot shingles: a shingle appearing in
+    more than max_df docs is dropped from the index (one boilerplate shingle
+    shared by k docs otherwise makes k^2 join rows). The cut slightly
+    UNDER-counts intersections for pairs sharing hot shingles — acceptable
+    for dedup (hot shingles carry no similarity signal), and mirrored
+    verbatim in the oracle SQL so correctness stays exactly gated. Set
+    max_df=None for the uncapped ground truth.
 
     Returns (id_a, id_b, jaccard DOUBLE), id_a < id_b (decimal-exact score,
     double final projection — see minhash_lsh_pairs).
@@ -225,6 +239,18 @@ def ngram_jaccard_pairs(
     ).where(F.size("shingles") > 0)
     sizes = sh.select("id", F.size("shingles").alias("n_sh"))
     inv = sh.select("id", F.explode("shingles").alias("shingle"))
+
+    if max_df is not None:
+        # df per shingle is a partial-agg count over the index; the anti
+        # filter is a broadcast-able semi join against the (tiny) cold set —
+        # Spark plans it as one extra shuffle on the same key as the self-join.
+        cold = (
+            inv.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        inv = inv.join(cold, "shingle", "semi")
 
     l, r = inv.alias("l"), inv.alias("r")
     co = (
@@ -250,9 +276,30 @@ def ngram_jaccard_pairs(
     )
 
 
+def md5_h64(c: Column | str) -> Column:
+    """64-bit token hash derived from md5 (LongType). Bits [16i, 16i+16) come
+    from hex chars [4i, 4i+4) of the md5 digest, so bit j of the result is
+    bit (j mod 16) of chunk (j div 16).
+
+    Chosen over xxhash64 for the simhash pipeline because BOTH engines can
+    compute it identically — DuckDB: `CAST('0x' || substr(md5(t), 1+4*i, 4)
+    AS BIGINT)` per chunk — which makes the full simhash banding pipeline
+    oracle-checkable (q19). shiftleft is a bitwise op, so chunk 3 wrapping
+    into the sign bit is well-defined two's-complement."""
+    col = F.col(c) if isinstance(c, str) else c
+    hexc = F.md5(col.cast("binary"))
+    chunks = [
+        F.conv(F.substring(hexc, 1 + 4 * i, 4), 16, 10).cast("long") for i in range(4)
+    ]
+    h = chunks[0]
+    for i in (1, 2, 3):
+        h = h.bitwiseOR(F.shiftleft(chunks[i], 16 * i))
+    return h
+
+
 def simhash(text_col: Column | str, bits: int = 64) -> Column:
     """SimHash fingerprint (LongType) of the token stream: per bit j, sign of
-    sum over tokens of +/-1 according to bit j of xxhash64(token).
+    sum over tokens of +/-1 according to bit j of md5_h64(token).
 
     Single-pass formulation: one F.aggregate over the token-hash array with an
     array<long> of per-bit counters, each step zip_with-ing against the
@@ -263,7 +310,7 @@ def simhash(text_col: Column | str, bits: int = 64) -> Column:
     masks = F.array(
         *[F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long") for j in range(bits)]
     )
-    hs = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    hs = F.transform(tokens(text_col), lambda t: md5_h64(t))
     sums = F.aggregate(
         hs,
         F.array_repeat(F.lit(0).cast("long"), bits),
@@ -290,7 +337,7 @@ def _simhash_df(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> Da
     tok_rows = (
         df.select(F.col(id_col).alias("id"), F.explode(F.split(text_col, "[^A-Za-z]+")).alias("t"))
         .where(F.col("t") != "")
-        .select("id", F.xxhash64("t").alias("h"))
+        .select("id", md5_h64("t").alias("h"))
     )
     sums = tok_rows.groupBy("id").agg(
         *[

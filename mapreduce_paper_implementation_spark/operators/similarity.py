@@ -93,6 +93,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to LSH buckets within
     `multiprobe_hamming` of the probe's bucket. Returns the same schema as
@@ -103,8 +104,13 @@ def lsh_topk(
     (fixture neighbors are ~60 deg apart) wide multiprobe is required —
     defaults (8 planes, hamming<=4) scan ~36% of buckets for ~0.87 recall.
     Strongly clustered corpora (true near-dups) support many more planes and
-    tiny multiprobe; tune per dataset."""
-    dim = len(emb.select(vec_col).first()[0])
+    tiny multiprobe; tune per dataset.
+
+    Pass `dim` explicitly (it's a property of the embedding model, known
+    statically) — the fallback sniffs it with a driver-side .first(), which
+    is an extra job and a driver round-trip at scale."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
 
     cand = _prep(emb, id_col, vec_col).withColumn("bucket", lsh_bucket_expr("vec", planes))
@@ -167,10 +173,15 @@ def ivf_topk(
     )
 
     def assign(df: DataFrame, n_keep: int, id_alias: str) -> DataFrame:
+        # Cell assignment ranks by ROUND(cos, 6): raw-double ordering could
+        # flip on cross-engine ulp differences; rounded scores tie-break by
+        # cell id deterministically (same contract as the output ranks).
         scored = df.crossJoin(F.broadcast(cents)).select(
             F.col("id").alias(id_alias),
             "cell",
-            cosine(F.col("vec"), F.col("c_vec"), F.col("nrm"), F.col("c_nrm")).alias("c_cos"),
+            F.round(
+                cosine(F.col("vec"), F.col("c_vec"), F.col("nrm"), F.col("c_nrm")), 6
+            ).alias("c_cos"),
         )
         w = Window.partitionBy(id_alias).orderBy(F.desc("c_cos"), F.asc("cell"))
         return scored.withColumn("cell_rank", F.row_number().over(w)).where(

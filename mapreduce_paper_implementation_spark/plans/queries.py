@@ -690,6 +690,7 @@ def q17_user_span(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 from mapreduce_paper_implementation_spark.operators.dedup import (  # noqa: E402
+    DEFAULT_MAX_SHINGLE_DF,
     embedding_neardup_pairs,
     embedding_neardup_pairs_blocked,
     minhash_lsh_pairs,
@@ -755,12 +756,78 @@ def q18_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q19 SimHash near-dup — north star (dedup); no SQL oracle (xxhash64 is
-# Spark-specific), driver records rows-only; property tests in pytest.
+# Q19 SimHash near-dup — north star (dedup). Oracle-checked since round 2:
+# the token hash is md5-derived (operators/dedup.py:md5_h64), which DuckDB
+# computes identically via CAST('0x' || substr(md5(t), ...) AS BIGINT), so
+# the ENTIRE pipeline — 64 signed bit-sums, 4x16-bit banding, candidate
+# bucket join, bit_count(xor) hamming verify — is SQL-expressible.
 # ---------------------------------------------------------------------------
 
 
-@query("q19_simhash_neardup")
+def _q19_oracle(bits: int = 64, band_bits: int = 16, max_distance: int = 3) -> str:
+    n_chunks = bits // band_bits
+    chunk_cols = ",\n       ".join(
+        f"CAST('0x' || substr(h, {1 + 4 * i}, 4) AS BIGINT) AS c{i}" for i in range(n_chunks)
+    )
+    sum_cols = ",\n         ".join(
+        f"SUM(CASE WHEN (c{j // 16} >> {j % 16}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    fp_cols = ",\n         ".join(
+        " + ".join(
+            f"(CASE WHEN b{16 * i + b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+        )
+        + f" AS f{i}"
+        for i in range(n_chunks)
+    )
+    coalesced = ", ".join(f"COALESCE(f{i}, 0) AS f{i}" for i in range(n_chunks))
+    bands_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, f{i} AS key FROM fps" for i in range(n_chunks)
+    )
+    hamming = " + ".join(f"bit_count(xor(a.f{i}, b.f{i}))" for i in range(n_chunks))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS t
+  FROM documents
+),
+hx AS (SELECT doc_id, md5(t) AS h FROM toks WHERE t <> ''),
+ch AS (
+  SELECT doc_id,
+       {chunk_cols}
+  FROM hx
+),
+sums AS (
+  SELECT doc_id,
+         {sum_cols}
+  FROM ch GROUP BY doc_id
+),
+fp0 AS (
+  SELECT doc_id,
+         {fp_cols}
+  FROM sums
+),
+fps AS (
+  SELECT d.doc_id, {coalesced}
+  FROM documents d LEFT JOIN fp0 USING (doc_id)
+),
+bands AS (
+  {bands_union}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b,
+       CAST({hamming} AS INT) AS hamming
+FROM cand
+JOIN fps a ON a.doc_id = id_a
+JOIN fps b ON b.doc_id = id_b
+WHERE {hamming} <= {max_distance}
+ORDER BY id_a, id_b
+"""
+
+
+@query("q19_simhash_neardup", _q19_oracle())
 def q19_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -779,7 +846,15 @@ WITH sh AS (
   FROM documents
   WHERE len({sql_tokens('text')}) >= 3
 ),
-inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inv AS (
+  -- hot-shingle document-frequency cut, mirroring ngram_jaccard_pairs
+  -- max_df (operators/dedup.py:DEFAULT_MAX_SHINGLE_DF)
+  SELECT * FROM inv0
+  WHERE shingle NOT IN (
+    SELECT shingle FROM inv0 GROUP BY shingle HAVING COUNT(*) > {DEFAULT_MAX_SHINGLE_DF}
+  )
+),
 co AS (
   SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
   FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
@@ -994,18 +1069,113 @@ def q27_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q28/Q29 approximate nearest neighbors — north star (similarity, scale
-# paths). No SQL oracle (hash-bucketed candidate sets are engine-specific);
-# recall vs the exact Q16 is asserted in pytest instead.
+# paths). Oracle-checked since round 2: the LSH hyperplanes are seeded
+# literals (embedded in generated SQL via list_dot_product) and the IVF
+# centroids are the deterministic lowest-id vectors, so BOTH bucketed
+# candidate pipelines are SQL-expressible. Recall vs the exact Q16 is
+# additionally asserted in pytest.
 # ---------------------------------------------------------------------------
 
+_EMB_DIM = 64  # fixture embedding dimension (TESTDATA.md); passed explicitly
+# so lsh_topk needs no driver-side .first() to sniff it
 
-@query("q28_ann_lsh")
+
+def _sql_vec(xs) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in xs) + "]"
+
+
+def _q28_oracle(n_planes: int = 8, multiprobe: int = 4, k: int = 3, seed: int = 42) -> str:
+    from mapreduce_paper_implementation_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(_EMB_DIM, n_planes, seed)
+    bucket = "\n         + ".join(
+        f"(CASE WHEN list_dot_product(vec, {_sql_vec(p)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, vec, nrm,
+         CAST({bucket} AS BIGINT) AS bucket
+  FROM v
+),
+p AS (
+  SELECT vec_id AS probe_id, vec AS p_vec, nrm AS p_nrm, bucket AS p_bucket
+  FROM b WHERE vec_id < 10
+),
+pairs AS (
+  SELECT p.probe_id, c.vec_id AS neighbor_id,
+         CAST(ROUND(list_dot_product(p.p_vec, c.vec) / (p.p_nrm * c.nrm), 6) AS DECIMAL(9,6)) AS cos_sim
+  FROM b c JOIN p
+    ON c.vec_id <> p.probe_id
+   AND bit_count(xor(c.bucket, p.p_bucket)) <= {multiprobe}
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM pairs
+)
+SELECT probe_id, neighbor_id, CAST(cos_sim AS DOUBLE) AS cos_sim, rnk
+FROM ranked WHERE rnk <= {k}
+ORDER BY probe_id, rnk
+"""
+
+
+def _q29_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 3) -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cell, vec AS c_vec, nrm AS c_nrm
+  FROM v ORDER BY vec_id LIMIT {n_cells}
+),
+assigned AS (
+  SELECT v.vec_id, cents.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ROUND(list_dot_product(v.vec, cents.c_vec) / (v.nrm * cents.c_nrm), 6) DESC, cents.cell
+         ) AS cell_rank
+  FROM v CROSS JOIN cents
+),
+cand AS (
+  SELECT v.vec_id, v.vec, v.nrm, a.cell
+  FROM v JOIN assigned a ON a.vec_id = v.vec_id AND a.cell_rank = 1
+),
+pv AS (
+  SELECT a.vec_id AS probe_id, a.cell AS p_cell, v.vec AS p_vec, v.nrm AS p_nrm
+  FROM assigned a JOIN v ON v.vec_id = a.vec_id
+  WHERE a.vec_id < 10 AND a.cell_rank <= {nprobe}
+),
+pairs AS (
+  SELECT DISTINCT pv.probe_id, c.vec_id AS neighbor_id,
+         CAST(ROUND(list_dot_product(pv.p_vec, c.vec) / (pv.p_nrm * c.nrm), 6) AS DECIMAL(9,6)) AS cos_sim
+  FROM cand c JOIN pv ON c.cell = pv.p_cell AND c.vec_id <> pv.probe_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM pairs
+)
+SELECT probe_id, neighbor_id, CAST(cos_sim AS DOUBLE) AS cos_sim, rnk
+FROM ranked WHERE rnk <= {k}
+ORDER BY probe_id, rnk
+"""
+
+
+@query("q28_ann_lsh", _q28_oracle())
 def q28_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.where(F.col("vec_id") < 10))
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 10), dim=_EMB_DIM)
 
 
-@query("q29_ann_ivf")
+@query("q29_ann_ivf", _q29_oracle())
 def q29_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.where(F.col("vec_id") < 10))
@@ -1141,8 +1311,12 @@ def q33_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q34 approximate distinct — HyperLogLog++ (rows-only: approx results can't
-# hash-match an exact oracle; pytest asserts <5% relative error vs exact)
+# Q34 approximate distinct — HyperLogLog++. THE single intentional rows-only
+# manifest entry (every other query is oracle-hash-checked): Spark's HLL++
+# sketch and any DuckDB approximation are different estimators, so an exact
+# value match is impossible BY DESIGN — that's the point of a sketch. The
+# correctness gate lives in pytest instead: <5% relative error vs the exact
+# per-type countDistinct (tests/test_operators.py).
 # ---------------------------------------------------------------------------
 
 
@@ -1879,7 +2053,15 @@ WITH sh AS (
   FROM documents
   WHERE len({sql_tokens('text')}) >= 3
 ),
-inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inv AS (
+  -- hot-shingle document-frequency cut, mirroring ngram_jaccard_pairs
+  -- max_df (operators/dedup.py:DEFAULT_MAX_SHINGLE_DF)
+  SELECT * FROM inv0
+  WHERE shingle NOT IN (
+    SELECT shingle FROM inv0 GROUP BY shingle HAVING COUNT(*) > {DEFAULT_MAX_SHINGLE_DF}
+  )
+),
 co AS (
   SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
   FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id

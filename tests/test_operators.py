@@ -319,6 +319,16 @@ def test_word_shingles_short_and_empty_docs(spark):
     assert {(r["id_a"], r["id_b"]) for r in nj} == {(5, 6)}
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """max_df drops boilerplate shingles from the inverted index: pairs whose
+    only shared shingles are hot disappear; max_df=None is the uncapped
+    ground truth."""
+    docs = _docs_df(spark, [(i, "same boiler plate text") for i in range(1, 5)])
+    assert ngram_jaccard_pairs(docs, threshold=0.1, max_df=2).collect() == []
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.1, max_df=None).collect()
+    assert len(uncapped) == 6  # all 4-choose-2 identical pairs
+
+
 def test_asof_join_preserves_matched_null_value(spark):
     """Regression: a matched right row whose value column is legitimately
     NULL must yield NULL (DuckDB ASOF semantics), not an older row's value."""
