@@ -69,3 +69,54 @@ print("RETRY_OK")
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
     )
     assert "RETRY_OK" in r.stdout, r.stderr[-2000:]
+
+
+def test_randomized_chaos_burn_in():
+    """The reference's chaos burn-in (test-mr.sh:223-271 + test-mr-many.sh):
+    repeated trials where every task randomly crashes with p~1/3 or sleeps
+    with p~1/3 (mrapps/crash.go:22-34), output compared to a golden each
+    trial. Spark analog: seeded per-(trial, partition, attempt) randomness,
+    local[4,4] task retries, exactly-once result asserted across 3 trials."""
+    code = r"""
+import random, time
+from collections import Counter
+from pyspark import TaskContext
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[4,4]").appName("chaos-burn-in")
+    .config("spark.ui.enabled", "false")
+    .config("spark.ui.showConsoleProgress", "false")
+    .getOrCreate()
+)
+sc = spark.sparkContext
+
+corpus = [f"word{i % 17} word{i % 5} common" for i in range(2000)]
+golden = Counter(w for line in corpus for w in line.split())
+
+for trial in range(3):
+    def chaotic(i, it, _trial=trial):
+        ctx = TaskContext.get()
+        rng = random.Random(f"{_trial}-{i}-{ctx.attemptNumber()}")
+        r = rng.random()
+        # p~1/3 crash (capped below maxFailures so the job always finishes,
+        # like the reference's worker-respawn loop), p~1/3 delay 0-0.3s
+        if r < 1.0 / 3 and ctx.attemptNumber() < 2:
+            raise RuntimeError("chaos exit trial=%d part=%d" % (_trial, i))
+        if r < 2.0 / 3:
+            time.sleep(rng.random() * 0.3)
+        return ((w, 1) for line in it for w in line.split())
+
+    got = dict(
+        sc.parallelize(corpus, 8)
+        .mapPartitionsWithIndex(chaotic)
+        .reduceByKey(lambda a, b: a + b)
+        .collect()
+    )
+    assert got == dict(golden), f"trial {trial}: chaos output diverged from golden"
+print("CHAOS_OK")
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=420
+    )
+    assert "CHAOS_OK" in r.stdout, r.stderr[-2000:]
