@@ -1,0 +1,454 @@
+"""Training-data pipeline queries (Q55+) — the corpus-preparation surface a
+100 TB LLM-data run needs beyond single-operator dedup/similarity: benchmark
+decontamination, deterministic splits, mixture weighting, survivor
+materialization.
+
+Same contract as plans/queries.py (SURVEY.md §2D determinism rules): every
+query is (spark, sf_dir) -> DataFrame with a DuckDB oracle string; final
+inexact columns are DOUBLE on both engines; outputs fully sorted by key.
+
+Provenance: the reference's Map/Reduce surface (mr/worker.go:32-33) is the
+generalized capability these compose; none exist as mrapps. They are the
+north-star "training-data pipeline" operators the build plan commits to
+(SURVEY.md §2C last row), expressed Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_paper_implementation_spark.functions.text import token_count, word_shingles
+from mapreduce_paper_implementation_spark.operators.dedup import (
+    DEFAULT_MAX_SHINGLE_DF,
+    ngram_jaccard_pairs,
+)
+from mapreduce_paper_implementation_spark.operators.text_analysis import sql_tokens
+from mapreduce_paper_implementation_spark.plans.queries import query
+from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Q55 benchmark decontamination — n-gram overlap against a held-out eval set.
+#
+# The eval set is the deterministic slice doc_id % 29 == 0 (scale-
+# proportional stand-in for a benchmark suite). A training doc is
+# contaminated if it shares any 3-word shingle with any eval doc; the query
+# reports the per-doc count of contaminated shingles.
+#
+# Scale shape: the eval n-gram set is tiny relative to the corpus (benchmarks
+# are MBs, corpora are TBs), so the join is an explicit broadcast — the 100 TB
+# training side streams map-side against the eval shingle hash set; no
+# shuffle of the corpus. groupBy(doc_id) then shuffles only the HITS, which
+# are rare by construction.
+# ---------------------------------------------------------------------------
+
+_SQL_SHINGLES = f"""
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      range(1, greatest(len({sql_tokens('text')}) - 1, 1)),
+      i -> array_to_string(list_slice({sql_tokens('text')}, i, i + 2), ' ')
+    ))) AS shingle
+  FROM documents
+  WHERE len({sql_tokens('text')}) >= 3
+"""
+
+_Q55_ORACLE = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 29 = 0)
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+FROM sh s JOIN ev USING (shingle)
+WHERE s.doc_id % 29 <> 0
+GROUP BY s.doc_id
+ORDER BY doc_id
+"""
+
+
+@query("q55_decontaminate", _Q55_ORACLE)
+def q55_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(word_shingles("text", 3)).alias("shingle"))
+    ev = sh.where(F.col("doc_id") % 29 == 0).select("shingle").distinct()
+    # shingles are per-doc distinct (word_shingles array_distinct), so the
+    # per-doc hit count is COUNT(*) after the semi-structured inner join
+    return (
+        sh.where(F.col("doc_id") % 29 != 0)
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q56 deterministic train/valid/test split — hash-bucket assignment.
+#
+# bucket = first 8 hex chars of md5(doc_id) as an integer mod 100; <90 train,
+# <95 valid, else test. Pure per-row arithmetic: at 100 TB this is a
+# map-only pass (no shuffle until the tiny per-(split, source) aggregate),
+# reproducible across runs/engines — the property a training pipeline needs
+# so splits never leak when data is re-ingested.
+# ---------------------------------------------------------------------------
+
+_SQL_BUCKET = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+_Q56_ORACLE = f"""
+SELECT CASE WHEN {_SQL_BUCKET} < 90 THEN 'train'
+            WHEN {_SQL_BUCKET} < 95 THEN 'valid'
+            ELSE 'test' END AS split,
+       source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len({sql_tokens('text')})) AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY 1, 2
+ORDER BY split, source
+"""
+
+
+@query("q56_split_assign", _Q56_ORACLE)
+def q56_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "source", token_count("text").alias("tc"))
+        .groupBy("split", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("tc").cast("bigint").alias("n_tokens"))
+        .orderBy("split", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q57 source mixture weights — temperature-scaled sampling proportions.
+#
+# w_s = sqrt(tokens_s) / sum_s sqrt(tokens_s): the "temperature 0.5"
+# upsampling of small sources used when composing a training mixture. sqrt
+# (not pow(x, 0.7)) is deliberate: IEEE-754 sqrt is correctly rounded on
+# both engines, so the round-6 weight is bit-deterministic cross-engine.
+#
+# Scale shape: one partial+final aggregate over the corpus reduces 100 TB to
+# |sources| rows; the normalizing denominator is a 1-row broadcast joined
+# back — no second pass over the data, no global window over raw rows.
+# ---------------------------------------------------------------------------
+
+_Q57_ORACLE = f"""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({sql_tokens('text')})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       CAST(CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE))
+         / (SELECT SUM(sqrt(CAST(n_tokens AS DOUBLE))) FROM s), 6)
+         AS DECIMAL(9,6)) AS DOUBLE) AS mix_weight
+FROM s
+ORDER BY source
+"""
+
+
+@query("q57_source_mixture", _Q57_ORACLE)
+def q57_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens"),
+    )
+    denom = per_source.agg(
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("denom")
+    )
+    return (
+        per_source.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.sqrt(F.col("n_tokens").cast("double")) / F.col("denom"), 6)
+            .cast("decimal(9,6)")
+            .cast("double")
+            .alias("mix_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q58 dedup survivor materialization — "keep one per near-dup cluster".
+#
+# Composes Q20's pair graph and Q41's connected components into the artifact
+# a dedup pipeline actually ships: per source, how many docs survive when
+# each cluster keeps only its min-id member, and how many training tokens
+# that retains. The victim set (cluster members != representative) is tiny
+# relative to the corpus, so it broadcasts and the corpus-side pass is
+# map-only.
+# ---------------------------------------------------------------------------
+
+_Q58_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(
+    list_transform(
+      range(1, greatest(len({sql_tokens('text')}) - 1, 1)),
+      i -> array_to_string(list_slice({sql_tokens('text')}, i, i + 2), ' ')
+    )) AS shingles
+  FROM documents
+  WHERE len({sql_tokens('text')}) >= 3
+),
+inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inv AS (
+  SELECT * FROM inv0
+  WHERE shingle NOT IN (
+    SELECT shingle FROM inv0 GROUP BY shingle HAVING COUNT(*) > {DEFAULT_MAX_SHINGLE_DF}
+  )
+),
+co AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
+  FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM co
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON sa.doc_id = id_a
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON sb.doc_id = id_b
+  WHERE CAST(ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS DECIMAL(9,6)) >= 0.1
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+rec AS (
+  WITH RECURSIVE reach(id, lbl) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+  )
+  SELECT id, MIN(lbl) AS component FROM reach GROUP BY id
+),
+victims AS (SELECT id AS doc_id FROM rec WHERE id <> component)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE v.doc_id IS NULL) AS BIGINT) AS n_kept,
+       CAST(COUNT(v.doc_id) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN v.doc_id IS NULL THEN len({sql_tokens('d.text')}) ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM documents d LEFT JOIN victims v USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@query("q58_dedup_survivors", _Q58_ORACLE)
+def q58_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.1)
+    cc = connected_components(pairs)
+    victims = (
+        cc.where(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("doc_id"), F.lit(1).alias("is_victim"))
+    )
+    flagged = docs.join(F.broadcast(victims), "doc_id", "left")
+    kept = F.col("is_victim").isNull()
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.coalesce("is_victim", F.lit(0))).cast("bigint").alias("n_dropped"),
+            F.sum(F.when(kept, token_count("text")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q59 sequence packing — greedy fill of fixed-token-budget bins.
+#
+# The pre-tokenization step of LLM training: concatenate documents (in a
+# deterministic order) into training sequences of at most CAP tokens,
+# starting a new bin whenever the next doc would overflow (an over-CAP doc
+# gets a bin of its own). Packing is inherently sequential WITHIN a stream,
+# so the unit of parallelism is the stream key (here: source; a production
+# run packs per (source, shard) so parallelism = #shards, which this same
+# grouped-map handles unchanged). applyInPandas gives the per-stream Python
+# loop Arrow-batched input; the bin summary aggregate runs JVM-side after.
+#
+# Cross-checked against a DuckDB recursive CTE computing the identical
+# greedy recurrence row-by-row.
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 512
+
+_Q59_ORACLE = f"""
+WITH t AS (
+  SELECT source, doc_id, len({sql_tokens('text')}) AS tc,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+packed AS (
+  WITH RECURSIVE p(source, doc_id, tc, rn, bin, acc) AS (
+    SELECT source, doc_id, tc, rn, 0, tc FROM t WHERE rn = 1
+    UNION ALL
+    SELECT t.source, t.doc_id, t.tc, t.rn,
+           CASE WHEN p.acc + t.tc > {_PACK_CAP} THEN p.bin + 1 ELSE p.bin END,
+           CASE WHEN p.acc + t.tc > {_PACK_CAP} THEN t.tc ELSE p.acc + t.tc END
+    FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1
+  )
+  SELECT * FROM p
+)
+SELECT source, CAST(bin AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tc) AS BIGINT) AS bin_tokens
+FROM packed
+GROUP BY source, bin
+ORDER BY source, bin_id
+"""
+
+
+@query("q59_pack_sequences", _Q59_ORACLE)
+def q59_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", token_count("text").alias("tc")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        bin_id, acc = 0, 0
+        for tc in pdf["tc"]:
+            if acc > 0 and acc + tc > _PACK_CAP:
+                bin_id += 1
+                acc = 0
+            acc += tc
+            bins.append(bin_id)
+        pdf["bin_id"] = bins
+        return pdf
+
+    packed = docs.groupBy("source").applyInPandas(
+        pack, schema="source string, doc_id bigint, tc bigint, bin_id bigint"
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("tc").cast("bigint").alias("bin_tokens"))
+        .orderBy("source", "bin_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q60 interval join — clicks in the hour before each purchase (batch twin of
+# the streaming stream-stream interval join, streaming/events.py).
+#
+# Scale shape: a naive t-range join is a broadcast-nested-loop in Spark.
+# Instead both sides bucket to the hour; each click lands in its own bucket
+# AND the next (explode of 2), so every (purchase, click-within-1h) pair
+# co-locates in exactly one equi-join bucket — a plain shuffled hash join on
+# (user_id, bucket), never O(n^2). The exact window filter then prunes the
+# coarse candidates, and a left join restores zero-click purchases.
+#
+# All time arithmetic is in the epoch-MICROS domain on BOTH engines
+# (unix_micros / epoch_us) so parquet-NANOS truncation can't flip a
+# boundary comparison.
+# ---------------------------------------------------------------------------
+
+_Q60_ORACLE = """
+SELECT p.event_id, p.user_id, CAST(COUNT(c.event_id) AS BIGINT) AS n_prior_clicks
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+ AND epoch_us(c.ts) < epoch_us(p.ts)
+GROUP BY p.event_id, p.user_id
+ORDER BY p.event_id
+"""
+
+_HOUR_US = 3_600_000_000
+
+
+@query("q60_interval_join", _Q60_ORACLE)
+def q60_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "t_us", F.unix_micros("ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t_us", (F.col("t_us") / _HOUR_US).cast("bigint").alias("bkt")
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("t_us").alias("c_us"),
+            (F.col("t_us") / _HOUR_US).cast("bigint").alias("c_bkt"),
+        )
+        # a click can precede purchases in its own hour-bucket or the next
+        .withColumn("bkt", F.explode(F.array(F.col("c_bkt"), F.col("c_bkt") + 1)))
+    )
+    hits = (
+        p.join(
+            c,
+            (p["user_id"] == c["c_user"])
+            & (p["bkt"] == c["bkt"])
+            & (c["c_us"] >= p["t_us"] - _HOUR_US)
+            & (c["c_us"] < p["t_us"]),
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        p.select("event_id", "user_id")
+        .join(hits, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_prior_clicks"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q61 hypertable rollup — fixed-width time-bucket aggregation.
+#
+# The timeseries-database "continuous aggregate" shape: 15-minute buckets per
+# event_type with count + sum. Buckets are pure per-row integer arithmetic on
+# epoch micros (identical on both engines, timezone-free), so at 100 TB this
+# is scan -> codegen projection -> one partial+final aggregate; the output is
+# |buckets| x |types| rows regardless of input size.
+# ---------------------------------------------------------------------------
+
+_BUCKET_S = 900
+
+_Q61_ORACLE = f"""
+SELECT (epoch_us(ts) // {_BUCKET_S * 1_000_000}) * {_BUCKET_S} AS bucket_epoch_s,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket_epoch_s, event_type
+"""
+
+
+@query("q61_time_rollup", _Q61_ORACLE)
+def q61_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.unix_micros("ts") / (_BUCKET_S * 1_000_000)).cast("bigint") * _BUCKET_S
+    return (
+        ev.groupBy(bucket.alias("bucket_epoch_s"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("bucket_epoch_s", "event_type")
+    )

@@ -2103,3 +2103,9 @@ def q41_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
     return dedup_clusters(pairs)
+
+
+# Q55+ — training-data pipeline queries (decontamination, splits, mixture,
+# survivor materialization). Imported last so the registry decorator can be
+# imported from this module without a circular-import trap.
+from mapreduce_paper_implementation_spark.plans import pipeline_queries  # noqa: E402,F401
