@@ -92,3 +92,46 @@ def sql_tokens(col: str) -> str:
 
 def sql_stop_ratio(col: str) -> str:
     return SQL_STOP_RATIO.format(toks=sql_tokens(col))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — redact emails / long digit runs / phone-shaped spans.
+#
+# Per-row regexp_replace chains: pure Column expressions, codegen'd, no
+# shuffle — at 100 TB this is a map-only rewrite pass. Patterns stick to
+# ASCII character classes with identical semantics in Java regex (Spark) and
+# RE2 (DuckDB/others); no lookaround, no unicode classes. The fixture corpus
+# contains no PII (verified — letters only), so the correctness gate is a
+# pytest differential on constructed rows rather than a manifest query.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — permissive on purpose; redaction favors recall
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # international-ish phone: optional +, separators, 7+ digits total
+    "phone": r"\+?[0-9][0-9()\-\. ]{5,}[0-9]",
+    # any remaining run of 9+ digits (ids, SSN-like, card fragments)
+    "digit_run": r"[0-9]{9,}",
+}
+
+
+def scrub_pii(text_col: Column | str, replacement: str = "<PII>") -> Column:
+    """Text with every PII span replaced. Order matters: email before phone
+    (an email's digits must not be half-eaten by the phone pattern),
+    digit_run last as the catch-all."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for name in ("email", "phone", "digit_run"):
+        c = F.regexp_replace(c, PII_PATTERNS[name], replacement)
+    return c
+
+
+def pii_count(text_col: Column | str) -> Column:
+    """Number of PII spans that scrub_pii would redact (for audit metrics).
+    Counted on the progressively-scrubbed text so overlapping patterns are
+    not double-counted — matches scrub_pii's replacement count exactly."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    total = F.lit(0)
+    for name in ("email", "phone", "digit_run"):
+        total = total + F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[name]), 0))
+        c = F.regexp_replace(c, PII_PATTERNS[name], "<PII>")
+    return total

@@ -452,3 +452,284 @@ def q61_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_epoch_s", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q62 repetition quality filter — Gopher-style duplicate-text signals.
+#
+# Per doc: duplicate-2-gram fraction (1 - distinct/total bigrams) and top-
+# token dominance (max token frequency / token count); keep = both below
+# threshold and the doc is long enough. The 2-gram stats are pure per-row
+# array expressions (codegen, zero shuffle); the top-token count is the
+# classic two-level aggregate — explode -> (doc, token) partial counts ->
+# per-doc max — i.e. word count re-used as a quality signal, shuffling
+# (doc_id, token) pairs once. Thresholds are tuned to split the fixture
+# (rep2 > 0.05 ~ 22% of docs, toptok > 0.12 ~ 20%, n < 20 ~ 8%), so both
+# keep outcomes are exercised at the driver's gate SF.
+# ---------------------------------------------------------------------------
+
+_Q62_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {sql_tokens('text')} AS tk FROM documents
+),
+base AS (
+  SELECT doc_id, len(tk) AS n,
+         greatest(len(tk) - 1, 0) AS tot2,
+         CASE WHEN len(tk) >= 2 THEN len(list_distinct(
+           list_transform(range(1, greatest(len(tk), 1)),
+                          i -> array_to_string(list_slice(tk, i, i + 1), ' '))))
+              ELSE 0 END AS dist2
+  FROM t
+),
+tok AS (SELECT doc_id, unnest(tk) AS tkn FROM t),
+tc AS (SELECT doc_id, tkn, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+top AS (SELECT doc_id, MAX(c) AS mx FROM tc GROUP BY 1),
+scored AS (
+  SELECT b.doc_id, b.n,
+         CAST(CAST(CASE WHEN b.tot2 > 0
+           THEN ROUND(1 - CAST(b.dist2 AS DOUBLE) / b.tot2, 6) ELSE 0 END
+           AS DECIMAL(9,6)) AS DOUBLE) AS rep2_frac,
+         CAST(CAST(CASE WHEN b.n > 0
+           THEN ROUND(CAST(COALESCE(tp.mx, 0) AS DOUBLE) / b.n, 6) ELSE 0 END
+           AS DECIMAL(9,6)) AS DOUBLE) AS top_token_frac
+  FROM base b LEFT JOIN top tp USING (doc_id)
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, rep2_frac, top_token_frac,
+       (rep2_frac <= 0.05 AND top_token_frac <= 0.12 AND n >= 20) AS keep
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@query("q62_repetition_filter", _Q62_ORACLE)
+def q62_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        token_count("text").alias("n"),
+        F.size(word_shingles("text", 2)).alias("dist2"),
+    ).withColumn("tot2", F.greatest(F.col("n") - 1, F.lit(0)))
+    top = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tkn"))
+        .groupBy("doc_id", "tkn")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"))
+    )
+    rep2 = (
+        F.when(
+            F.col("tot2") > 0,
+            F.round(1 - F.col("dist2").cast("double") / F.col("tot2"), 6),
+        )
+        .otherwise(0.0)
+        .cast("decimal(9,6)")
+        .cast("double")
+    )
+    topf = (
+        F.when(
+            F.col("n") > 0,
+            F.round(F.coalesce(F.col("mx"), F.lit(0)).cast("double") / F.col("n"), 6),
+        )
+        .otherwise(0.0)
+        .cast("decimal(9,6)")
+        .cast("double")
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            rep2.alias("rep2_frac"),
+            topf.alias("top_token_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("rep2_frac") <= 0.05)
+            & (F.col("top_token_frac") <= 0.12)
+            & (F.col("n_tokens") >= 20),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q63 vocabulary coverage — tokenizer-style vocab construction + OOV rate.
+#
+# Phase 1 builds the top-K vocabulary by global token frequency (count desc,
+# token asc tiebreak — deterministic at the LIMIT boundary); phase 2 measures
+# per-source what fraction of token OCCURRENCES the vocab covers. The vocab
+# is K rows — broadcast — so the coverage pass is map-side against the
+# corpus; the heavy shuffle is the (token) partial/final count, which is the
+# word-count shape the engine already optimizes. K=10 keeps the fixture's
+# ~40-token synthetic vocabulary from making coverage vacuously 1.0.
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 10
+
+_Q63_ORACLE = f"""
+WITH tok AS (SELECT source, unnest({sql_tokens('text')}) AS t FROM documents),
+vocab AS (
+  SELECT t FROM tok GROUP BY t ORDER BY COUNT(*) DESC, t LIMIT {_VOCAB_K}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(v.t) AS BIGINT) AS covered,
+       CAST(CAST(ROUND(CAST(COUNT(v.t) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(9,6)) AS DOUBLE) AS coverage
+FROM tok LEFT JOIN vocab v USING (t)
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("q63_vocab_coverage", _Q63_ORACLE)
+def q63_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("t"))
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "t")
+        .limit(_VOCAB_K)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce("in_vocab", F.lit(0))).cast("bigint").alias("covered"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "covered",
+            F.round(F.col("covered").cast("double") / F.col("n_tokens"), 6)
+            .cast("decimal(9,6)")
+            .cast("double")
+            .alias("coverage"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q64 cross-source overlap matrix — shared 3-gram shingles per source pair.
+#
+# The "which sources plagiarize which" diagnostic of corpus curation. The
+# unit is the DISTINCT (source, shingle) inverted index, so the self-join's
+# per-shingle fanout is bounded by |sources| choose 2 (not by document
+# count) — a shingle shared by every source contributes at most C(20,2)
+# rows. At 100 TB the distinct-pair index is the only shuffle of corpus-
+# derived data and is far smaller than the corpus itself.
+# ---------------------------------------------------------------------------
+
+_Q64_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT source, shingle FROM (
+    SELECT source, unnest(list_distinct(
+      list_transform(
+        range(1, greatest(len({sql_tokens('text')}) - 1, 1)),
+        i -> array_to_string(list_slice({sql_tokens('text')}, i, i + 2), ' ')
+      ))) AS shingle
+    FROM documents
+    WHERE len({sql_tokens('text')}) >= 3
+  )
+)
+SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
+@query("q64_source_overlap", _Q64_ORACLE)
+def q64_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("source", F.explode(word_shingles("text", 3)).alias("shingle"))
+        .distinct()
+    )
+    a = sh.alias("a")
+    b = sh.select(
+        F.col("source").alias("source_b"), F.col("shingle").alias("shingle_b")
+    ).alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("shingle_b")) & (F.col("a.source") < F.col("source_b")))
+        .groupBy(F.col("a.source").alias("source_a"), "source_b")
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q65 embedding quantization audit — int8 round-trip error per vector.
+#
+# Symmetric per-vector int8 quantization (scale = max|x| / 127), the storage
+# format an embedding index ships at scale; the query audits what the
+# compression does to geometry: cosine(original, dequantized) and max
+# absolute element error. Entirely per-row array arithmetic in codegen — no
+# shuffle, no Python — and every step (float32->double widening, IEEE
+# division, half-away-from-zero round, fold-left dot product) is performed
+# identically by DuckDB's list functions, so the round-6 outputs hash-match.
+# ---------------------------------------------------------------------------
+
+_Q65_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+s AS (
+  SELECT vec_id, vec, list_max(list_transform(vec, x -> abs(x))) / 127 AS scale FROM v
+),
+d AS (
+  SELECT vec_id, vec,
+         CASE WHEN scale > 0
+              THEN list_transform(vec, x -> round(x / scale) * scale)
+              ELSE vec END AS dq
+  FROM s
+)
+SELECT vec_id,
+       CAST(CAST(ROUND(
+         list_dot_product(vec, dq)
+         / (sqrt(list_dot_product(vec, vec)) * sqrt(list_dot_product(dq, dq))), 6)
+         AS DECIMAL(9,6)) AS DOUBLE) AS cos_q,
+       CAST(CAST(ROUND(
+         list_max(list_transform(range(1, len(vec) + 1), i -> abs(vec[i] - dq[i]))), 6)
+         AS DECIMAL(9,6)) AS DOUBLE) AS max_err
+FROM d
+ORDER BY vec_id
+"""
+
+
+@query("q65_quantize_audit", _Q65_ORACLE)
+def q65_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.functions.vectors import cosine, to_double_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = emb.select("vec_id", to_double_vec("embedding").alias("vec"))
+    scaled = vec.withColumn(
+        "scale", F.array_max(F.transform("vec", lambda x: F.abs(x))) / F.lit(127.0)
+    )
+    dq = scaled.withColumn(
+        "dq",
+        F.when(
+            F.col("scale") > 0,
+            F.transform("vec", lambda x: F.round(x / F.col("scale"), 0) * F.col("scale")),
+        ).otherwise(F.col("vec")),
+    )
+    return dq.select(
+        "vec_id",
+        F.round(cosine(F.col("vec"), F.col("dq")), 6)
+        .cast("decimal(9,6)")
+        .cast("double")
+        .alias("cos_q"),
+        F.round(
+            F.array_max(F.zip_with("vec", "dq", lambda a, b: F.abs(a - b))), 6
+        )
+        .cast("decimal(9,6)")
+        .cast("double")
+        .alias("max_err"),
+    ).orderBy("vec_id")

@@ -410,3 +410,35 @@ def test_credit_read_observes_dropped_rows(spark, sf_dir):
     independent_raw = spark.read.option("header", True).csv(csv_path).count()
     assert raw_rows == independent_raw
     assert raw_rows > valid, "fixture plants malformed rows; some must drop"
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    """scrub_pii removes emails/phones/digit runs; pii_count matches the
+    number of redactions; clean text passes through untouched."""
+    from mapreduce_paper_implementation_spark.operators.text_analysis import (
+        pii_count,
+        scrub_pii,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "contact bob.smith+spam@example.co.uk for details"),
+        (2, "call +1 (555) 123-4567 or 555.987.6543 now"),
+        (3, "card 4111111111111111 leaked"),
+        (4, "clean text with no pii at all"),
+        (5, "mix: a@b.io then 123456789 end"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"]).select(
+        "id",
+        scrub_pii("text").alias("scrubbed"),
+        pii_count("text").alias("n_pii"),
+    )
+    got = {r["id"]: (r["scrubbed"], r["n_pii"]) for r in df.collect()}
+    assert got[1] == ("contact <PII> for details", 1)
+    assert got[2][1] == 2 and "4567" not in got[2][0] and "6543" not in got[2][0]
+    assert got[3] == ("card <PII> leaked", 1)
+    assert got[4] == ("clean text with no pii at all", 0)
+    assert got[5] == ("mix: <PII> then <PII> end", 2)
+    # no raw digits or @ survive anywhere
+    for _id in (1, 2, 3, 5):
+        assert "@" not in got[_id][0]
