@@ -129,6 +129,10 @@ def minhash_lsh_pairs(
         ]
     )
     sig = mins.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+    # Like the shingle cache above: the banded self-join reads sig on both
+    # sides with no exchange reuse, and sig is tiny (64 ints per doc), so
+    # persisting it halves the signature-aggregation cost.
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
 
     band_structs = F.array(
         *[
@@ -153,12 +157,16 @@ def minhash_lsh_pairs(
 
     if max_bucket_size is not None:
         # Drop pathological buckets (boilerplate-dominated at web scale):
-        # count per bucket, keep small ones. One extra shuffle on the same key.
-        bucket_sizes = banded.groupBy("band_id", "band_key").agg(F.count("*").alias("n"))
-        banded = banded.join(
-            bucket_sizes.where(F.col("n") <= max_bucket_size).drop("n"),
-            ["band_id", "band_key"],
+        # count per bucket, then broadcast-anti-join the HOT bucket keys —
+        # oversized buckets are few by definition, so the banded rows stream
+        # map-side instead of shuffling again on the same key.
+        hot_buckets = (
+            banded.groupBy("band_id", "band_key")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > max_bucket_size)
+            .select("band_id", "band_key")
         )
+        banded = banded.join(F.broadcast(hot_buckets), ["band_id", "band_key"], "anti")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -237,20 +245,33 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
     ).where(F.size("shingles") > 0)
-    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
-    inv = sh.select("id", F.explode("shingles").alias("shingle"))
+    # The inverted index feeds FOUR consumers (per-doc sizes, the hot-set
+    # aggregate, and both sides of the self-join) and Spark reuses none of
+    # them — persist so the corpus is shingled exactly once. Per-doc set
+    # sizes come from the index itself (shingles are distinct per doc, so
+    # size == row count), saving a second corpus scan.
+    from pyspark import StorageLevel
+
+    inv = (
+        sh.select("id", F.explode("shingles").alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
 
     if max_df is not None:
-        # df per shingle is a partial-agg count over the index; the anti
-        # filter is a broadcast-able semi join against the (tiny) cold set —
-        # Spark plans it as one extra shuffle on the same key as the self-join.
-        cold = (
+        # df per shingle is a partial-agg count over the index. The filter
+        # joins against the HOT set (df > max_df), which is tiny by
+        # definition — boilerplate shingles are few even when each is huge —
+        # so it broadcasts and the index streams map-side through the anti
+        # join. (The complement — semi-joining the cold set — shuffles the
+        # whole index a second time, and the cold set GROWS with the corpus.)
+        hot = (
             inv.groupBy("shingle")
             .agg(F.count("*").alias("_df"))
-            .where(F.col("_df") <= max_df)
+            .where(F.col("_df") > max_df)
             .select("shingle")
         )
-        inv = inv.join(cold, "shingle", "semi")
+        inv = inv.join(F.broadcast(hot), "shingle", "anti")
 
     l, r = inv.alias("l"), inv.alias("r")
     co = (
@@ -381,6 +402,14 @@ def simhash_pairs(
         "silently miss qualifying pairs; use more/narrower bands"
     )
     fp = _simhash_df(docs, id_col, text_col, bits)
+    # The banding self-join consumes fp on BOTH sides and Spark does not
+    # reuse the exchange across them (verified: 0 ReusedExchange), so an
+    # unpersisted fp re-runs the whole md5+64-sum pipeline per side. fp is
+    # (id, long) — a few bytes per document even at 100 TB — so caching it
+    # is the signature-materialization step a production pipeline has anyway.
+    from pyspark import StorageLevel
+
+    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
     mask = (1 << band_bits) - 1
     banded = fp.select(
         "id",

@@ -31,9 +31,20 @@ def connected_components(
 ) -> DataFrame:
     """(id, component) for every vertex appearing in `pairs`; component =
     min vertex id reachable. Deterministic for any edge order."""
+    # Symmetrize in ONE pass over `pairs` (explode of the two directions),
+    # not a self-union — a union's two branches each re-evaluate the
+    # upstream pair pipeline (for near-dup graphs that is the full
+    # shingle/similarity join, the most expensive stage of the query).
     edges = (
-        pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src_col).alias("a"), F.col(dst_col).alias("b")),
+                    F.struct(F.col(dst_col).alias("a"), F.col(src_col).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
         .localCheckpoint()
     )

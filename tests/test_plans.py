@@ -116,3 +116,44 @@ def test_q53_exists_plans_as_semi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q53_exists_big_spenders")
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q55_eval_set_broadcasts(spark, sf_dir):
+    # decontamination must broadcast the (tiny) eval shingle set so the
+    # corpus side is never shuffled against it
+    plan = _plan(spark, sf_dir, "q55_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q60_interval_join_is_equi_not_nested_loop(spark, sf_dir):
+    # the time-range join must run as an equi-join on (user, hour-bucket)
+    # with the exact window as a residual filter — a nested-loop range join
+    # would be O(n^2) at scale
+    plan = _plan(spark, sf_dir, "q60_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_q56_split_is_map_only_until_final_agg(spark, sf_dir):
+    # hash-split assignment is per-row arithmetic: exactly one data exchange
+    # (the partial/final aggregate pair) plus the output sort
+    plan = _plan(spark, sf_dir, "q56_split_assign")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 hash exchange, plan has {n_exchanges}"
+    assert plan.count("HashAggregate") >= 2  # partial + final (combiner)
+
+
+def test_q63_vocab_broadcasts(spark, sf_dir):
+    # phase-2 coverage join must broadcast the K-row vocabulary
+    plan = _plan(spark, sf_dir, "q63_vocab_coverage")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q65_quantize_is_shuffle_free(spark, sf_dir):
+    # per-vector quantization audit is pure row-local array math: no
+    # aggregation, no join — the only exchange allowed is the output sort
+    plan = _plan(spark, sf_dir, "q65_quantize_audit")
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
