@@ -69,6 +69,10 @@ def run_bench(sf_dir: str, names: list[str], repeat: int = 1) -> dict:
             best = dt if best is None else min(best, dt)
         if best is not None:
             timings[name] = round(best, 3)
+        # Drop caches a query persisted (signature/fingerprint frames):
+        # queries must not inherit each other's warm state, and leaked
+        # caches inflate GC pressure for everything that runs after.
+        spark.catalog.clearCache()
     out = {
         "metric": "total_query_wall_clock",
         "value": round(sum(timings.values()), 3),

@@ -733,3 +733,102 @@ def q65_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("max_err"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Q66 reverse link graph — the MapReduce paper's "reverse web-link graph"
+# (mapreduce-paper.pdf §2.3: map emits (target, source) per link, reduce
+# concatenates the source list). Links here are the fixture's reference
+# edges user_id -> props.k; the output is the reverse adjacency: per target,
+# the distinct referrer count and the sorted referrer list.
+#
+# Scale shape: distinct (target, source) first — one shuffle of 16-byte
+# pairs with map-side combine — then the groupBy concatenates per target.
+# collect_list is bounded by the per-target distinct-referrer count (the
+# same bound the paper's reduce output has); sort_array orders numerically
+# before stringifying, so the list is deterministic on both engines.
+# ---------------------------------------------------------------------------
+
+_Q66_ORACLE = """
+WITH refs AS (
+  SELECT DISTINCT CAST(props->>'k' AS BIGINT) AS target, user_id
+  FROM events
+  WHERE props->>'k' IS NOT NULL
+)
+SELECT target,
+       CAST(COUNT(*) AS BIGINT) AS n_referrers,
+       string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id) AS referrers
+FROM refs
+GROUP BY target
+ORDER BY target
+"""
+
+
+@query("q66_reverse_links", _Q66_ORACLE)
+def q66_reverse_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    refs = (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("bigint").alias("target"),
+            "user_id",
+        )
+        .where(F.col("target").isNotNull())
+        .distinct()
+    )
+    return (
+        refs.groupBy("target")
+        .agg(
+            F.count("*").alias("n_referrers"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("user_id")), lambda x: x.cast("string")
+                ),
+            ).alias("referrers"),
+        )
+        .orderBy("target")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q67 grouped-aggregate pandas UDF — the UDAF surface.
+#
+# The reference's entire engine is a two-UDF surface (map/reduce plugins,
+# mr/worker.go:32-33); our engine's custom-AGGREGATE analog is the
+# SeriesToScalar pandas UDF inside groupBy().agg() — Arrow-batched, with
+# Spark running it per group after a standard hash shuffle (partial
+# aggregation does NOT apply to opaque UDAFs, which is exactly why the
+# built-in F.sum path is preferred in hot paths; this query exists to cover
+# and test the surface). The summed quantity is pre-computed JVM-side as
+# exact integer cents so the Python sum is order-insensitive and the DuckDB
+# oracle can reproduce it bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_Q67_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q67_pandas_udaf", _Q67_ORACLE)
+def q67_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: `from __future__ import annotations`
+    # stringifies the type hints, which breaks pandas_udf's eval-type
+    # inference for the Series -> scalar (GROUPED_AGG) shape.
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def cents_sum(s):
+        return int(s.sum())
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(cents_sum("cents").alias("total_cents"))
+        .orderBy("event_type")
+    )
