@@ -442,3 +442,43 @@ def test_pii_scrub_redacts_and_counts(spark):
     # no raw digits or @ survive anywhere
     for _id in (1, 2, 3, 5):
         assert "@" not in got[_id][0]
+
+
+def test_incremental_rollup_merge_equals_full_rollup(spark, sf_dir):
+    """Algebraic aggregate maintenance: rollup(part1) ++ rollup(part2)
+    re-aggregated == rollup(all). The property a continuous aggregate
+    relies on — counts/sums add, mins/maxes combine, avg finishes from
+    (count, sum)."""
+    from mapreduce_paper_implementation_spark.operators.incremental import (
+        finish_avg,
+        merge_rollups,
+    )
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+
+    def rollup(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+
+    full = rollup(ev)
+    merged = merge_rollups(
+        [rollup(ev.where(F.col("event_id") % 2 == 0)), rollup(ev.where(F.col("event_id") % 2 == 1))],
+        keys=["event_type"],
+        add_cols=["n", "sum_cents"],
+        min_cols=["min_cents"],
+        max_cols=["max_cents"],
+    )
+    f = {r["event_type"]: r.asDict() for r in full.collect()}
+    m = {r["event_type"]: r.asDict() for r in merged.collect()}
+    assert f == m
+    avg = {r["event_type"]: r["avg_cents"] for r in finish_avg(merged, "n", "sum_cents", "avg_cents").collect()}
+    for k, row in f.items():
+        assert avg[k] == round(row["sum_cents"] / row["n"], 4)

@@ -92,3 +92,32 @@ def test_text_kv_reference_format(spark, sf_dir, tmp_path):
             for ln in f:
                 k = ln.split(" ", 1)[0]
                 assert seen.setdefault(k, p) == p
+
+
+def test_binary_file_source_feeds_multimodal_decode(spark, tmp_path):
+    """binaryFile ingestion: whole file = one record (the reference's input
+    model, mr/worker.go:58-70, generalized to blobs), normalized to the
+    media schema and run through the Arrow-batched decode."""
+    from mapreduce_paper_implementation_spark.operators.multimodal import decode_media
+    from mapreduce_paper_implementation_spark.sources.binary_files import (
+        read_binary_dir,
+        to_media_table,
+    )
+
+    src = tmp_path / "blobs" / "cam0"
+    src.mkdir(parents=True)
+    payloads = {i: bytes([i]) * (10 + i) for i in range(5)}
+    for i, p in payloads.items():
+        (src / f"{i}.bin").write_bytes(p)
+    (src / "notes.txt").write_text("not a blob")
+
+    files = read_binary_dir(spark, str(tmp_path / "blobs"), glob="*.bin")
+    media = to_media_table(files)
+    rows = {r["doc_id"]: r for r in media.collect()}
+    assert set(rows) == set(payloads)
+    assert all(r["source"] == "cam0" for r in rows.values())
+    assert bytes(rows[3]["media"]) == payloads[3]
+
+    decoded = {r["doc_id"]: r for r in decode_media(media).collect()}
+    assert decoded[4]["byte_len"] == 14
+    assert decoded[4]["n_frames"] >= 1
