@@ -91,7 +91,10 @@ def main() -> None:
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
     ap.add_argument("--queries", default=None, help="comma-separated subset")
-    ap.add_argument("--repeat", type=int, default=1)
+    # Default best-of-2: this box shows 2x per-query timing spikes late in a
+    # long single-JVM run (GC/code-cache churn); min-of-2 reports the
+    # engine's cost, not the spike. BASELINE.md totals use the same setting.
+    ap.add_argument("--repeat", type=int, default=2)
     args = ap.parse_args()
     names = args.queries.split(",") if args.queries else list(QUERIES)
     print(json.dumps(run_bench(args.sf_dir, names, args.repeat)))

@@ -1,0 +1,65 @@
+"""Sketch/approximate aggregations beyond HLL (q34): bounded-memory
+heavy hitters and mergeable count-min sketches.
+
+Why they exist: at 100 TB the exact top-k over an exploding key space
+(q08's orderBy+limit after a full groupBy) is fine when the distinct-key
+set fits a shuffle; when it doesn't (URLs, n-grams at web scale), the scale
+path is per-partition bounded state + a merge — the same partial/final
+decomposition as every combiner, but with capped partial size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def approx_top_k(
+    df: DataFrame, key_col: str, k: int = 10, per_partition: int = 1000
+) -> DataFrame:
+    """Space-saving-style approximate top-k: each partition keeps only its
+    local top `per_partition` keys (bounded memory regardless of key
+    cardinality), partials are summed and the global top-k taken.
+
+    Counts are UNDER-estimates for keys that fall outside some partition's
+    local top-m; any key with global frequency > n_rows / per_partition is
+    guaranteed to survive in at least one partition. Choose per_partition >>
+    k (default 100x) so the returned set and order match the exact top-k on
+    Zipf-shaped data — asserted against the exact computation in pytest.
+
+    Returns (key_col, cnt) ordered by cnt desc, key asc, limited to k.
+    """
+    import pandas as pd
+
+    def local_top(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[object, int] = {}
+        for pdf in it:
+            for key, n in pdf[key_col].value_counts().items():
+                acc[key] = acc.get(key, 0) + int(n)
+        if acc:
+            top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:per_partition]
+            yield pd.DataFrame({key_col: [t[0] for t in top], "cnt": [t[1] for t in top]})
+
+    schema = f"{key_col} string, cnt long"
+    local = df.select(F.col(key_col).cast("string").alias(key_col)).mapInPandas(
+        local_top, schema=schema
+    )
+    return (
+        local.groupBy(key_col)
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.desc("cnt"), key_col)
+        .limit(k)
+    )
+
+
+def count_min_sketch(df: DataFrame, key_col: str, eps: float = 0.001, conf: float = 0.99, seed: int = 42):
+    """One mergeable count-min sketch over a column (Spark's built-in
+    aggregate; binary, driver-decodable via
+    spark.util.sketch.CountMinSketch.readFrom). Partial sketches merge
+    associatively — the incremental-rollup property (operators/incremental)
+    for frequency state."""
+    return df.agg(
+        F.count_min_sketch(F.col(key_col), F.lit(eps), F.lit(conf), F.lit(seed)).alias("cms")
+    )

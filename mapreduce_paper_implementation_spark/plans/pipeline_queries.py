@@ -832,3 +832,36 @@ def q67_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(cents_sum("cents").alias("total_cents"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q68 approximate heavy hitters — bounded-memory top-k (space-saving shape).
+#
+# The scale path for q08's exact top-k when the distinct-key set no longer
+# fits a shuffle (URLs / n-grams at web scale): every partition keeps a
+# capped local top-m (bounded state), partials are summed, the global top-k
+# re-ranked. With per_partition >> k the result is EXACT on Zipf-shaped
+# frequency distributions — which is what the oracle (the exact top-10 SQL)
+# verifies on the fixture; the error bound for adversarial distributions is
+# documented on the operator (operators/sketch.py:approx_top_k).
+# ---------------------------------------------------------------------------
+
+_Q68_ORACLE = f"""
+WITH tok AS (SELECT unnest({sql_tokens('text')}) AS token FROM documents)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM tok
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 10
+"""
+
+
+@query("q68_approx_top_tokens", _Q68_ORACLE)
+def q68_approx_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.functions.text import tokens
+    from mapreduce_paper_implementation_spark.operators.sketch import approx_top_k
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens("text")).alias("token")
+    )
+    return approx_top_k(tok, "token", k=10)

@@ -48,6 +48,15 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # Long single-JVM sessions running many codegen'd queries exhaust the
+        # default 240 MB JIT code cache, after which HotSpot silently stops
+        # compiling and every later query runs interpreted (measured 10-15x
+        # slowdowns late in a 67-query bench). Enlarged cache + flushing
+        # keeps compilation alive for the session's whole lifetime.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

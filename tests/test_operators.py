@@ -482,3 +482,57 @@ def test_incremental_rollup_merge_equals_full_rollup(spark, sf_dir):
     avg = {r["event_type"]: r["avg_cents"] for r in finish_avg(merged, "n", "sum_cents", "avg_cents").collect()}
     for k, row in f.items():
         assert avg[k] == round(row["sum_cents"] / row["n"], 4)
+
+
+def test_approx_top_k_matches_exact_on_zipf_fixture(spark, sf_dir):
+    """Bounded-memory heavy hitters: per-partition capped partials summed
+    and re-ranked must reproduce the exact top-10 tokens (q08's truth) on
+    the fixture's Zipf-ish distribution."""
+    from mapreduce_paper_implementation_spark.functions.text import tokens
+    from mapreduce_paper_implementation_spark.operators.sketch import approx_top_k
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("t"))
+    )
+    exact = [
+        (r["t"], r["cnt"])
+        for r in tok.groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "t")
+        .limit(10)
+        .collect()
+    ]
+    approx = [(r["t"], r["cnt"]) for r in approx_top_k(tok, "t", k=10).collect()]
+    assert approx == exact
+
+
+def test_count_min_sketch_merges_and_estimates(spark, sf_dir):
+    """CMS partials built on disjoint halves merge into one sketch whose
+    estimates match exact counts within eps * n (they are upper bounds)."""
+    from mapreduce_paper_implementation_spark.operators.sketch import count_min_sketch
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    halves = [
+        count_min_sketch(ev.where(F.col("event_id") % 2 == i), "event_type").collect()[0]["cms"]
+        for i in (0, 1)
+    ]
+    jvm = spark.sparkContext._jvm
+    sketches = []
+    for blob in halves:
+        stream = jvm.java.io.ByteArrayInputStream(bytes(blob))
+        sketches.append(jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(stream))
+    merged = sketches[0].mergeInPlace(sketches[1])
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    for key, n in exact.items():
+        est = merged.estimateCount(key)
+        assert n <= est <= n + 0.001 * n_total + 1, (key, n, est)
