@@ -179,3 +179,117 @@ def test_null_key_groupby_and_join_semantics(spark, vals):
 
     counts = Counter(k for k, _ in vals if k is not None)
     assert got_join == sum(c * c for c in counts.values())
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    tcs=st.lists(st.integers(min_value=0, max_value=900), min_size=1, max_size=40),
+    cap=st.integers(min_value=1, max_value=600),
+)
+def test_pack_sequences_greedy_invariants(spark, tcs, cap):
+    """Greedy packing vs a pure-Python reference on adversarial lengths:
+    bins are contiguous in doc order, every bin respects the cap unless it
+    holds a single over-cap doc, and bin ids match the reference recurrence."""
+    from pyspark.sql import functions as F
+
+    rows = [("s", i, tc) for i, tc in enumerate(tcs)]
+    docs = spark.createDataFrame(rows, "source string, doc_id long, tc long")
+
+    # reference recurrence (mirrors the DuckDB oracle CTE)
+    want, bin_id, acc = [], 0, 0
+    for tc in tcs:
+        if acc > 0 and acc + tc > cap:
+            bin_id += 1
+            acc = 0
+        acc += tc
+        want.append(bin_id)
+
+    import pandas as pd
+
+    # cap must be a CAPTURED LOCAL: a module attribute referenced inside the
+    # closure resolves against the executor's own import of the module (the
+    # shipped zip), not the driver's monkeypatched copy.
+    cap_ = cap
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, b, a = [], 0, 0
+        for tc in pdf["tc"]:
+            if a > 0 and a + tc > cap_:
+                b += 1
+                a = 0
+            a += tc
+            bins.append(b)
+        pdf["bin_id"] = bins
+        return pdf
+
+    got_rows = (
+        docs.groupBy("source")
+        .applyInPandas(pack, schema="source string, doc_id long, tc long, bin_id long")
+        .orderBy("doc_id")
+        .collect()
+    )
+
+    got = [r["bin_id"] for r in got_rows]
+    assert got == want
+    # invariant: bin totals respect cap except bins holding one NON-EMPTY
+    # doc that itself exceeds the cap (zero-length docs pack for free and
+    # never force a split)
+    totals = Counter()
+    nonempty = Counter()
+    for r in got_rows:
+        totals[r["bin_id"]] += r["tc"]
+        nonempty[r["bin_id"]] += 1 if r["tc"] > 0 else 0
+    for b, tot in totals.items():
+        assert tot <= cap or nonempty[b] == 1
+    # bins are contiguous, starting at 0
+    assert sorted(set(got)) == list(range(max(got) + 1)) if got else True
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=200),
+)
+def test_approx_top_k_counts_are_exact_when_capacity_suffices(spark, keys):
+    """With per_partition >= distinct keys, the bounded-memory top-k must
+    equal the exact computation on ANY distribution (the capped partials
+    lose nothing)."""
+    from mapreduce_paper_implementation_spark.operators.sketch import approx_top_k
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(str(k),) for k in keys], "k string")
+    exact = sorted(Counter(str(k) for k in keys).items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = [(r["k"], r["cnt"]) for r in approx_top_k(df, "k", k=5, per_partition=64).collect()]
+    assert got == exact
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-1000, 1000)), min_size=1, max_size=60
+    ),
+    n_splits=st.integers(min_value=2, max_value=4),
+)
+def test_incremental_merge_matches_full_for_any_partitioning(spark, rows, n_splits):
+    """merge_rollups over ANY disjoint partitioning == rollup of the whole —
+    the algebraic-aggregate property on adversarial groupings."""
+    from mapreduce_paper_implementation_spark.operators.incremental import merge_rollups
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "i long, k long, v long"
+    )
+
+    def rollup(d):
+        return d.groupBy("k").agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+
+    parts = [rollup(df.where(F.col("i") % n_splits == j)) for j in range(n_splits)]
+    merged = merge_rollups(parts, keys=["k"], add_cols=["n", "s"], min_cols=["mn"], max_cols=["mx"])
+    want = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"]) for r in rollup(df).collect()}
+    got = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"]) for r in merged.collect()}
+    assert got == want
