@@ -128,12 +128,16 @@ def minhash_lsh_pairs(
             for i, (a, b) in enumerate(params)
         ]
     )
-    sig = mins.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
-    # Like the shingle cache above: the banded self-join reads sig on both
-    # sides with no exchange reuse, and sig is tiny (64 ints per doc), so
-    # persisting it halves the signature-aggregation cost.
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    # Like the shingle cache above: the banded self-join reads the signature
+    # on both sides with no exchange reuse, and it is tiny (64 ints per
+    # doc), so persisting halves the signature-aggregation cost.
+    mins = mins.persist(StorageLevel.MEMORY_AND_DISK)
 
+    # Band keys straight from the 64 min COLUMNS — string concat + xxhash64
+    # in whole-stage codegen. (The earlier formulation assembled an
+    # array<long> and sliced it per band with transform(): higher-order
+    # array functions are CodegenFallback and evaluate interpreted,
+    # SURVEY.md §8.1 — same band keys, slower plan.)
     band_structs = F.array(
         *[
             F.struct(
@@ -141,17 +145,17 @@ def minhash_lsh_pairs(
                 F.xxhash64(
                     F.concat_ws(
                         ",",
-                        F.transform(
-                            F.slice("sig", j * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
+                        *[
+                            F.col(f"m{j * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
                     )
                 ).alias("band_key"),
             )
             for j in range(bands)
         ]
     )
-    banded = sig.select("id", F.explode(band_structs).alias("b")).select(
+    banded = mins.select("id", F.explode(band_structs).alias("b")).select(
         "id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
     )
 
