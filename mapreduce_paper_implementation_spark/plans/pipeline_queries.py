@@ -648,10 +648,16 @@ ORDER BY source_a, source_b
 
 @query("q64_source_overlap", _Q64_ORACLE)
 def q64_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
+    # persisted: the self-join reads the distinct index on both sides and
+    # Spark reuses no exchanges across a self-join (SURVEY.md §8.10) — the
+    # corpus would otherwise be shingled twice
     sh = (
         docs.select("source", F.explode(word_shingles("text", 3)).alias("shingle"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = sh.alias("a")
     b = sh.select(
