@@ -7,8 +7,11 @@ value-hash -> CORRECTNESS_r{N}.json).
 
 Implementation lives in ``mapreduce_paper_implementation_spark/``; this file
 is a thin adapter. Queries q01-q17 are the declared manifest (SURVEY.md §2D);
-higher-numbered entries are the north-star training-data-pipeline operators
-(dedup / similarity / text analysis / sessionization).
+q18-q54 widen the reference + capability surface (dedup / similarity / text
+analysis / sessionization / joins / windows / subqueries); q55-q68 are the
+training-data-pipeline layer (decontamination, splits, mixture, packing,
+quality filters, quantization, sketches) in ``plans/pipeline_queries.py``.
+All are DuckDB-oracle-backed except q34 (HLL sketch, rows-only by design).
 """
 
 from __future__ import annotations

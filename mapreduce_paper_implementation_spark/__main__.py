@@ -79,6 +79,19 @@ def cmd_query(args, spark) -> int:
     return 0
 
 
+def cmd_explain(args, spark) -> int:
+    """Print the post-AQE physical plan of a manifest query — the artifact a
+    reviewer checks for pushdown / broadcast / shuffle shape at scale."""
+    from mapreduce_paper_implementation_spark.plans.queries import QUERIES
+
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+        return 2
+    df = QUERIES[args.name](spark, args.sf_dir)
+    df.explain(args.mode)
+    return 0
+
+
 def cmd_list(args, spark=None) -> int:
     from mapreduce_paper_implementation_spark.apps import APPS
     from mapreduce_paper_implementation_spark.plans.queries import ORACLES, QUERIES
@@ -114,6 +127,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     pq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     pq.add_argument("--limit", type=int, default=20)
 
+    pe = sub.add_parser("explain", help="print a manifest query's physical plan")
+    pe.add_argument("name")
+    pe.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pe.add_argument("--mode", default="formatted", choices=["simple", "extended", "formatted", "cost", "codegen"])
     sub.add_parser("list", help="list apps and queries")
 
     p.add_argument("--local", type=int, default=8, help="local[N] threads")
@@ -129,7 +146,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         from mapreduce_paper_implementation_spark.shipping import ensure_shipped
 
         ensure_shipped(spark)
-        return {"sequential": cmd_sequential, "run": cmd_run, "query": cmd_query}[
+        return {"sequential": cmd_sequential, "run": cmd_run, "query": cmd_query, "explain": cmd_explain}[
             args.cmd
         ](args, spark)
     finally:

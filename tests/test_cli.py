@@ -54,3 +54,10 @@ def test_cli_list_and_query(spark, sf_dir, capsys):
     assert "event_type" in out
 
     assert main(["query", "nonexistent", "--sf-dir", sf_dir], spark=spark) == 2
+
+
+def test_cli_explain(spark, sf_dir, capsys):
+    assert main(["explain", "q06_filtered_agg", "--sf-dir", sf_dir], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "PushedFilters" in out  # formatted plan shows scan pushdown
+    assert main(["explain", "nonexistent", "--sf-dir", sf_dir], spark=spark) == 2
