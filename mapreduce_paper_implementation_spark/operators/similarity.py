@@ -160,17 +160,24 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-style approximate top-k. Deterministic coarse centroids (the
-    n_cells lowest-id vectors; production would k-means offline): assign
-    every vector to its nearest centroid by cosine, probes scan their
-    `nprobe` nearest cells."""
+    """IVF-style approximate top-k. Coarse centroids come from `centroids`
+    ((cell, c_vec array<double>) — e.g. operators/kmeans.py:kmeans_fit, the
+    offline index-build step) or default to the deterministic n_cells
+    lowest-id vectors: assign every vector to its nearest centroid by
+    cosine, probes scan their `nprobe` nearest cells."""
     v = _prep(emb, id_col, vec_col)
-    cents = (
-        v.orderBy("id")
-        .limit(n_cells)
-        .select(F.col("id").alias("cell"), F.col("vec").alias("c_vec"), F.col("nrm").alias("c_nrm"))
-    )
+    if centroids is not None:
+        cents = centroids.select(
+            "cell", F.col("c_vec"), norm(F.col("c_vec")).alias("c_nrm")
+        )
+    else:
+        cents = (
+            v.orderBy("id")
+            .limit(n_cells)
+            .select(F.col("id").alias("cell"), F.col("vec").alias("c_vec"), F.col("nrm").alias("c_nrm"))
+        )
 
     def assign(df: DataFrame, n_keep: int, id_alias: str) -> DataFrame:
         # Cell assignment ranks by ROUND(cos, 6): raw-double ordering could

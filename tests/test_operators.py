@@ -536,3 +536,69 @@ def test_count_min_sketch_merges_and_estimates(spark, sf_dir):
     for key, n in exact.items():
         est = merged.estimateCount(key)
         assert n <= est <= n + 0.001 * n_total + 1, (key, n, est)
+
+
+def test_kmeans_improves_inertia_and_is_deterministic(spark, sf_dir):
+    """Lloyd's iterations must not worsen the objective: trained centroids'
+    inertia <= the deterministic first-k init's inertia; every vector gets
+    exactly one cell; two runs produce identical centroids (no RNG)."""
+    from mapreduce_paper_implementation_spark.operators.kmeans import (
+        inertia,
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from mapreduce_paper_implementation_spark.functions.vectors import to_double_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+
+    init = (
+        emb.select(F.col("vec_id").alias("id"), to_double_vec("embedding").alias("vec"))
+        .orderBy("id")
+        .limit(8)
+        .select(
+            F.row_number().over(Window.orderBy("id")).alias("cell"),
+            F.col("vec").alias("c_vec"),
+        )
+    )
+    trained = kmeans_fit(emb, k=8, max_iter=5)
+    assert trained.count() == 8
+    assert inertia(emb, trained) <= inertia(emb, init) + 1e-9
+
+    cells = kmeans_assign(emb, trained)
+    assert cells.count() == n
+    assert cells.select("id").distinct().count() == n
+
+    again = kmeans_fit(emb, k=8, max_iter=5)
+    a = {r["cell"]: r["c_vec"] for r in trained.collect()}
+    b = {r["cell"]: r["c_vec"] for r in again.collect()}
+    assert a.keys() == b.keys()
+    for c in a:
+        assert a[c] == b[c]
+
+
+def test_ivf_with_kmeans_centroids_recall(spark, sf_dir):
+    """The trained-centroid IVF path returns well-formed top-k with recall
+    against brute force at least as good as a loose floor; exercises the
+    kmeans_fit -> ivf_topk(centroids=...) index-build + query composition."""
+    from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit
+    from mapreduce_paper_implementation_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    cents = kmeans_fit(emb, k=16, max_iter=4)
+    approx = ivf_topk(emb, probes, nprobe=4, centroids=cents)
+    truth = brute_force_topk(emb, probes)
+    got = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
+    want = {(r["probe_id"], r["neighbor_id"]) for r in truth.collect()}
+    assert len(got) == len(want) == 30  # 10 probes x top-3, well-formed
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, f"kmeans-IVF recall {recall} below floor"
