@@ -79,6 +79,10 @@ def run_bench(sf_dir: str, names: list[str], repeat: int = 1) -> dict:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_of(sf_dir),
+        # Self-describing validity: a total computed while some queries
+        # errored is NOT a usable benchmark number, and consumers of the
+        # artifact must not have to infer that from a missing key.
+        "valid": not failures,
     }
     if failures:
         out["failures"] = failures
@@ -97,7 +101,12 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=2)
     args = ap.parse_args()
     names = args.queries.split(",") if args.queries else list(QUERIES)
-    print(json.dumps(run_bench(args.sf_dir, names, args.repeat)))
+    out = run_bench(args.sf_dir, names, args.repeat)
+    print(json.dumps(out), flush=True)
+    # Propagate failure: automation reading only the exit code must not
+    # mistake a partially-errored run for a benched round (ADVICE r03).
+    if not out["valid"]:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

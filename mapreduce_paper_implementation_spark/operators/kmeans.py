@@ -59,12 +59,17 @@ def kmeans_fit(
         .select(F.row_number().over(Window.orderBy("id")).alias("cell"), F.col("vec").alias("c_vec"))
         .localCheckpoint()
     )
+    n_init = cents.count()
+    if n_init < k:
+        raise ValueError(
+            f"kmeans_fit: k={k} but only {n_init} vectors available to seed"
+        )
 
     for _ in range(max_iter):
         assigned = _assign(v, cents)
         # element-wise mean per cluster: posexplode -> (cell, pos) partial
         # averages -> ordered re-assembly
-        new_cents = (
+        means = (
             assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(F.avg("x").alias("m"))
@@ -72,19 +77,28 @@ def kmeans_fit(
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-                ).alias("c_vec")
+                ).alias("n_vec")
             )
-            .localCheckpoint()
+        )
+        # A cell that lost every member produces no mean row; a plain inner
+        # join would silently drop it and return < k centroids (shrinking the
+        # index ivf_topk probes). Left-join from the OLD centroids and carry
+        # the old vector forward — the cell keeps existing and can re-acquire
+        # members in a later round; its shift contribution is exactly 0.
+        joined = (
+            cents.join(means, "cell", "left")
+            .select("cell", "c_vec", F.coalesce("n_vec", "c_vec").alias("n_vec"))
+            .localCheckpoint()  # materialize once; shift + next cents both read it
         )
         shift = (
-            cents.join(new_cents.withColumnRenamed("c_vec", "n_vec"), "cell")
-            .select(_sq_dist(F.col("c_vec"), F.col("n_vec")).alias("d"))
+            joined.select(_sq_dist(F.col("c_vec"), F.col("n_vec")).alias("d"))
             .agg(F.sum("d").alias("s"))
             .collect()[0]["s"]
         )
-        cents = new_cents
+        cents = joined.select("cell", F.col("n_vec").alias("c_vec"))
         if shift is not None and shift < tol:
             break
+    assert cents.count() == k, "kmeans_fit invariant: one centroid per cell"
     return cents
 
 

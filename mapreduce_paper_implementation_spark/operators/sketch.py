@@ -16,12 +16,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Eviction headroom: the per-partition accumulator may grow to this multiple
+# of `per_partition` before being pruned back down. Headroom >1 matters for
+# accuracy — evicting to exactly the cap after every batch would let a key
+# that arrives steadily-but-thinly be re-evicted each round before its count
+# accumulates; 4x keeps recent low-count keys alive across a few batches.
+_EVICT_FACTOR = 4
+
+
+def _merge_counts(acc: dict, counts, cap: int) -> None:
+    """Fold one batch's (key -> n) counts into the accumulator, then prune to
+    the top `cap` keys whenever the accumulator exceeds _EVICT_FACTOR * cap.
+    Memory is O(_EVICT_FACTOR * cap + batch distinct keys) — bounded however
+    many distinct keys the partition holds. Pruning drops the smallest counts,
+    so surviving counts remain exact-or-under, never over (the same guarantee
+    the yield-time truncation gives)."""
+    for key, n in counts.items():
+        acc[key] = acc.get(key, 0) + int(n)
+    if len(acc) > _EVICT_FACTOR * cap:
+        top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]
+        acc.clear()
+        acc.update(top)
+
+
 def approx_top_k(
     df: DataFrame, key_col: str, k: int = 10, per_partition: int = 1000
 ) -> DataFrame:
     """Space-saving-style approximate top-k: each partition keeps only its
-    local top `per_partition` keys (bounded memory regardless of key
-    cardinality), partials are summed and the global top-k taken.
+    local top `per_partition` keys (memory bounded during accumulation by
+    _merge_counts's eviction, regardless of key cardinality), partials are
+    summed and the global top-k taken.
 
     Counts are UNDER-estimates for keys that fall outside some partition's
     local top-m; any key with global frequency > n_rows / per_partition is
@@ -36,8 +60,7 @@ def approx_top_k(
     def local_top(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[object, int] = {}
         for pdf in it:
-            for key, n in pdf[key_col].value_counts().items():
-                acc[key] = acc.get(key, 0) + int(n)
+            _merge_counts(acc, pdf[key_col].value_counts(), per_partition)
         if acc:
             top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:per_partition]
             yield pd.DataFrame({key_col: [t[0] for t in top], "cnt": [t[1] for t in top]})

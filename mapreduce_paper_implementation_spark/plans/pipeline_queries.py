@@ -373,20 +373,33 @@ ORDER BY p.event_id
 _HOUR_US = 3_600_000_000
 
 
+def _floor_div(col, divisor: int):
+    """Exact integer floor division, matching the oracles' SQL `//`.
+
+    `(x / d).cast("bigint")` truncates toward zero (wrong for negative
+    epochs) and `F.floor(x / d)` routes through double division (boundary
+    rounding risk at large epoch-micros). Subtracting the positive modulus
+    first makes the quotient an exact multiple, so the division is exact and
+    truncation equals floor for every sign. Pure codegen arithmetic."""
+    from pyspark.sql import functions as F
+
+    return ((col - F.pmod(col, F.lit(divisor))) / divisor).cast("bigint")
+
+
 @query("q60_interval_join", _Q60_ORACLE)
 def q60_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "t_us", F.unix_micros("ts")
     )
     p = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "t_us", (F.col("t_us") / _HOUR_US).cast("bigint").alias("bkt")
+        "event_id", "user_id", "t_us", _floor_div(F.col("t_us"), _HOUR_US).alias("bkt")
     )
     c = (
         ev.where(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
             F.col("t_us").alias("c_us"),
-            (F.col("t_us") / _HOUR_US).cast("bigint").alias("c_bkt"),
+            _floor_div(F.col("t_us"), _HOUR_US).alias("c_bkt"),
         )
         # a click can precede purchases in its own hour-bucket or the next
         .withColumn("bkt", F.explode(F.array(F.col("c_bkt"), F.col("c_bkt") + 1)))
@@ -440,7 +453,9 @@ ORDER BY bucket_epoch_s, event_type
 @query("q61_time_rollup", _Q61_ORACLE)
 def q61_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    bucket = (F.unix_micros("ts") / (_BUCKET_S * 1_000_000)).cast("bigint") * _BUCKET_S
+    # _floor_div, not cast("bigint"): cast truncates toward zero; the oracle's
+    # // is floor — they diverge for pre-1970 (negative-epoch) timestamps
+    bucket = _floor_div(F.unix_micros("ts"), _BUCKET_S * 1_000_000) * _BUCKET_S
     return (
         ev.groupBy(bucket.alias("bucket_epoch_s"), "event_type")
         .agg(

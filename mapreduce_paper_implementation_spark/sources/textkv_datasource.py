@@ -101,6 +101,14 @@ class TextKVWriter(DataSourceWriter):
         pid = TaskContext.get().partitionId()
         os.makedirs(self.path, exist_ok=True)
         final_path = os.path.join(self.path, f"part-{pid:05d}")
+        if not self.overwrite and os.path.exists(final_path):
+            # append into a directory that already holds a part-<pid>: a
+            # plain rename would silently destroy the earlier job's file
+            # (the duplicate-output hazard SURVEY §4.2.1 flags in the
+            # reference) — suffix with a job-unique token instead.
+            final_path = os.path.join(
+                self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}"
+            )
         # task-attempt-unique temp + commit-time rename: a retried attempt
         # never half-overwrites a committed file (mr/worker.go:157 discipline)
         tmp_path = os.path.join(self.path, f".part-{pid:05d}.{uuid.uuid4().hex}.tmp")
@@ -110,8 +118,21 @@ class TextKVWriter(DataSourceWriter):
         return _Committed(tmp_path=tmp_path, final_path=final_path)
 
     def commit(self, messages) -> None:
+        # Driver-side job commit. On overwrite, files from a previous job
+        # that are NOT among this job's committed parts must go — a prior
+        # 8-partition write overwritten by a 2-partition write would
+        # otherwise leave 6 stale parts that the reader happily includes.
+        # (POSIX rename/unlink; an object-store port would swap this for a
+        # manifest commit.)
+        committed = set()
         for m in messages:
             os.replace(m.tmp_path, m.final_path)
+            committed.add(os.path.basename(m.final_path))
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith((".", "_")) or f in committed:
+                    continue
+                os.remove(os.path.join(self.path, f))
 
     def abort(self, messages) -> None:
         for m in messages:

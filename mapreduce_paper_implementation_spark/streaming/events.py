@@ -25,33 +25,31 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# Raw parquet schema: ts is TIMESTAMP(NANOS) which Spark only reads as long
-# (see sources/tables.py) — the stream source declares it as long and the
-# normalizer projects to TimestampType.
-_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events fixture with normalized timestamps."""
+    """File-source stream of the events fixture with normalized timestamps.
+
+    File stream sources require a declared schema, and the declared type of
+    `ts` must match how the writer encoded it — TIMESTAMP(NANOS) fixtures read
+    as int64 under the legacy nanosAsLong conf, TIMESTAMP(MICROS) fixtures as
+    a timestamp type. Rather than hardcode one encoding (which broke when the
+    fixture generation changed), probe the file with a one-off batch schema
+    read — metadata only, no data scan — and declare exactly what the batch
+    reader infers, then normalize `ts` with the same dtype-adaptive projection
+    the batch catalog uses (sources/tables._normalize_timestamp).
+    """
+    from ..sources.tables import _normalize_timestamp
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # File stream sources take a directory; pathGlobFilter narrows it to the
     # events table so sibling parquet files in the fixture dir are ignored.
     raw = (
-        spark.readStream.schema(_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_timestamp(raw, "ts")
 
 
 def windowed_counts(

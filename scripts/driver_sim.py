@@ -4,11 +4,23 @@ via DuckDB — through the SAME pandas canonicalization the grading driver
 uses (testing/compare.py), so dtype-contract bugs (Decimal vs float64)
 fail here before they fail in the driver.
 
-Usage: python scripts/driver_sim.py [sf_dir] [query_prefix...]
+With --json PATH, also write a CORRECTNESS_r-style artifact covering the
+FULL manifest (the driver's own oracle keyset froze at 50 queries; this is
+the committed record for the other 18 — VERDICT r03 gap #1).
+
+Usage: python scripts/driver_sim.py [--json PATH] [sf_dir] [query_prefix...]
 """
+import json
 import sys, time
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
+
+argv = sys.argv[1:]
+json_out = None
+if "--json" in argv:
+    i = argv.index("--json")
+    json_out = argv[i + 1]
+    argv = argv[:i] + argv[i + 2:]
 
 spark = (
     SparkSession.builder.master("local[8]")
@@ -20,6 +32,7 @@ spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as e
 from mapreduce_paper_implementation_spark.testing.compare import (
+    canonize,
     compare_query,
     duckdb_connect,
     spark_to_pandas,
@@ -32,32 +45,64 @@ print(f"ENTRY: rows={len(rows)} schema={df.schema.simpleString()}")
 qs, os_ = e.queries(), e.oracle_sql()
 print(f"CONTRACT: {len(qs)} queries, {len(os_)} oracles, orphan_oracles={set(os_)-set(qs)}")
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-only = sys.argv[2:]
+SF = argv[0] if argv else "/root/testdata/sf0.01"
+only = argv[1:]
 con = duckdb_connect(SF)
 
+record: dict[str, dict] = {}
 fails = 0
 for name in sorted(qs):
     if only and not any(name.startswith(p) for p in only):
         continue
     t0 = time.time()
     if name not in os_:
-        sdf = qs[name](spark, SF)
         try:
-            pdf = spark_to_pandas(sdf)
+            pdf = spark_to_pandas(qs[name](spark, SF))
             # the driver canonicalizes rows-only results too: unhashable /
             # unsortable cells (lists) crash it, so surface that here
-            from mapreduce_paper_implementation_spark.testing.compare import canonize
             canonize(pdf)
             print(f"{name:28s} ROWS-ONLY rows={len(pdf)} ({time.time()-t0:.1f}s)")
+            record[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(pdf), "oracle_rows": None,
+                "err": None, "mode": "rows_only",
+            }
         except Exception as ex:
             fails += 1
             print(f"{name:28s} ROWS-ONLY CANON-CRASH: {ex!r}")
+            record[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": None, "oracle_rows": None,
+                "err": repr(ex)[:500], "mode": "rows_only",
+            }
         continue
-    res = compare_query(spark, con, name, qs[name], os_[name], SF)
+    try:
+        res = compare_query(spark, con, name, qs[name], os_[name], SF)
+    except Exception as ex:
+        fails += 1
+        print(f"{name:28s} ERROR {ex!r}")
+        record[name] = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None,
+            "err": repr(ex)[:500], "mode": "oracle",
+        }
+        continue
+    record[name] = {
+        "rows_match": res.ok or res.spark_rows == res.oracle_rows,
+        "schema_match": res.ok or "columns differ" not in res.detail,
+        "hash_match": res.ok,
+        "spark_rows": res.spark_rows, "oracle_rows": res.oracle_rows,
+        "err": None if res.ok else res.detail[:500], "mode": "oracle",
+    }
     if not res.ok:
         fails += 1
         print(f"{name:28s} MISMATCH {res.detail[:300]}")
     else:
         print(f"{name:28s} MATCH rows={res.spark_rows} ({time.time()-t0:.1f}s)")
+
 print("RESULT:", "ALL MATCH" if fails == 0 else f"{fails} FAILURES")
+if json_out:
+    with open(json_out, "w") as fh:
+        json.dump({"sf_dir": SF, "n_queries": len(record), "results": record}, fh, indent=1)
+    print(f"WROTE {json_out} ({len(record)} entries)")
+sys.exit(1 if fails else 0)
