@@ -103,8 +103,13 @@ def kmeans_fit(
 
 
 def _assign(v: DataFrame, cents: DataFrame) -> DataFrame:
+    # Rank on ROUND(d2, 6), not raw doubles: the q29 oracle replays these
+    # iterations in DuckDB, and raw-double ordering can flip on cross-engine
+    # ulp differences (different summation forms/orders). Same contract as
+    # similarity.py's ROUND(cos, 6) ranks; sub-1e-6 ties break to the lower
+    # cell id deterministically in both engines.
     scored = v.crossJoin(F.broadcast(cents)).select(
-        "id", "vec", "cell", _sq_dist(F.col("vec"), F.col("c_vec")).alias("d2")
+        "id", "vec", "cell", F.round(_sq_dist(F.col("vec"), F.col("c_vec")), 6).alias("d2")
     )
     w = Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cell"))
     return (

@@ -1125,48 +1125,101 @@ ORDER BY probe_id, rnk
 """
 
 
-def _q29_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 3) -> str:
-    return f"""
-WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
-         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-  FROM embeddings
-),
-cents AS (
-  SELECT vec_id AS cell, vec AS c_vec, nrm AS c_nrm
-  FROM v ORDER BY vec_id LIMIT {n_cells}
-),
-assigned AS (
-  SELECT v.vec_id, cents.cell,
+def _q29_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 3, iters: int = 2) -> str:
+    """Oracle for the TRAINED-centroid IVF path: replays kmeans_fit's Lloyd
+    iterations (operators/kmeans.py) unrolled in plain SQL — init = vectors
+    of the n_cells lowest ids, assignment ranks ROUND(squared-L2, 6) with
+    ties to the lower cell, per-cell element-wise means with carry-forward
+    for emptied cells — then the same IVF probe as ivf_topk. Every ranking
+    quantizes to 6 decimals before comparing so DuckDB/Spark double-ulp
+    differences cannot flip an order."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_dot_product({a},{a}) - 2*list_dot_product({a},{b})"
+            f" + list_dot_product({b},{b}), 6)"
+        )
+
+    ctes = [
+        "v AS (\n  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings\n)",
+        f"""c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, vec AS c_vec
+  FROM (SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT {n_cells})
+)""",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes += [
+            f"""a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {d2("v.vec", "c.c_vec")} ASC, c.cell ASC) AS r
+    FROM v CROSS JOIN {prev} c
+  ) WHERE r = 1
+)""",
+            f"""m{i} AS (
+  SELECT cell, list(m ORDER BY pos) AS c_vec
+  FROM (
+    SELECT cell, pos, AVG(x) AS m
+    FROM (
+      SELECT a.cell, UNNEST(v.vec) AS x, UNNEST(range(len(v.vec))) AS pos
+      FROM a{i} a JOIN v ON v.vec_id = a.vec_id
+    )
+    GROUP BY cell, pos
+  )
+  GROUP BY cell
+)""",
+            f"""c{i} AS (
+  SELECT p.cell, COALESCE(m.c_vec, p.c_vec) AS c_vec
+  FROM {prev} p LEFT JOIN m{i} m ON m.cell = p.cell
+)""",
+        ]
+        prev = f"c{i}"
+    ctes += [
+        f"""cents AS (
+  SELECT cell, c_vec, sqrt(list_dot_product(c_vec, c_vec)) AS c_nrm FROM {prev}
+)""",
+        """vv AS (
+  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v
+)""",
+        """assigned AS (
+  SELECT vv.vec_id, cents.cell,
          ROW_NUMBER() OVER (
-           PARTITION BY v.vec_id
-           ORDER BY ROUND(list_dot_product(v.vec, cents.c_vec) / (v.nrm * cents.c_nrm), 6) DESC, cents.cell
+           PARTITION BY vv.vec_id
+           ORDER BY ROUND(list_dot_product(vv.vec, cents.c_vec) / (vv.nrm * cents.c_nrm), 6) DESC, cents.cell
          ) AS cell_rank
-  FROM v CROSS JOIN cents
-),
-cand AS (
-  SELECT v.vec_id, v.vec, v.nrm, a.cell
-  FROM v JOIN assigned a ON a.vec_id = v.vec_id AND a.cell_rank = 1
-),
-pv AS (
-  SELECT a.vec_id AS probe_id, a.cell AS p_cell, v.vec AS p_vec, v.nrm AS p_nrm
-  FROM assigned a JOIN v ON v.vec_id = a.vec_id
+  FROM vv CROSS JOIN cents
+)""",
+        """cand AS (
+  SELECT vv.vec_id, vv.vec, vv.nrm, a.cell
+  FROM vv JOIN assigned a ON a.vec_id = vv.vec_id AND a.cell_rank = 1
+)""",
+        f"""pv AS (
+  SELECT a.vec_id AS probe_id, a.cell AS p_cell, vv.vec AS p_vec, vv.nrm AS p_nrm
+  FROM assigned a JOIN vv ON vv.vec_id = a.vec_id
   WHERE a.vec_id < 10 AND a.cell_rank <= {nprobe}
-),
-pairs AS (
+)""",
+        """pairs AS (
   SELECT DISTINCT pv.probe_id, c.vec_id AS neighbor_id,
          CAST(ROUND(list_dot_product(pv.p_vec, c.vec) / (pv.p_nrm * c.nrm), 6) AS DECIMAL(9,6)) AS cos_sim
   FROM cand c JOIN pv ON c.cell = pv.p_cell AND c.vec_id <> pv.probe_id
-),
-ranked AS (
+)""",
+        """ranked AS (
   SELECT probe_id, neighbor_id, cos_sim,
          CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
   FROM pairs
-)
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
 SELECT probe_id, neighbor_id, CAST(cos_sim AS DOUBLE) AS cos_sim, rnk
 FROM ranked WHERE rnk <= {k}
 ORDER BY probe_id, rnk
 """
+    )
 
 
 @query("q28_ann_lsh", _q28_oracle())
@@ -1177,8 +1230,15 @@ def q28_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q29_ann_ivf", _q29_oracle())
 def q29_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with TRAINED coarse centroids: kmeans_fit (two Lloyd iterations,
+    deterministic lowest-id seeding) is the offline index-build step, then
+    ivf_topk probes the trained cells. The oracle replays the training
+    loop unrolled in SQL, so the full build+probe path is hash-checked."""
+    from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.where(F.col("vec_id") < 10))
+    cents = kmeans_fit(emb, k=16, max_iter=2)
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 10), centroids=cents)
 
 
 # ---------------------------------------------------------------------------
