@@ -373,17 +373,9 @@ ORDER BY p.event_id
 _HOUR_US = 3_600_000_000
 
 
-def _floor_div(col, divisor: int):
-    """Exact integer floor division, matching the oracles' SQL `//`.
-
-    `(x / d).cast("bigint")` truncates toward zero (wrong for negative
-    epochs) and `F.floor(x / d)` routes through double division (boundary
-    rounding risk at large epoch-micros). Subtracting the positive modulus
-    first makes the quotient an exact multiple, so the division is exact and
-    truncation equals floor for every sign. Pure codegen arithmetic."""
-    from pyspark.sql import functions as F
-
-    return ((col - F.pmod(col, F.lit(divisor))) / divisor).cast("bigint")
+from mapreduce_paper_implementation_spark.functions.numeric import (  # noqa: E402
+    floor_div as _floor_div,
+)
 
 
 @query("q60_interval_join", _Q60_ORACLE)
@@ -886,3 +878,54 @@ def q68_approx_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens("text")).alias("token")
     )
     return approx_top_k(tok, "token", k=10)
+
+
+# ---------------------------------------------------------------------------
+# Q70 incremental rollup maintenance — continuous-aggregate correctness gate.
+#
+# Splits events into two deterministic deltas (even/odd event_id), builds a
+# mergeable rollup state per delta, merges the states, finalizes — and must
+# equal the one-shot GROUP BY over all events (the oracle). This is the
+# contract that lets a 100 TB deployment aggregate each day's delta once and
+# never re-read history: every state column is algebraic (count/sum in exact
+# decimal, min/max) or a lossless-merge sketch (HLL; pytest-gated since
+# Spark's DataSketches HLL is not SQL-expressible in DuckDB). See
+# operators/incremental.py for the scale analysis.
+# ---------------------------------------------------------------------------
+
+_Q70_ORACLE = """
+SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_epoch_s,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket_epoch_s, event_type
+"""
+
+
+@query("q70_incremental_rollup", _Q70_ORACLE)
+def q70_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.incremental import (
+        finalize_rollup,
+        merge_rollups,
+        rollup_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    delta_a = rollup_state(ev.where(F.col("event_id") % 2 == 0))
+    delta_b = rollup_state(ev.where(F.col("event_id") % 2 == 1))
+    out = finalize_rollup(merge_rollups(delta_a, delta_b))
+    return out.select(
+        "bucket_epoch_s",
+        F.col("key").alias("event_type"),
+        "n_events",
+        # exact decimal merge -> double projection (output dtype contract);
+        # approx_users is excluded here: Spark's HLL estimate has no DuckDB
+        # twin, so that column is gated by tests/test_operators.py instead
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("bucket_epoch_s", "event_type")

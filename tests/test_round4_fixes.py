@@ -261,3 +261,54 @@ def test_q61_buckets_floor_for_pre1970(spark, tmp_path):
         {(v // (_BUCKET_S * 1_000_000)) * _BUCKET_S for v in [t_us, 0, 450_000_000]}
     )
     assert buckets == expected, (buckets, expected)
+
+
+# ---------------------------------------------------------------------------
+# incremental rollup maintenance (operators/incremental.py, q70)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_rollup_equals_oneshot_including_hll(spark, sf_dir):
+    """The full contract, sketch column included: a 3-way split of events,
+    merged (including a merge-of-merged state to pin re-mergeability and
+    schema stability), finalizes bit-identically to the one-shot rollup —
+    counts and decimal sums exactly, and the HLL distinct-user estimate too
+    (sketch union is lossless over the sketch lattice)."""
+    from mapreduce_paper_implementation_spark.operators.incremental import (
+        finalize_rollup,
+        merge_rollups,
+        rollup_state,
+    )
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    one_shot = finalize_rollup(rollup_state(ev)).orderBy("bucket_epoch_s", "key")
+
+    parts = [rollup_state(ev.where(F.col("event_id") % 3 == i)) for i in range(3)]
+    first_two = merge_rollups(parts[0], parts[1])
+    merged = finalize_rollup(merge_rollups(first_two, parts[2])).orderBy(
+        "bucket_epoch_s", "key"
+    )
+
+    # simpleString: dtypes must agree; nullability flags differ between the
+    # one-shot and merged plans (outer aggregate) and are not contractual
+    assert merged.schema.simpleString() == one_shot.schema.simpleString()
+    assert [tuple(r) for r in merged.collect()] == [tuple(r) for r in one_shot.collect()]
+
+
+def test_rollup_state_size_independent_of_split(spark, sf_dir):
+    """State row-count equals |buckets x keys| however the input is split —
+    the property that makes merge cost independent of raw-data size."""
+    from mapreduce_paper_implementation_spark.operators.incremental import (
+        merge_rollups,
+        rollup_state,
+    )
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    whole = rollup_state(ev)
+    merged = merge_rollups(
+        rollup_state(ev.where(F.col("event_id") % 2 == 0)),
+        rollup_state(ev.where(F.col("event_id") % 2 == 1)),
+    )
+    assert merged.count() == whole.count()
