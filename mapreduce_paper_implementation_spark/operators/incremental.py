@@ -1,41 +1,99 @@
-"""Incremental rollup maintenance — the timeseries-database "continuous
-aggregate" pattern as mergeable partial-aggregate state.
+"""Incremental aggregate maintenance — fold new data into materialized
+rollups without rescanning history.
 
-The reference recomputes every job from scratch (a full MapReduce pass per
-query, mr/coordinator.go job lifecycle); a 100 TB event stream cannot afford
-that. The scale path is the classic partial/final decomposition made
-DURABLE: keep a per-(bucket, key) state table whose columns are all
-ALGEBRAIC or SKETCH aggregates — count, sum, min, max, HLL sketch for
-distinct — so yesterday's state merges with today's delta by one
-aggregation over the union, never touching yesterday's raw data again.
+The property that makes continuous aggregation possible at 100 TB: for
+algebraic aggregates (count, sum, min, max — and avg finished from
+count+sum), the rollup of the whole equals the re-aggregation of rollups of
+any partition of the data. This is the same partial/final decomposition
+Spark's own HashAggregate does inside one query (the combiner the reference
+lacks, reference mr/worker.go:86-89) — lifted to a user-visible operator so
+it can span *jobs* (yesterday's materialized rollup + today's delta), not
+just stages.
 
-    state = rollup_state(day1_events)          # one pass over the delta
-    state = merge_rollups(state, rollup_state(day2_events))
-    finalize_rollup(state)                     # cheap: |buckets| x |keys|
+Two surfaces:
 
-Merge cost is O(|state|), independent of raw-data size; the state table is
-|buckets| x |key cardinality| rows regardless of input. All aggregates here
-are associative+commutative (count/sum exactly; HLL sketch union losslessly
-over the sketch lattice), so ANY split of the input — by arrival day, by
-partition, by cluster — merges to bit-identical count/sum and identical
-sketches. q70 gates incremental == one-shot against the SQL oracle; pytest
-additionally pins the HLL estimate path (not SQL-expressible — Spark's
-DataSketches HLL and DuckDB's approx_count_distinct are different sketches).
+1. GENERIC column-driven merge (`merge_rollups`, `finish_avg`): caller
+   brings any partial-rollup frames and names which columns add / min / max.
 
-Sums use DECIMAL(18,4), not DOUBLE: decimal addition is exact and
-associative, so the merged total is bit-equal no matter how the input was
-split — a DOUBLE running sum would drift by summation order and break the
-incremental == batch contract the oracle checks.
+2. TYPED time-bucket state (`rollup_state` / `merge_states` /
+   `finalize_rollup`): the timeseries-database "continuous aggregate" shape
+   over the events table — per-(bucket_epoch_s, key) state carrying exact
+   decimal count/sum, min/max, and an HLL distinct-user sketch.
+
+       state = rollup_state(day1_events)         # one pass over the delta
+       state = merge_states(state, rollup_state(day2_events))
+       finalize_rollup(state)                    # cheap: |buckets| x |keys|
+
+   Merge cost is O(|state|), independent of raw-data size. All state
+   columns are associative+commutative (count/sum exactly; HLL sketch union
+   losslessly over the sketch lattice), so ANY split of the input — by
+   arrival day, by partition, by cluster — merges to bit-identical
+   count/sum and identical sketches. q69 gates incremental == one-shot
+   against the SQL oracle; pytest additionally pins the HLL estimate path
+   (not SQL-expressible — Spark's DataSketches HLL and DuckDB's
+   approx_count_distinct are different sketches).
+
+   Sums use DECIMAL(18,4), not DOUBLE: decimal addition is exact and
+   associative, so the merged total is bit-equal no matter how the input
+   was split — a DOUBLE running sum would drift by summation order and
+   break the incremental == batch contract the oracle checks.
+
+The streaming twin (foreachBatch maintenance with versioned, idempotent
+state) is streaming/rollup.py:RollupMaintainer.
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_paper_implementation_spark.functions.numeric import floor_div
 
-_STATE_COLS = ("n_events", "sum_value", "min_value", "max_value", "users_hll")
+# ---------------------------------------------------------------------------
+# 1. generic column-driven merge
+# ---------------------------------------------------------------------------
+
+
+def merge_rollups(
+    rollups: Sequence[DataFrame],
+    keys: Sequence[str],
+    add_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Re-aggregate partial rollup frames into one.
+
+    add_cols: counts and sums (merge by SUM — exact for integers/decimals);
+    min_cols / max_cols: merge by MIN / MAX. Input frames must share the
+    (keys + value columns) schema; a key absent from one partial simply
+    contributes nothing. One shuffle over the (small) partials, never over
+    the raw data.
+    """
+    assert rollups, "need at least one partial rollup"
+    merged = reduce(lambda a, b: a.unionByName(b), rollups)
+    aggs = (
+        [F.sum(c).alias(c) for c in add_cols]
+        + [F.min(c).alias(c) for c in min_cols]
+        + [F.max(c).alias(c) for c in max_cols]
+    )
+    return merged.groupBy(*keys).agg(*aggs)
+
+
+def finish_avg(df: DataFrame, count_col: str, sum_col: str, out_col: str, scale: int = 4) -> DataFrame:
+    """Finish an average from mergeable (count, sum) state — the reason
+    rollups carry count+sum instead of avg (avg is not algebraic)."""
+    return df.withColumn(
+        out_col,
+        F.round(F.col(sum_col) / F.col(count_col), scale).cast("double"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. typed time-bucket state with HLL distinct sketch
+# ---------------------------------------------------------------------------
 
 
 def rollup_state(
@@ -65,11 +123,12 @@ def rollup_state(
     )
 
 
-def merge_rollups(*states: DataFrame) -> DataFrame:
-    """Merge any number of state tables into one — one aggregation over the
-    union of (small) state tables; raw data is never re-read. At 100 TB this
-    is the nightly-maintenance job: |state| rows in, |state| rows out."""
-    assert states, "merge_rollups needs at least one state"
+def merge_states(*states: DataFrame) -> DataFrame:
+    """Merge any number of rollup_state tables into one — one aggregation
+    over the union of (small) state tables; raw data is never re-read. At
+    100 TB this is the nightly-maintenance job: |state| rows in, |state|
+    rows out."""
+    assert states, "merge_states needs at least one state"
     unioned = states[0]
     for s in states[1:]:
         unioned = unioned.unionByName(s)

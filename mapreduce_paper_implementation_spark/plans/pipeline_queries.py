@@ -881,7 +881,7 @@ def q68_approx_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q70 incremental rollup maintenance — continuous-aggregate correctness gate.
+# Q69 incremental rollup maintenance — continuous-aggregate correctness gate.
 #
 # Splits events into two deterministic deltas (even/odd event_id), builds a
 # mergeable rollup state per delta, merges the states, finalizes — and must
@@ -893,7 +893,7 @@ def q68_approx_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators/incremental.py for the scale analysis.
 # ---------------------------------------------------------------------------
 
-_Q70_ORACLE = """
+_Q69_ORACLE = """
 SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_epoch_s,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -906,18 +906,18 @@ ORDER BY bucket_epoch_s, event_type
 """
 
 
-@query("q70_incremental_rollup", _Q70_ORACLE)
-def q70_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q69_incremental_rollup", _Q69_ORACLE)
+def q69_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_paper_implementation_spark.operators.incremental import (
         finalize_rollup,
-        merge_rollups,
+        merge_states,
         rollup_state,
     )
 
     ev = load_table(spark, sf_dir, "events")
     delta_a = rollup_state(ev.where(F.col("event_id") % 2 == 0))
     delta_b = rollup_state(ev.where(F.col("event_id") % 2 == 1))
-    out = finalize_rollup(merge_rollups(delta_a, delta_b))
+    out = finalize_rollup(merge_states(delta_a, delta_b))
     return out.select(
         "bucket_epoch_s",
         F.col("key").alias("event_type"),

@@ -29,6 +29,79 @@ TABLE_NAMES = (
 # scale factor (region: 5 rows, nation: 25 rows — fixed-size in TPC-H).
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
+# Canonical logical schema per table — the dtype contract every query and
+# oracle in the manifest assumes. The driver's fixture generator has changed
+# physical encodings between rounds (events.ts: TIMESTAMP(NANOS) -> plain
+# TIMESTAMP(MICROS)), and a catalog must absorb compatible drift (timestamp
+# unit changes, int32<->int64, float32->float64, date->timestamp) as a cast
+# instead of surfacing it as an AnalysisException in 69 queries. A column
+# DISAPPEARING is not compatible drift — that errors loudly. Extra columns
+# pass through untouched. `None` = take the column as stored (embeddings:
+# both engines read the same file and queries cast explicitly, so forcing a
+# width here would CHANGE results rather than stabilize them).
+CANONICAL_SCHEMAS: dict[str, dict[str, str | None]] = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_linenumber": "int",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": "timestamp",
+    },
+    "events": {
+        "event_id": "bigint",
+        "ts": "timestamp",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    },
+    "embeddings": {"vec_id": "bigint", "embedding": None, "label": "int"},
+}
+
 
 def _normalize_timestamp(df: DataFrame, col: str) -> DataFrame:
     """Project a timestamp column to session-zone TimestampType regardless of
@@ -59,20 +132,44 @@ def _normalize_timestamp(df: DataFrame, col: str) -> DataFrame:
     return df
 
 
+def _normalize_table(df: DataFrame, declared: dict[str, str | None]) -> DataFrame:
+    """Project a freshly-read table onto its canonical logical schema.
+
+    When the stored dtype already matches, each column is untouched, so the
+    common path adds nothing to the plan (scans, pushdown and pruning are
+    exactly what they'd be without the catalog). Drifted columns get one
+    codegen cast; timestamps route through _normalize_timestamp (which also
+    understands the nanos-as-long encoding)."""
+    from pyspark.sql import functions as F
+
+    missing = [c for c in declared if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"table is missing declared columns {missing}; found {df.columns} "
+            "— incompatible fixture regeneration, refusing to guess"
+        )
+    for cname, want in declared.items():
+        if want is None:
+            continue
+        if want == "timestamp":
+            df = _normalize_timestamp(df, cname)
+        elif df.schema[cname].dataType.simpleString() != want:
+            df = df.withColumn(cname, F.col(cname).cast(want))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one parquet table. Column pruning + predicate pushdown are left
+    """Read one parquet table and normalize it to the canonical logical
+    schema (CANONICAL_SCHEMAS). Column pruning + predicate pushdown are left
     to Catalyst — callers express filters declaratively.
 
-    `events.ts` is normalized to TimestampType whatever the on-disk encoding
-    (see _normalize_timestamp) — the legacy nanosAsLong conf stays on so a
-    TIMESTAMP(NANOS) fixture reads as int64 instead of erroring in the
-    vectorized reader.
-    """
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return _normalize_timestamp(df, "ts")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    The legacy nanosAsLong conf stays on so a TIMESTAMP(NANOS) fixture reads
+    as int64 (then normalized by cast) instead of erroring in the vectorized
+    reader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    declared = CANONICAL_SCHEMAS.get(name)
+    return _normalize_table(df, declared) if declared else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -264,7 +264,7 @@ def test_q61_buckets_floor_for_pre1970(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# incremental rollup maintenance (operators/incremental.py, q70)
+# incremental rollup maintenance (operators/incremental.py, q69)
 # ---------------------------------------------------------------------------
 
 
@@ -276,7 +276,7 @@ def test_incremental_rollup_equals_oneshot_including_hll(spark, sf_dir):
     (sketch union is lossless over the sketch lattice)."""
     from mapreduce_paper_implementation_spark.operators.incremental import (
         finalize_rollup,
-        merge_rollups,
+        merge_states,
         rollup_state,
     )
     from mapreduce_paper_implementation_spark.sources.tables import load_table
@@ -285,8 +285,8 @@ def test_incremental_rollup_equals_oneshot_including_hll(spark, sf_dir):
     one_shot = finalize_rollup(rollup_state(ev)).orderBy("bucket_epoch_s", "key")
 
     parts = [rollup_state(ev.where(F.col("event_id") % 3 == i)) for i in range(3)]
-    first_two = merge_rollups(parts[0], parts[1])
-    merged = finalize_rollup(merge_rollups(first_two, parts[2])).orderBy(
+    first_two = merge_states(parts[0], parts[1])
+    merged = finalize_rollup(merge_states(first_two, parts[2])).orderBy(
         "bucket_epoch_s", "key"
     )
 
@@ -300,15 +300,71 @@ def test_rollup_state_size_independent_of_split(spark, sf_dir):
     """State row-count equals |buckets x keys| however the input is split —
     the property that makes merge cost independent of raw-data size."""
     from mapreduce_paper_implementation_spark.operators.incremental import (
-        merge_rollups,
+        merge_states,
         rollup_state,
     )
     from mapreduce_paper_implementation_spark.sources.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
     whole = rollup_state(ev)
-    merged = merge_rollups(
+    merged = merge_states(
         rollup_state(ev.where(F.col("event_id") % 2 == 0)),
         rollup_state(ev.where(F.col("event_id") % 2 == 1)),
     )
     assert merged.count() == whole.count()
+
+
+# ---------------------------------------------------------------------------
+# general catalog schema normalization (CANONICAL_SCHEMAS)
+# ---------------------------------------------------------------------------
+
+
+def test_catalog_normalizes_compatible_drift(spark, tmp_path):
+    """A regenerated orders fixture with int32 keys, float32 price and a
+    DATE order-date loads to the canonical logical schema."""
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+    drifted = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], pa.int32()),
+            "o_custkey": pa.array([10, 20], pa.int32()),
+            "o_orderstatus": pa.array(["O", "F"], pa.string()),
+            "o_totalprice": pa.array([1.5, 2.5], pa.float32()),
+            "o_orderdate": pa.array([18262, 18263], pa.date32()),
+            "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"], pa.string()),
+        }
+    )
+    pq.write_table(drifted, str(tmp_path / "orders.parquet"))
+    df = load_table(spark, str(tmp_path), "orders")
+    assert df.schema.simpleString() == (
+        "struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,"
+        "o_totalprice:double,o_orderdate:timestamp,o_orderpriority:string>"
+    )
+    rows = sorted(map(tuple, df.collect()))
+    assert rows[0][0] == 1 and rows[0][3] == 1.5
+    assert rows[0][4].year == 2020  # date 18262 = 2020-01-01, midnight
+
+
+def test_catalog_rejects_missing_column(spark, tmp_path):
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+    broken = pa.table({"r_regionkey": pa.array([0], pa.int32())})
+    pq.write_table(broken, str(tmp_path / "region.parquet"))
+    with pytest.raises(ValueError, match="missing declared columns"):
+        load_table(spark, str(tmp_path), "region")
+
+
+def test_catalog_passes_through_extra_columns(spark, tmp_path):
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+    extended = pa.table(
+        {
+            "r_regionkey": pa.array([0, 1], pa.int64()),
+            "r_name": pa.array(["AFRICA", "ASIA"], pa.string()),
+            "r_comment": pa.array(["x", "y"], pa.string()),
+        }
+    )
+    pq.write_table(extended, str(tmp_path / "region.parquet"))
+    df = load_table(spark, str(tmp_path), "region")
+    assert df.columns == ["r_regionkey", "r_name", "r_comment"]
+    assert df.schema["r_regionkey"].dataType.simpleString() == "int"

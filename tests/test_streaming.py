@@ -274,3 +274,43 @@ def test_streaming_incremental_rollup_maintenance(spark, sf_dir, tmp_path):
     want = {r["event_type"]: r.asDict() for r in rollup(load_table(spark, sf_dir, "events")).collect()}
     got = {r["event_type"]: r.asDict() for r in spark.read.parquet(state_dir).collect()}
     assert got == want
+
+
+def test_streaming_rollup_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """foreachBatch continuous-aggregate: stream the events fixture through
+    RollupMaintainer and the finalized state must equal the batch one-shot
+    rollup bit-for-bit, HLL estimate included. Also pins replay idempotence:
+    re-applying an already-committed batch id must not double-count."""
+    from mapreduce_paper_implementation_spark.operators.incremental import (
+        finalize_rollup,
+        rollup_state,
+    )
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+    from mapreduce_paper_implementation_spark.streaming.events import stream_events
+    from mapreduce_paper_implementation_spark.streaming.rollup import (
+        RollupMaintainer,
+        maintain_rollup,
+    )
+
+    maintainer = RollupMaintainer(spark, str(tmp_path / "state"))
+    q = maintain_rollup(
+        stream_events(spark, sf_dir), maintainer, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ev = load_table(spark, sf_dir, "events")
+    expected = [
+        tuple(r)
+        for r in finalize_rollup(rollup_state(ev)).orderBy("bucket_epoch_s", "key").collect()
+    ]
+    got_df = finalize_rollup(maintainer.current_state()).orderBy("bucket_epoch_s", "key")
+    assert [tuple(r) for r in got_df.collect()] == expected
+
+    # replay of a committed batch id is a no-op (at-least-once safety)
+    committed = maintainer._committed_version()
+    maintainer.update(ev, committed)
+    again = finalize_rollup(maintainer.current_state()).orderBy("bucket_epoch_s", "key")
+    assert [tuple(r) for r in again.collect()] == expected
