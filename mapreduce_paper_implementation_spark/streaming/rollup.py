@@ -88,6 +88,30 @@ class RollupMaintainer:
         state.write.mode("overwrite").parquet(self._version_dir(batch_id))
         self._commit_version(batch_id)
 
+    def vacuum(self, keep: int = 1) -> list[int]:
+        """Drop superseded state versions, keeping the committed one plus the
+        `keep - 1` most recent predecessors. Never touches versions above the
+        pointer (an in-flight batch may be writing there). Returns the
+        removed version numbers."""
+        import shutil
+
+        committed = self._committed_version()
+        if committed is None:
+            return []
+        versions = sorted(
+            int(d[1:])
+            for d in os.listdir(self.state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+        keepers = set(v for v in versions if v > committed)  # in-flight
+        keepers.update([v for v in versions if v <= committed][-max(keep, 1):])
+        removed = []
+        for v in versions:
+            if v not in keepers:
+                shutil.rmtree(self._version_dir(v))
+                removed.append(v)
+        return removed
+
 
 def maintain_rollup(
     events_stream: DataFrame, maintainer: RollupMaintainer, checkpoint_dir: str

@@ -314,3 +314,28 @@ def test_streaming_rollup_maintenance_equals_batch(spark, sf_dir, tmp_path):
     maintainer.update(ev, committed)
     again = finalize_rollup(maintainer.current_state()).orderBy("bucket_epoch_s", "key")
     assert [tuple(r) for r in again.collect()] == expected
+
+
+def test_rollup_maintainer_vacuum_keeps_committed_state(spark, sf_dir, tmp_path):
+    """vacuum drops superseded versions but never the committed one; the
+    finalized rollup is unchanged afterwards."""
+    import os
+
+    from mapreduce_paper_implementation_spark.operators.incremental import (
+        finalize_rollup,
+    )
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+    from mapreduce_paper_implementation_spark.streaming.rollup import RollupMaintainer
+
+    ev = load_table(spark, sf_dir, "events")
+    m = RollupMaintainer(spark, str(tmp_path / "state"))
+    for i, bid in enumerate(range(3)):
+        m.update(ev.where(F.col("event_id") % 3 == i), bid)
+    before = [tuple(r) for r in finalize_rollup(m.current_state()).orderBy("bucket_epoch_s", "key").collect()]
+
+    removed = m.vacuum(keep=1)
+    assert removed == [0, 1]
+    dirs = sorted(d for d in os.listdir(str(tmp_path / "state")) if d.startswith("v"))
+    assert dirs == ["v0000000002"]
+    after = [tuple(r) for r in finalize_rollup(m.current_state()).orderBy("bucket_epoch_s", "key").collect()]
+    assert after == before
