@@ -77,6 +77,113 @@ def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) ->
     )
 
 
+def _shingle_frame(
+    docs: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, shingles) with empty-shingle docs dropped, persisted: the frame
+    feeds two consumers (banding + the verify join) in every dedup pipeline.
+    At 100 TB this is the materialize-signatures step; MEMORY_AND_DISK
+    spills rather than OOMs, and unused entries are LRU-evicted so repeated
+    operator calls don't accumulate."""
+    from pyspark import StorageLevel
+
+    sh = docs.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    return sh.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _band_keys(
+    sh: DataFrame, num_hashes: int, bands: int, seed: int
+) -> DataFrame:
+    """(id, band_id, band_key) LSH index rows from a shingle frame.
+
+    Exploded-row signature: num_hashes codegen'd MIN aggregates over (id, h)
+    rows. Unlike the array-lambda formulation (minhash_signature), this
+    stays in whole-stage codegen end to end, and Spark's partial aggregation
+    (map-side combine) means the shuffle carries one num_hashes-min row per
+    id per partition — the combiner the reference lacks (mr/worker.go:86-89).
+    Band keys come straight from the min COLUMNS — string concat + xxhash64
+    in codegen. (Assembling an array<long> and slicing per band with
+    transform() computes the same keys interpreted: higher-order array
+    functions are CodegenFallback, SURVEY.md §8.1.)
+
+    Determinism matters across CALLS, not just rows: two invocations with
+    the same (num_hashes, bands, seed) — e.g. yesterday's materialized
+    corpus index and today's delta in incremental_neardup — must produce
+    join-compatible keys."""
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+    params = _minhash_params(num_hashes, seed)
+    hash_rows = sh.select("id", F.explode("shingles").alias("s")).select(
+        "id", F.pmod(F.xxhash64("s"), F.lit(MERSENNE31)).alias("h")
+    )
+    mins = hash_rows.groupBy("id").agg(
+        *[
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE31))).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{j * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for j in range(bands)
+        ]
+    )
+    return mins.select("id", F.explode(band_structs).alias("b")).select(
+        "id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def _drop_hot_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Drop pathological buckets (boilerplate-dominated at web scale):
+    count per bucket, then broadcast-anti-join the HOT bucket keys —
+    oversized buckets are few by definition, so the banded rows stream
+    map-side instead of shuffling again on the same key."""
+    hot_buckets = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_bucket_size)
+        .select("band_id", "band_key")
+    )
+    return banded.join(F.broadcast(hot_buckets), ["band_id", "band_key"], "anti")
+
+
+def _exact_jaccard(cand: DataFrame, sh_a: DataFrame, sh_b: DataFrame) -> DataFrame:
+    """Verify candidate (id_a, id_b) pairs with exact Jaccard over shingle
+    sets — full shingle arrays only ever move for candidate pairs, never
+    through the banding shuffle. Score is DECIMAL(9,6) (exact cross-engine
+    rounding for thresholding)."""
+    a = sh_a.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh_b.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))),
+                6,
+            )
+            .cast("decimal(9,6)")
+            .alias("jaccard"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -99,78 +206,18 @@ def minhash_lsh_pairs(
     and thresholded as DECIMAL(9,6) (exact cross-engine rounding), then the
     final projection casts to DOUBLE per the output dtype contract.
     """
-    rows_per_band = num_hashes // bands
-    assert rows_per_band * bands == num_hashes
-
-    sh = docs.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
-    ).where(F.size("shingles") > 0)
-    # The shingle projection feeds two consumers (banding hash rows + the
-    # verify join); persist so shingling runs once. At 100 TB this is the
-    # materialize-signatures step every production dedup pipeline has;
-    # MEMORY_AND_DISK spills rather than OOMs, and unused entries are
-    # LRU-evicted so repeated operator calls don't accumulate.
     from pyspark import StorageLevel
 
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    # Exploded-row signature: 64 codegen'd MIN aggregates over (id, h) rows.
-    # Unlike the array-lambda formulation (minhash_signature), this stays in
-    # whole-stage codegen end to end, and Spark's partial aggregation
-    # (map-side combine) means the shuffle carries one 64-min row per id per
-    # partition — the combiner the reference lacks (mr/worker.go:86-89).
-    params = _minhash_params(num_hashes, seed)
-    hash_rows = sh.select("id", F.explode("shingles").alias("s")).select(
-        "id", F.pmod(F.xxhash64("s"), F.lit(MERSENNE31)).alias("h")
-    )
-    mins = hash_rows.groupBy("id").agg(
-        *[
-            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE31))).alias(f"m{i}")
-            for i, (a, b) in enumerate(params)
-        ]
-    )
-    # Like the shingle cache above: the banded self-join reads the signature
-    # on both sides with no exchange reuse, and it is tiny (64 ints per
-    # doc), so persisting halves the signature-aggregation cost.
-    mins = mins.persist(StorageLevel.MEMORY_AND_DISK)
-
-    # Band keys straight from the 64 min COLUMNS — string concat + xxhash64
-    # in whole-stage codegen. (The earlier formulation assembled an
-    # array<long> and sliced it per band with transform(): higher-order
-    # array functions are CodegenFallback and evaluate interpreted,
-    # SURVEY.md §8.1 — same band keys, slower plan.)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_id"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"m{j * rows_per_band + r}").cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("band_key"),
-            )
-            for j in range(bands)
-        ]
-    )
-    banded = mins.select("id", F.explode(band_structs).alias("b")).select(
-        "id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    sh = _shingle_frame(docs, id_col, text_col, shingle_n)
+    # The banded self-join reads the signature/band rows on both sides with
+    # no exchange reuse, and they are tiny (a few longs per doc), so
+    # persisting halves the signature-aggregation cost.
+    banded = _band_keys(sh, num_hashes, bands, seed).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
 
     if max_bucket_size is not None:
-        # Drop pathological buckets (boilerplate-dominated at web scale):
-        # count per bucket, then broadcast-anti-join the HOT bucket keys —
-        # oversized buckets are few by definition, so the banded rows stream
-        # map-side instead of shuffling again on the same key.
-        hot_buckets = (
-            banded.groupBy("band_id", "band_key")
-            .agg(F.count("*").alias("n"))
-            .where(F.col("n") > max_bucket_size)
-            .select("band_id", "band_key")
-        )
-        banded = banded.join(F.broadcast(hot_buckets), ["band_id", "band_key"], "anti")
+        banded = _drop_hot_buckets(banded, max_bucket_size)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -185,30 +232,74 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Verify on the (tiny) surviving candidate set with exact Jaccard over
-    # shingle sets, re-derived from `sh` — full shingle arrays only ever move
-    # for candidate pairs, never through the banding shuffle.
-    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    verified = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))),
-                6,
-            )
-            .cast("decimal(9,6)")
-            .alias("jaccard"),
-        )
-    )
+    verified = _exact_jaccard(cand, sh, sh)
     return (
         verified.where(F.col("jaccard") >= threshold)
         .withColumn("jaccard", F.col("jaccard").cast("double"))
         .orderBy("id_a", "id_b")
+    )
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Cross-run dedup: near-duplicates of a NEW delta against an EXISTING
+    corpus — the daily-crawl-vs-history shape of a production training-data
+    pipeline, where q18's all-pairs self-join would re-pay the whole corpus
+    every day.
+
+    The corpus side reduces to its LSH band index ((id, band_id, band_key),
+    a few longs per document — in production this is a materialized table
+    maintained per ingest, like streaming/rollup.py's state; here it is
+    derived in-query). The delta bands with the SAME (num_hashes, bands,
+    seed) — _band_keys is deterministic across calls, which is what makes
+    the stored index joinable — and probes it with a bucket equi-join, so
+    per-run cost is O(|delta| + matched buckets), never O(|corpus|).
+    Candidates verify with exact Jaccard (corpus shingles move only for
+    matched candidates). Hot-bucket capping applies to the corpus index,
+    where boilerplate accumulates.
+
+    Returns (new_id, corpus_id, jaccard DOUBLE) ordered by (new_id,
+    corpus_id); ids present in both inputs never pair with themselves.
+    """
+    sh_new = _shingle_frame(new_docs, id_col, text_col, shingle_n)
+    sh_old = _shingle_frame(corpus_docs, id_col, text_col, shingle_n)
+
+    index = _band_keys(sh_old, num_hashes, bands, seed)
+    if max_bucket_size is not None:
+        index = _drop_hot_buckets(index, max_bucket_size)
+
+    probe = _band_keys(sh_new, num_hashes, bands, seed)
+    cand = (
+        probe.alias("n")
+        .join(
+            index.alias("c"),
+            (F.col("n.band_id") == F.col("c.band_id"))
+            & (F.col("n.band_key") == F.col("c.band_key"))
+            & (F.col("n.id") != F.col("c.id")),
+        )
+        .select(F.col("n.id").alias("id_a"), F.col("c.id").alias("id_b"))
+        .distinct()
+    )
+
+    verified = _exact_jaccard(cand, sh_new, sh_old)
+    return (
+        verified.where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id_a").alias("new_id"),
+            F.col("id_b").alias("corpus_id"),
+            F.col("jaccard").cast("double").alias("jaccard"),
+        )
+        .orderBy("new_id", "corpus_id")
     )
 
 

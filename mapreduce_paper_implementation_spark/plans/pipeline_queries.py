@@ -929,3 +929,54 @@ def q69_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     ).orderBy("bucket_epoch_s", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Q70 incremental near-dup — cross-run dedup of a delta against a corpus.
+#
+# The daily-pipeline twin of q18: documents with odd doc_id are "today's
+# crawl", even doc_ids are "the existing corpus"; the delta probes the
+# corpus's materialized LSH band index instead of self-joining, so per-run
+# cost is O(|delta| + matched buckets), never O(|corpus|). The oracle is
+# brute-force exact Jaccard across the two halves — LSH recall at J>=0.8
+# with 16x4 banding is ~100%, and the exact-Jaccard verify makes precision
+# exact, so approximate and exact agree on the fixture (same argument as
+# q18's gate).
+# ---------------------------------------------------------------------------
+
+_Q70_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(
+    list_transform(
+      range(1, greatest(len({sql_tokens('text')}) - 1, 1)),
+      i -> array_to_string(list_slice({sql_tokens('text')}, i, i + 2), ' ')
+    )) AS shingles
+  FROM documents
+  WHERE len({sql_tokens('text')}) >= 3
+)
+SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+       CAST(CAST(ROUND(CAST(len(list_intersect(n.shingles, c.shingles)) AS DOUBLE)
+            / (len(n.shingles) + len(c.shingles) - len(list_intersect(n.shingles, c.shingles))), 6)
+            AS DECIMAL(9,6)) AS DOUBLE) AS jaccard
+FROM sh n JOIN sh c
+  ON n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+WHERE len(list_intersect(n.shingles, c.shingles)) > 0
+  AND CAST(ROUND(CAST(len(list_intersect(n.shingles, c.shingles)) AS DOUBLE)
+      / (len(n.shingles) + len(c.shingles) - len(list_intersect(n.shingles, c.shingles))), 6)
+      AS DECIMAL(9,6)) >= 0.8
+ORDER BY new_id, corpus_id
+"""
+
+
+@query("q70_incremental_neardup", _Q70_ORACLE)
+def q70_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.dedup import (
+        incremental_neardup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_neardup(
+        docs.where(F.col("doc_id") % 2 == 1),  # today's delta
+        docs.where(F.col("doc_id") % 2 == 0),  # existing corpus
+        threshold=0.8,
+    )

@@ -368,3 +368,37 @@ def test_catalog_passes_through_extra_columns(spark, tmp_path):
     df = load_table(spark, str(tmp_path), "region")
     assert df.columns == ["r_regionkey", "r_name", "r_comment"]
     assert df.schema["r_regionkey"].dataType.simpleString() == "int"
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup (operators/dedup.py:incremental_neardup, q70)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_neardup_agrees_with_self_join(spark, sf_dir):
+    """Delta-vs-corpus probing must find exactly the cross-parity subset of
+    the full self-join's pairs — the index probe loses nothing the all-pairs
+    path finds (and adds nothing it doesn't)."""
+    from mapreduce_paper_implementation_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_lsh_pairs,
+    )
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = minhash_lsh_pairs(docs, threshold=0.8)
+    expected = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in full.collect()
+        if r["id_a"] % 2 != r["id_b"] % 2
+    }
+    cross = incremental_neardup(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        threshold=0.8,
+    )
+    got = {
+        (min(r["new_id"], r["corpus_id"]), max(r["new_id"], r["corpus_id"]))
+        for r in cross.collect()
+    }
+    assert got == expected
