@@ -273,8 +273,38 @@ def incremental_neardup(
     """
     sh_new = _shingle_frame(new_docs, id_col, text_col, shingle_n)
     sh_old = _shingle_frame(corpus_docs, id_col, text_col, shingle_n)
-
     index = _band_keys(sh_old, num_hashes, bands, seed)
+    return probe_neardup_index(
+        sh_new,
+        index,
+        sh_old,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def probe_neardup_index(
+    sh_new: DataFrame,
+    index: DataFrame,
+    corpus_shingles: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Probe a PREBUILT corpus band index with a delta's shingle frame.
+
+    The persisted-state entry point behind incremental_neardup: `index` is
+    (id, band_id, band_key) rows — today built in-query, in production read
+    from the materialized index table (streaming/dedup_index.py maintains
+    one) — and `corpus_shingles` is the (id, shingles) verify store. The
+    probe MUST band with the same (num_hashes, bands, seed) the index was
+    built with; _band_keys is deterministic across calls for exactly this
+    reason."""
     if max_bucket_size is not None:
         index = _drop_hot_buckets(index, max_bucket_size)
 
@@ -291,7 +321,7 @@ def incremental_neardup(
         .distinct()
     )
 
-    verified = _exact_jaccard(cand, sh_new, sh_old)
+    verified = _exact_jaccard(cand, sh_new, corpus_shingles)
     return (
         verified.where(F.col("jaccard") >= threshold)
         .select(

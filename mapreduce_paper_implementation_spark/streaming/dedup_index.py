@@ -1,0 +1,140 @@
+"""Materialized dedup-index maintenance: the stateful half of
+operators/dedup.py:incremental_neardup.
+
+A production training-data pipeline dedups each ingest batch against ALL
+history. Rebuilding the corpus band index per run re-pays the corpus;
+this maintainer persists it once and grows it per batch:
+
+    state_dir/
+      batches/b{N}/bands/      (id, band_id, band_key)  — the LSH index delta
+      batches/b{N}/shingles/   (id, shingles)           — the verify store delta
+      dups/b{N}/               (new_id, corpus_id, jaccard) for batch N
+      _CURRENT                 highest committed batch id (atomic rename)
+
+Per batch: probe the union of committed index deltas with the new batch
+(operators/dedup.py:probe_neardup_index — cost O(|batch| + matched
+buckets)), persist the batch's dup pairs, then append the batch's own
+band keys + shingles as a new delta and advance the pointer. Same
+idempotence discipline as streaming/rollup.py:RollupMaintainer: writes go
+to batch-id-keyed dirs (a replayed batch overwrites its own dirs, never
+double-appends) and the pointer moves only after all writes, so a batch id
+at or below the pointer is a no-op.
+
+Scale note: the verify store here holds exact shingle sets so the pytest
+gate (and q70's oracle logic) stays exact; at 100 TB the store would hold
+the 64-long minhash signatures instead and verify by signature agreement —
+same maintenance topology, ~constant bytes per document.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduce_paper_implementation_spark.operators.dedup import (
+    _band_keys,
+    _shingle_frame,
+    probe_neardup_index,
+)
+
+
+class DedupIndexMaintainer:
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        shingle_n: int = 3,
+        num_hashes: int = 64,
+        bands: int = 16,
+        threshold: float = 0.8,
+        seed: int = 42,
+        max_bucket_size: int | None = 1000,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.shingle_n = shingle_n
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.threshold = threshold
+        self.seed = seed
+        self.max_bucket_size = max_bucket_size
+        os.makedirs(os.path.join(state_dir, "batches"), exist_ok=True)
+
+    # -- pointer (same discipline as streaming/rollup.py) ------------------
+    def _pointer_path(self) -> str:
+        return os.path.join(self.state_dir, "_CURRENT")
+
+    def _committed_version(self) -> int | None:
+        try:
+            with open(self._pointer_path(), encoding="ascii") as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _commit_version(self, version: int) -> None:
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w", encoding="ascii") as fh:
+            fh.write(str(version))
+        os.replace(tmp, self._pointer_path())
+
+    def _batch_dir(self, batch_id: int, leaf: str) -> str:
+        return os.path.join(self.state_dir, "batches", f"b{batch_id:010d}", leaf)
+
+    def _committed_dirs(self, leaf: str) -> list[str]:
+        committed = self._committed_version()
+        if committed is None:
+            return []
+        root = os.path.join(self.state_dir, "batches")
+        return [
+            os.path.join(root, d, leaf)
+            for d in sorted(os.listdir(root))
+            if d.startswith("b") and d[1:].isdigit() and int(d[1:]) <= committed
+        ]
+
+    # -- state ------------------------------------------------------------
+    def index(self) -> DataFrame | None:
+        """Union of committed index deltas (the materialized corpus index)."""
+        dirs = self._committed_dirs("bands")
+        return self.spark.read.parquet(*dirs) if dirs else None
+
+    def corpus_shingles(self) -> DataFrame | None:
+        dirs = self._committed_dirs("shingles")
+        return self.spark.read.parquet(*dirs) if dirs else None
+
+    def update(self, new_docs: DataFrame, batch_id: int) -> DataFrame | None:
+        """Dedup one batch against all committed history, persist its dup
+        pairs and its index/verify deltas. Returns the batch's dup pairs
+        (None for an already-committed replay)."""
+        committed = self._committed_version()
+        dups_dir = os.path.join(self.state_dir, "dups", f"b{batch_id:010d}")
+        if committed is not None and committed >= batch_id:
+            return None
+        sh_new = _shingle_frame(new_docs, self.id_col, self.text_col, self.shingle_n)
+        index = self.index()
+        if index is not None:
+            dups = probe_neardup_index(
+                sh_new,
+                index,
+                self.corpus_shingles(),
+                num_hashes=self.num_hashes,
+                bands=self.bands,
+                threshold=self.threshold,
+                seed=self.seed,
+                max_bucket_size=self.max_bucket_size,
+            )
+        else:
+            dups = self.spark.createDataFrame(
+                [], "new_id long, corpus_id long, jaccard double"
+            )
+        dups.write.mode("overwrite").parquet(dups_dir)
+        _band_keys(sh_new, self.num_hashes, self.bands, self.seed).write.mode(
+            "overwrite"
+        ).parquet(self._batch_dir(batch_id, "bands"))
+        sh_new.write.mode("overwrite").parquet(self._batch_dir(batch_id, "shingles"))
+        self._commit_version(batch_id)
+        return self.spark.read.parquet(dups_dir)

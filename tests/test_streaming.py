@@ -339,3 +339,36 @@ def test_rollup_maintainer_vacuum_keeps_committed_state(spark, sf_dir, tmp_path)
     assert dirs == ["v0000000002"]
     after = [tuple(r) for r in finalize_rollup(m.current_state()).orderBy("bucket_epoch_s", "key").collect()]
     assert after == before
+
+
+def test_dedup_index_maintainer_finds_all_cross_batch_pairs(spark, sf_dir, tmp_path):
+    """Maintained-index dedup across 3 ingest batches: the union of per-batch
+    dup pairs must equal the full self-join's pairs whose endpoints landed in
+    DIFFERENT batches (within-batch dups are the ingest job's q18-style
+    self-dedup, outside this operator). Replaying a committed batch returns
+    None and leaves state untouched."""
+    from mapreduce_paper_implementation_spark.operators.dedup import minhash_lsh_pairs
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+    from mapreduce_paper_implementation_spark.streaming.dedup_index import (
+        DedupIndexMaintainer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = DedupIndexMaintainer(spark, str(tmp_path / "state"), threshold=0.8)
+
+    got = set()
+    for bid in range(3):
+        out = m.update(docs.where(F.col("doc_id") % 3 == bid), bid)
+        for r in out.collect():
+            got.add((min(r["new_id"], r["corpus_id"]), max(r["new_id"], r["corpus_id"])))
+
+    full = minhash_lsh_pairs(docs, threshold=0.8)
+    expected = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in full.collect()
+        if r["id_a"] % 3 != r["id_b"] % 3
+    }
+    assert got == expected
+
+    assert m.update(docs, 2) is None  # replay: no-op
+    assert m._committed_version() == 2
