@@ -293,3 +293,71 @@ def test_incremental_merge_matches_full_for_any_partitioning(spark, rows, n_spli
     want = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"]) for r in rollup(df).collect()}
     got = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"]) for r in merged.collect()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(2**52), max_value=2**52), min_size=1, max_size=40
+    ),
+    divisor=st.sampled_from([1, 60, 900, 3600, 3_600_000_000]),
+)
+def test_floor_div_matches_python_for_any_ints(spark, vals, divisor):
+    """functions/numeric.floor_div == Python // for any sign and magnitude
+    up to 2^52 (covers epoch-micros), any positive divisor."""
+    from mapreduce_paper_implementation_spark.functions.numeric import floor_div
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v long")
+    got = {
+        r["i"]: r["q"]
+        for r in df.select("i", floor_div(F.col("v"), divisor).alias("q")).collect()
+    }
+    for i, v in enumerate(vals):
+        assert got[i] == v // divisor, (v, divisor, got[i], v // divisor)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    micros=st.lists(
+        # 1901..2261 in epoch-micros: the span parquet NANOS can carry in
+        # an int64, i.e. every instant both encodings can represent
+        st.integers(min_value=-2_177_452_800_000_000, max_value=9_214_646_400_000_000),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_ts_encodings_load_identically_for_any_instants(spark, tmp_path_factory, micros):
+    """Property form of the round-4 encoding fix: ANY instants written as
+    TIMESTAMP(MICROS) and as TIMESTAMP(NANOS) load to identical values
+    through the catalog."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+    tmp = tmp_path_factory.mktemp("enc")
+    n = len(micros)
+    for enc, arr in (
+        ("micros", pa.array(micros, pa.timestamp("us"))),
+        ("nanos", pa.array([v * 1000 for v in micros], pa.timestamp("ns"))),
+    ):
+        d = tmp / enc
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(n), pa.int64()),
+                    "ts": arr,
+                    "user_id": pa.array([1] * n, pa.int64()),
+                    "event_type": pa.array(["e"] * n, pa.string()),
+                    "value": pa.array([0.0] * n, pa.float64()),
+                    "props": pa.array(["{}"] * n, pa.string()),
+                }
+            ),
+            str(d / "events.parquet"),
+            version="2.6",
+        )
+    a = load_table(spark, str(tmp / "micros"), "events").select("event_id", "ts")
+    b = load_table(spark, str(tmp / "nanos"), "events").select("event_id", "ts")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
