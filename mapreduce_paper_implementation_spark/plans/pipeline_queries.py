@@ -980,3 +980,42 @@ def q70_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 2 == 0),  # existing corpus
         threshold=0.8,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q71 deterministic stratified sample — per-source eval-slice carve-out.
+#
+# 5 docs per source, chosen by smallest md5(text): reproducible across
+# engines and runs with no RNG, per-stratum size exact, and stable under
+# corpus append except where a new doc hashes below an incumbent — the
+# properties an eval slice and a human-inspection sample need (see
+# operators/sampling.py). One window over the source partitioning = one
+# shuffle on the stratum key.
+# ---------------------------------------------------------------------------
+
+_Q71_ORACLE = """
+SELECT source, doc_id, rk
+FROM (
+  SELECT source, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY md5(text), doc_id
+         ) AS BIGINT) AS rk
+  FROM documents
+)
+WHERE rk <= 5
+ORDER BY source, rk
+"""
+
+
+@query("q71_stratified_sample", _Q71_ORACLE)
+def q71_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "source", "text", k=5, id_cols=("doc_id",))
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "rk")
+    )

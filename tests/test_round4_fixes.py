@@ -402,3 +402,35 @@ def test_incremental_neardup_agrees_with_self_join(spark, sf_dir):
         for r in cross.collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (operators/sampling.py, q71)
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_exact_k_and_append_stable(spark, sf_dir):
+    """Each stratum yields exactly min(k, |stratum|) rows; appending new
+    docs only ever replaces incumbents that hash higher — the sample never
+    reshuffles wholesale under corpus growth."""
+    from mapreduce_paper_implementation_spark.operators.sampling import (
+        stratified_sample,
+    )
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = 5
+    base = stratified_sample(docs.where(F.col("doc_id") % 4 != 0), "source", "text", k, ("doc_id",))
+    sizes = {r["source"]: r["n"] for r in base.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert sizes and all(n <= k for n in sizes.values())
+
+    grown = stratified_sample(docs, "source", "text", k, ("doc_id",))
+    base_ids = {(r["source"], r["doc_id"]) for r in base.collect()}
+    grown_ids = {(r["source"], r["doc_id"]) for r in grown.collect()}
+    # every selection change must be caused by a NEW doc entering, never by
+    # two old incumbents swapping
+    dropped = base_ids - grown_ids
+    entered = grown_ids - base_ids
+    new_docs = {(r["source"], r["doc_id"]) for r in docs.where(F.col("doc_id") % 4 == 0).collect()}
+    assert entered <= new_docs, "only appended docs may enter the sample"
+    assert len(dropped) <= len(entered)
