@@ -25,6 +25,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from mapreduce_paper_implementation_spark.operators.caching import (  # noqa: E402
+    release_persisted,
+)
 from mapreduce_paper_implementation_spark.plans.queries import QUERIES  # noqa: E402
 from mapreduce_paper_implementation_spark.session import get_spark  # noqa: E402
 
@@ -72,6 +75,9 @@ def run_bench(sf_dir: str, names: list[str], repeat: int = 1) -> dict:
         # Drop caches a query persisted (signature/fingerprint frames):
         # queries must not inherit each other's warm state, and leaked
         # caches inflate GC pressure for everything that runs after.
+        # release_persisted() empties the scoped-persist registry (explicit
+        # lifecycle); clearCache() sweeps anything cached outside it.
+        release_persisted()
         spark.catalog.clearCache()
     out = {
         "metric": "total_query_wall_clock",

@@ -1,0 +1,49 @@
+"""Scoped persist registry — explicit cache lifecycle for operator
+intermediates.
+
+Dedup/similarity operators persist small intermediate frames (shingle
+frames, band indexes, fingerprints) because their plans consume them from
+multiple branches and Spark does not reuse the exchange across branches.
+Those persists used to rely on LRU eviction for cleanup, which is fine for
+one bench run (caches cleared between queries) but lets a long-running
+session accumulate cached frames until memory pressure evicts them.
+
+`scoped_persist` registers every persisted frame in a process-wide list;
+`release_persisted()` unpersists them all. Unpersisting is ALWAYS safe:
+a still-unevaluated plan that references a released frame simply recomputes
+it. Call sites:
+
+- bench.py / scripts/driver_sim.py call release_persisted() after each
+  query, so a 71-query run caches at most one query's intermediates at a
+  time.
+- Long-running sessions call it whenever a dedup/ANN result has been fully
+  consumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_PERSISTED: list[DataFrame] = []
+
+
+def scoped_persist(df: DataFrame) -> DataFrame:
+    """persist(MEMORY_AND_DISK) + register for later release_persisted()."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every registered frame; returns how many were released.
+    Safe at any time — plans still holding a released frame recompute it."""
+    n = len(_PERSISTED)
+    for df in _PERSISTED:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped; nothing to release
+    _PERSISTED.clear()
+    return n

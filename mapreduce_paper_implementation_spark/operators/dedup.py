@@ -83,14 +83,15 @@ def _shingle_frame(
     """(id, shingles) with empty-shingle docs dropped, persisted: the frame
     feeds two consumers (banding + the verify join) in every dedup pipeline.
     At 100 TB this is the materialize-signatures step; MEMORY_AND_DISK
-    spills rather than OOMs, and unused entries are LRU-evicted so repeated
-    operator calls don't accumulate."""
-    from pyspark import StorageLevel
+    spills rather than OOMs. Registered via scoped_persist — callers release
+    accumulated frames with operators.caching.release_persisted() once the
+    result is consumed (bench/driver do this per query)."""
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
 
     sh = docs.select(
         F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
     ).where(F.size("shingles") > 0)
-    return sh.persist(StorageLevel.MEMORY_AND_DISK)
+    return scoped_persist(sh)
 
 
 def _band_keys(
@@ -206,15 +207,13 @@ def minhash_lsh_pairs(
     and thresholded as DECIMAL(9,6) (exact cross-engine rounding), then the
     final projection casts to DOUBLE per the output dtype contract.
     """
-    from pyspark import StorageLevel
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
 
     sh = _shingle_frame(docs, id_col, text_col, shingle_n)
     # The banded self-join reads the signature/band rows on both sides with
     # no exchange reuse, and they are tiny (a few longs per doc), so
     # persisting halves the signature-aggregation cost.
-    banded = _band_keys(sh, num_hashes, bands, seed).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    banded = scoped_persist(_band_keys(sh, num_hashes, bands, seed))
 
     if max_bucket_size is not None:
         banded = _drop_hot_buckets(banded, max_bucket_size)
@@ -375,12 +374,9 @@ def ngram_jaccard_pairs(
     # them — persist so the corpus is shingled exactly once. Per-doc set
     # sizes come from the index itself (shingles are distinct per doc, so
     # size == row count), saving a second corpus scan.
-    from pyspark import StorageLevel
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
 
-    inv = (
-        sh.select("id", F.explode("shingles").alias("shingle"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    inv = scoped_persist(sh.select("id", F.explode("shingles").alias("shingle")))
     sizes = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
 
     if max_df is not None:
@@ -532,9 +528,9 @@ def simhash_pairs(
     # unpersisted fp re-runs the whole md5+64-sum pipeline per side. fp is
     # (id, long) — a few bytes per document even at 100 TB — so caching it
     # is the signature-materialization step a production pipeline has anyway.
-    from pyspark import StorageLevel
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
 
-    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+    fp = scoped_persist(fp)
     mask = (1 << band_bits) - 1
     banded = fp.select(
         "id",

@@ -106,11 +106,15 @@ def lsh_topk(
     Strongly clustered corpora (true near-dups) support many more planes and
     tiny multiprobe; tune per dataset.
 
-    Pass `dim` explicitly (it's a property of the embedding model, known
-    statically) — the fallback sniffs it with a driver-side .first(), which
-    is an extra job and a driver round-trip at scale."""
+    `dim` is required: it's a static property of the embedding model, and a
+    dataframe sniff would cost a driver round-trip + an extra Spark job per
+    plan build (the removed `.first()` fallback did exactly that)."""
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        raise TypeError(
+            "lsh_topk requires dim= (the embedding dimension — a static "
+            "property of the embedding model; sniffing it from the data "
+            "would be a driver-side job per call)"
+        )
     planes = _hyperplanes(dim, n_planes, seed)
 
     cand = _prep(emb, id_col, vec_col).withColumn("bucket", lsh_bucket_expr("vec", planes))

@@ -24,19 +24,35 @@ from pyspark.sql import functions as F
 _EVICT_FACTOR = 4
 
 
-def _merge_counts(acc: dict, counts, cap: int) -> None:
+def _merge_counts(acc: dict, counts, cap: int, evicted_bound: int = 0) -> int:
     """Fold one batch's (key -> n) counts into the accumulator, then prune to
     the top `cap` keys whenever the accumulator exceeds _EVICT_FACTOR * cap.
     Memory is O(_EVICT_FACTOR * cap + batch distinct keys) — bounded however
-    many distinct keys the partition holds. Pruning drops the smallest counts,
-    so surviving counts remain exact-or-under, never over (the same guarantee
-    the yield-time truncation gives)."""
+    many distinct keys the partition holds.
+
+    Space-saving-style admission baseline: `evicted_bound` is the largest
+    count any pruned key had when it was dropped; a key NOT currently
+    resident is admitted at `batch_count + evicted_bound` (the most it could
+    have accumulated before being evicted). Without this, a heavy key whose
+    arrivals are thin-but-steady could be re-evicted each round and restart
+    from zero forever; with it, any key with global partition frequency above
+    the running eviction bound is guaranteed to end resident. Counts are
+    therefore OVER-estimates by at most `evicted_bound` for keys readmitted
+    after an eviction, and exact for keys that stay resident throughout
+    (eviction never touches a top-`cap` key, so true heavy hitters keep
+    exact counts). Returns the updated bound — callers thread it through
+    successive batches."""
     for key, n in counts.items():
-        acc[key] = acc.get(key, 0) + int(n)
+        if key in acc:
+            acc[key] += int(n)
+        else:
+            acc[key] = int(n) + evicted_bound
     if len(acc) > _EVICT_FACTOR * cap:
-        top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        evicted_bound = max(evicted_bound, ranked[cap][1])
         acc.clear()
-        acc.update(top)
+        acc.update(ranked[:cap])
+    return evicted_bound
 
 
 def approx_top_k(
@@ -47,11 +63,15 @@ def approx_top_k(
     _merge_counts's eviction, regardless of key cardinality), partials are
     summed and the global top-k taken.
 
-    Counts are UNDER-estimates for keys that fall outside some partition's
-    local top-m; any key with global frequency > n_rows / per_partition is
-    guaranteed to survive in at least one partition. Choose per_partition >>
-    k (default 100x) so the returned set and order match the exact top-k on
-    Zipf-shaped data — asserted against the exact computation in pytest.
+    Counts are exact for keys that stay resident in their partition's
+    accumulator (true heavy hitters — eviction only prunes below the local
+    top-cap), UNDER-estimated for keys dropped at yield-time truncation, and
+    OVER-estimated by at most the partition's eviction bound for keys
+    readmitted after an eviction (space-saving admission, _merge_counts).
+    Any key with global frequency > n_rows / per_partition is guaranteed to
+    survive in at least one partition. Choose per_partition >> k (default
+    100x) so the returned set and order match the exact top-k on Zipf-shaped
+    data — asserted against the exact computation in pytest.
 
     Returns (key_col, cnt) ordered by cnt desc, key asc, limited to k.
     """
@@ -59,8 +79,9 @@ def approx_top_k(
 
     def local_top(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[object, int] = {}
+        bound = 0
         for pdf in it:
-            _merge_counts(acc, pdf[key_col].value_counts(), per_partition)
+            bound = _merge_counts(acc, pdf[key_col].value_counts(), per_partition, bound)
         if acc:
             top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:per_partition]
             yield pd.DataFrame({key_col: [t[0] for t in top], "cnt": [t[1] for t in top]})

@@ -1237,7 +1237,10 @@ def q29_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(emb, k=16, max_iter=2)
+    # tol=0.0 disables early convergence stop: the oracle unconditionally
+    # unrolls exactly max_iter Lloyd iterations, so the Spark side must run
+    # the same count even on a fixture that converges in one round.
+    cents = kmeans_fit(emb, k=16, max_iter=2, tol=0.0)
     return ivf_topk(emb, emb.where(F.col("vec_id") < 10), centroids=cents)
 
 

@@ -132,14 +132,31 @@ def _normalize_timestamp(df: DataFrame, col: str) -> DataFrame:
     return df
 
 
+# Compatible-drift allowlist: stored dtypes the catalog will silently cast
+# to each declared dtype. Anything outside this map (string->int, struct->
+# anything, ...) is a semantic fixture change, and casting it would produce
+# silent all-NULL columns feeding 71 queries — that must error loudly, the
+# same policy as a disappearing column. Timestamps are handled separately by
+# _normalize_timestamp (long = nanos-as-long, ntz/date = zone-free recast).
+_COMPATIBLE_DRIFT: dict[str, frozenset[str]] = {
+    "int": frozenset({"tinyint", "smallint", "bigint"}),
+    "bigint": frozenset({"tinyint", "smallint", "int"}),
+    "double": frozenset({"float", "int", "bigint", "decimal"}),
+    "string": frozenset(),  # a non-string arriving here is a semantic change
+    "timestamp": frozenset({"bigint", "timestamp_ntz", "date"}),
+}
+
+
 def _normalize_table(df: DataFrame, declared: dict[str, str | None]) -> DataFrame:
     """Project a freshly-read table onto its canonical logical schema.
 
     When the stored dtype already matches, each column is untouched, so the
     common path adds nothing to the plan (scans, pushdown and pruning are
-    exactly what they'd be without the catalog). Drifted columns get one
-    codegen cast; timestamps route through _normalize_timestamp (which also
-    understands the nanos-as-long encoding)."""
+    exactly what they'd be without the catalog). Allowlisted drift
+    (_COMPATIBLE_DRIFT: width changes, timestamp encodings) gets one codegen
+    cast — timestamps via _normalize_timestamp, which also understands the
+    nanos-as-long encoding. Any other stored/declared pair raises instead of
+    silently casting to NULLs."""
     from pyspark.sql import functions as F
 
     missing = [c for c in declared if c not in df.columns]
@@ -151,9 +168,19 @@ def _normalize_table(df: DataFrame, declared: dict[str, str | None]) -> DataFram
     for cname, want in declared.items():
         if want is None:
             continue
+        stored = df.schema[cname].dataType.simpleString()
+        if stored == want:
+            continue
+        base = stored.split("(")[0]  # decimal(18,4) -> decimal
+        if base not in _COMPATIBLE_DRIFT.get(want, frozenset()):
+            raise ValueError(
+                f"column {cname!r} stored as {stored} but declared {want} — "
+                "not in the compatible-drift allowlist; refusing a silent "
+                "cast (incompatible fixture regeneration)"
+            )
         if want == "timestamp":
             df = _normalize_timestamp(df, cname)
-        elif df.schema[cname].dataType.simpleString() != want:
+        else:
             df = df.withColumn(cname, F.col(cname).cast(want))
     return df
 

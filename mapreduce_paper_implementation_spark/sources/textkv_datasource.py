@@ -14,7 +14,9 @@ Parsing splits on the FIRST space only — values may contain spaces (the
 crash app emits multi-field values, mrapps/crash.go:50-56).
 
 The matching writer (`.write.format("textkv").save(...)`) emits one
-`part-<id>` file per Spark partition via the standard commit protocol
+`part-<id>-<job_token>` file per Spark partition (the token is job-unique,
+making concurrent appends into one directory collision-free) via the
+standard commit protocol
 (write to task temp, rename on commit — idempotent under task retry, the
 same atomic-rename discipline as mr/worker.go:157's os.Rename).
 """
@@ -94,21 +96,22 @@ class TextKVWriter(DataSourceWriter):
         self.path = options.get("path")
         assert self.path, "textkv requires a save path"
         self.overwrite = overwrite
+        # Chosen ONCE on the driver at writer construction and pickled to
+        # every task: part filenames are unconditionally job-unique, so two
+        # concurrent APPEND jobs into one directory can never rename over
+        # each other's parts (the old probe-then-pick-a-suffix scheme raced:
+        # both tasks could see part-00000 absent and collide). Concurrent
+        # append+overwrite remains undefined — overwrite's contract is "the
+        # directory holds exactly this job's output", which is inherently
+        # single-writer.
+        self.job_token = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _Committed:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         os.makedirs(self.path, exist_ok=True)
-        final_path = os.path.join(self.path, f"part-{pid:05d}")
-        if not self.overwrite and os.path.exists(final_path):
-            # append into a directory that already holds a part-<pid>: a
-            # plain rename would silently destroy the earlier job's file
-            # (the duplicate-output hazard SURVEY §4.2.1 flags in the
-            # reference) — suffix with a job-unique token instead.
-            final_path = os.path.join(
-                self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}"
-            )
+        final_path = os.path.join(self.path, f"part-{pid:05d}-{self.job_token}")
         # task-attempt-unique temp + commit-time rename: a retried attempt
         # never half-overwrites a committed file (mr/worker.go:157 discipline)
         tmp_path = os.path.join(self.path, f".part-{pid:05d}.{uuid.uuid4().hex}.tmp")
@@ -118,19 +121,16 @@ class TextKVWriter(DataSourceWriter):
         return _Committed(tmp_path=tmp_path, final_path=final_path)
 
     def commit(self, messages) -> None:
-        # Driver-side job commit. On overwrite, files from a previous job
-        # that are NOT among this job's committed parts must go — a prior
-        # 8-partition write overwritten by a 2-partition write would
-        # otherwise leave 6 stale parts that the reader happily includes.
-        # (POSIX rename/unlink; an object-store port would swap this for a
-        # manifest commit.)
-        committed = set()
+        # Driver-side job commit. On overwrite, files not bearing THIS job's
+        # token must go — a prior 8-partition write overwritten by a
+        # 2-partition write would otherwise leave 6 stale parts that the
+        # reader happily includes. (POSIX rename/unlink; an object-store
+        # port would swap this for a manifest commit.)
         for m in messages:
             os.replace(m.tmp_path, m.final_path)
-            committed.add(os.path.basename(m.final_path))
         if self.overwrite:
             for f in os.listdir(self.path):
-                if f.startswith((".", "_")) or f in committed:
+                if f.startswith((".", "_")) or f.endswith(f"-{self.job_token}"):
                     continue
                 os.remove(os.path.join(self.path, f))
 

@@ -31,6 +31,7 @@ spark = (
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as e
+from mapreduce_paper_implementation_spark.operators.caching import release_persisted
 from mapreduce_paper_implementation_spark.testing.compare import (
     canonize,
     compare_query,
@@ -54,6 +55,10 @@ fails = 0
 for name in sorted(qs):
     if only and not any(name.startswith(p) for p in only):
         continue
+    # per-query cache hygiene: the driver runs queries back to back in one
+    # session; scoped persists from the previous query must not accumulate
+    release_persisted()
+    spark.catalog.clearCache()
     t0 = time.time()
     if name not in os_:
         try:

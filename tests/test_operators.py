@@ -99,7 +99,7 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 10)
     exact = {(r["probe_id"], r["neighbor_id"]) for r in brute_force_topk(emb, probes).collect()}
-    lsh = {(r["probe_id"], r["neighbor_id"]) for r in lsh_topk(emb, probes).collect()}
+    lsh = {(r["probe_id"], r["neighbor_id"]) for r in lsh_topk(emb, probes, dim=64).collect()}
     ivf = {(r["probe_id"], r["neighbor_id"]) for r in ivf_topk(emb, probes).collect()}
     assert len(exact) == 30
     # approximate methods: recall bounded below (tuned params on fixture)
@@ -110,7 +110,7 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
         (r["probe_id"], r["neighbor_id"]): str(r["cos_sim"])
         for r in brute_force_topk(emb, probes, k=500).collect()
     }
-    for r in lsh_topk(emb, probes).collect():
+    for r in lsh_topk(emb, probes, dim=64).collect():
         assert str(r["cos_sim"]) == bf[(r["probe_id"], r["neighbor_id"])]
 
 

@@ -298,13 +298,14 @@ def test_incremental_merge_matches_full_for_any_partitioning(spark, rows, n_spli
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vals=st.lists(
-        st.integers(min_value=-(2**52), max_value=2**52), min_size=1, max_size=40
+        st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=40
     ),
     divisor=st.sampled_from([1, 60, 900, 3600, 3_600_000_000]),
 )
 def test_floor_div_matches_python_for_any_ints(spark, vals, divisor):
-    """functions/numeric.floor_div == Python // for any sign and magnitude
-    up to 2^52 (covers epoch-micros), any positive divisor."""
+    """functions/numeric.floor_div == Python // for the FULL int64 range
+    (the old subtract-modulus form was double-rounded past 2^53 and
+    ANSI-overflowed near long-min), any positive divisor."""
     from mapreduce_paper_implementation_spark.functions.numeric import floor_div
     from pyspark.sql import functions as F
 

@@ -372,3 +372,60 @@ def test_dedup_index_maintainer_finds_all_cross_batch_pairs(spark, sf_dir, tmp_p
 
     assert m.update(docs, 2) is None  # replay: no-op
     assert m._committed_version() == 2
+
+
+def test_dedup_index_compact_preserves_probes_and_truncates_chain(
+    spark, sf_dir, tmp_path
+):
+    """compact() (round-5 VERDICT #3): after N batches the index reads N
+    delta dirs; after compact() it reads exactly ONE dir per leaf, probe
+    results for the next batch are identical, GC removed the superseded
+    deltas, and a replayed compact is a no-op returning the same id."""
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+    from mapreduce_paper_implementation_spark.streaming.dedup_index import (
+        DedupIndexMaintainer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = str(tmp_path / "state")
+    m = DedupIndexMaintainer(spark, state, threshold=0.8)
+    for bid in range(3):
+        m.update(docs.where(F.col("doc_id") % 4 == bid), bid)
+    assert len(m._committed_dirs("bands")) == 3
+
+    probe_batch = docs.where(F.col("doc_id") % 4 == 3)
+    # reference probe against the uncompacted chain, via a twin maintainer
+    # state so the real one is not advanced
+    index_rows_before = sorted(map(tuple, m.index().collect()))
+
+    covered = m.compact()
+    assert covered == 2
+    assert len(m._committed_dirs("bands")) == 1
+    assert len(m._committed_dirs("shingles")) == 1
+    assert sorted(map(tuple, m.index().collect())) == index_rows_before
+    # superseded delta dirs are gone
+    import os
+
+    batch_dirs = [d for d in os.listdir(os.path.join(state, "batches")) if d.startswith("b")]
+    assert batch_dirs == []
+    # replayed compact: no-op, same covered id
+    assert m.compact() == 2
+
+    # the next batch probes the compacted baseline and must find the same
+    # pairs the uncompacted chain would have found (batch 3 vs batches 0-2)
+    out = m.update(probe_batch, 3)
+    got = {
+        (min(r["new_id"], r["corpus_id"]), max(r["new_id"], r["corpus_id"]))
+        for r in out.collect()
+    }
+    from mapreduce_paper_implementation_spark.operators.dedup import minhash_lsh_pairs
+
+    full = minhash_lsh_pairs(docs, threshold=0.8)
+    expected = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in full.collect()
+        if (r["id_a"] % 4 == 3) != (r["id_b"] % 4 == 3)
+    }
+    assert got == expected
+    # and the chain is again 1 baseline + 1 new delta
+    assert len(m._committed_dirs("bands")) == 2
