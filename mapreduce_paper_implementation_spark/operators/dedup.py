@@ -699,3 +699,55 @@ def embedding_neardup_pairs_blocked(
         .withColumn("cos_sim", F.col("cos_sim").cast("double"))
         .orderBy("id_a", "id_b")
     )
+
+
+def survivor_stats(
+    docs: DataFrame,
+    clusters: DataFrame | None = None,
+    threshold: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source survivor materialization — "keep one doc per near-dup
+    cluster" (the artifact a dedup pipeline ships): n_docs, n_kept,
+    n_dropped, kept_tokens when each cluster keeps only its min-id member.
+
+    `clusters` is the (id, component) cluster map. Pass the MATERIALIZED map
+    (q41's output — operators/graph.connected_components over the pair
+    graph) in production: re-closing the pair graph per downstream consumer
+    re-pays the inverted-index self-join and the label-propagation rounds
+    every time, which is the expensive half of the pipeline. When omitted,
+    the map is computed inline from ngram_jaccard_pairs(threshold) — the
+    self-contained shape the q58 manifest query uses.
+
+    The victim set (members != representative) is tiny relative to the
+    corpus, so it broadcasts and the corpus-side pass is map-only — no
+    corpus shuffle either way.
+    """
+    from mapreduce_paper_implementation_spark.functions.text import token_count
+    from mapreduce_paper_implementation_spark.operators.graph import (
+        connected_components,
+    )
+
+    if clusters is None:
+        clusters = connected_components(
+            ngram_jaccard_pairs(docs, id_col=id_col, text_col=text_col, threshold=threshold)
+        )
+    victims = clusters.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col), F.lit(1).alias("is_victim")
+    )
+    flagged = docs.join(F.broadcast(victims), id_col, "left")
+    kept = F.col("is_victim").isNull()
+    return (
+        flagged.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.coalesce("is_victim", F.lit(0))).cast("bigint").alias("n_dropped"),
+            F.sum(F.when(kept, token_count(text_col)).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -243,29 +243,14 @@ ORDER BY d.source
 
 @query("q58_dedup_survivors", _Q58_ORACLE)
 def q58_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_paper_implementation_spark.operators.graph import connected_components
+    """Self-contained manifest shape: clusters computed inline. A production
+    pipeline passes clusters= (the materialized q41 output) to
+    operators/dedup.survivor_stats instead of re-closing the pair graph —
+    identical results both ways (tests/test_operators.py)."""
+    from mapreduce_paper_implementation_spark.operators.dedup import survivor_stats
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.1)
-    cc = connected_components(pairs)
-    victims = (
-        cc.where(F.col("id") != F.col("component"))
-        .select(F.col("id").alias("doc_id"), F.lit(1).alias("is_victim"))
-    )
-    flagged = docs.join(F.broadcast(victims), "doc_id", "left")
-    kept = F.col("is_victim").isNull()
-    return (
-        flagged.groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
-            F.sum(F.coalesce("is_victim", F.lit(0))).cast("bigint").alias("n_dropped"),
-            F.sum(F.when(kept, token_count("text")).otherwise(0))
-            .cast("bigint")
-            .alias("kept_tokens"),
-        )
-        .orderBy("source")
-    )
+    return survivor_stats(docs, threshold=0.1)
 
 
 # ---------------------------------------------------------------------------

@@ -602,3 +602,25 @@ def test_ivf_with_kmeans_centroids_recall(spark, sf_dir):
     assert len(got) == len(want) == 30  # 10 probes x top-3, well-formed
     recall = len(got & want) / len(want)
     assert recall >= 0.5, f"kmeans-IVF recall {recall} below floor"
+
+
+def test_survivor_stats_from_materialized_clusters(spark, sf_dir):
+    """survivor_stats(docs) (inline cluster closure) == survivor_stats(docs,
+    clusters=<materialized q41-style map>) — the production path reuses the
+    cluster map instead of re-closing the pair graph (round-5 VERDICT #7)."""
+    from mapreduce_paper_implementation_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        survivor_stats,
+    )
+    from mapreduce_paper_implementation_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    inline = [tuple(r) for r in survivor_stats(docs, threshold=0.1).collect()]
+    clusters = connected_components(ngram_jaccard_pairs(docs, threshold=0.1))
+    reused = [
+        tuple(r) for r in survivor_stats(docs, clusters=clusters, threshold=0.1).collect()
+    ]
+    assert inline == reused
+    assert len(inline) > 0
