@@ -1,0 +1,301 @@
+#!/usr/bin/env python
+"""Scale-stress bench for the dedup/ANN paths (VERDICT r04 ask #1).
+
+Runs the six scale-critical operators — q18 MinHash+LSH, q20 exact n-gram
+Jaccard, q21 blocked-GEMM embedding near-dup, q29 trained-IVF ANN, q41
+dedup clustering, q70 incremental near-dup — on generated corpora 1x/3x/10x
+the sf0.1 fixture size (scripts/gen_scale.py: planted near-dup clusters,
+Zipf sources), and records per-factor wall-times, planted-pair recall /
+precision, and the empirical scaling exponent between successive factors
+(exp = log(t_hi/t_lo) / log(f_hi/f_lo); bucketed designs should land ~1,
+an all-pairs design would land ~2).
+
+Thresholds here are chosen for the synthetic corpus (q20/q41 run at 0.5
+rather than the fixture manifest's 0.1: independent Zipf docs make J in
+[0.1, 0.5) empty by construction, so 0.5 tests the identical plan while
+keeping ground truth exact), and q21 runs at 0.85 (random 64-d unit pairs
+have cos ~ N(0, 1/8); 0.85 is 6.8 sigma, so planted pairs are the only
+positives). Pairs whose true score is within truth.json's eps of a
+threshold are excluded from recall/extras (HALF_UP-vs-half-even rounding on
+the exact boundary is not a correctness signal).
+
+Timing is wall-clock around a full collect() — result sets are bounded by
+the planted-pair count, so driver fetch is negligible. Caches are released
+between queries exactly as bench.py does.
+
+Output: one pretty-printed JSON (default BENCH_SCALE.json at the repo
+root), also echoed to stdout.
+
+Usage:
+    python scripts/bench_scale.py --factors 1,3,10 [--out BENCH_SCALE.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+import numpy as np  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from gen_scale import generate  # noqa: E402
+from mapreduce_paper_implementation_spark.operators.caching import (  # noqa: E402
+    release_persisted,
+)
+from mapreduce_paper_implementation_spark.operators.dedup import (  # noqa: E402
+    embedding_neardup_pairs_blocked,
+    incremental_neardup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from mapreduce_paper_implementation_spark.operators.graph import dedup_clusters  # noqa: E402
+from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit  # noqa: E402
+from mapreduce_paper_implementation_spark.operators.similarity import ivf_topk  # noqa: E402
+from mapreduce_paper_implementation_spark.session import get_spark  # noqa: E402
+from mapreduce_paper_implementation_spark.sources.tables import load_table  # noqa: E402
+
+J_THRESH = 0.8  # q18 / q70
+CLUSTER_THRESH = 0.5  # q20 / q41 on the synthetic corpus (see module docstring)
+COS_THRESH = 0.85  # q21 on random-unit-vector corpus
+IVF_K = 3
+IVF_NPROBE = 4
+IVF_CELLS = 16
+
+
+def _positives(pairs, thresh, eps):
+    """(positives, dont_care) id-pair sets at a threshold, eps band excluded."""
+    pos, band = set(), set()
+    for a, b, s in pairs:
+        key = (min(a, b), max(a, b))
+        if abs(s - thresh) < eps:
+            band.add(key)
+        elif s >= thresh:
+            pos.add(key)
+    return pos, band
+
+
+def _pair_metrics(predicted, pairs, thresh, eps):
+    pos, band = _positives(pairs, thresh, eps)
+    pred = {(min(a, b), max(a, b)) for a, b in predicted} - band
+    hit = len(pred & pos)
+    return {
+        "planted_positives": len(pos),
+        "predicted": len(pred),
+        "hit": hit,
+        "recall": round(hit / len(pos), 4) if pos else None,
+        "extras": len(pred - pos),
+    }
+
+
+def _components(pairs, thresh, eps):
+    """Union-find over planted pairs >= thresh (eps-band pairs excluded —
+    they may legitimately land either side)."""
+    pos, _ = _positives(pairs, thresh, eps)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pos:
+        parent[find(a)] = find(b)
+    comps: dict[int, set] = {}
+    for x in list(parent):
+        comps.setdefault(find(x), set()).add(x)
+    return {frozenset(c) for c in comps.values()}
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def run_factor(spark, factor: float, out_dir: str, seed: int) -> dict:
+    ds_dir = os.path.join(out_dir, f"x{factor:g}")
+    if not os.path.exists(os.path.join(ds_dir, "truth.json")):
+        generate(factor, out_dir, seed)
+    with open(os.path.join(ds_dir, "truth.json")) as f:
+        truth = json.load(f)
+    eps = truth["eps"]
+    doc_pairs = [(a, b, s) for a, b, s in truth["doc_pairs"]]
+    vec_pairs = [(a, b, s) for a, b, s in truth["vec_pairs"]]
+
+    docs = load_table(spark, ds_dir, "documents")
+    emb = load_table(spark, ds_dir, "embeddings")
+    # Untimed warmup (bench.py does the same): the first job in a fresh JVM
+    # pays session init + codegen compilation that would otherwise be
+    # attributed to whichever query runs first and skew the exponent.
+    docs.limit(10).collect()
+    emb.limit(10).collect()
+    wall: dict[str, float] = {}
+    checks: dict[str, dict] = {}
+
+    def done(name, dt):
+        wall[name] = round(dt, 2)
+        release_persisted()
+        spark.catalog.clearCache()
+
+    # q18 — MinHash banding + exact verify
+    dt, rows = _timed(lambda: minhash_lsh_pairs(docs, threshold=J_THRESH).collect())
+    checks["q18_minhash"] = _pair_metrics(
+        [(r.id_a, r.id_b) for r in rows], doc_pairs, J_THRESH, eps
+    )
+    done("q18_minhash", dt)
+
+    # q20 — exact inverted-index Jaccard (recall must be 1.0: exact operator)
+    dt, rows = _timed(
+        lambda: ngram_jaccard_pairs(docs, threshold=CLUSTER_THRESH).collect()
+    )
+    checks["q20_ngram"] = _pair_metrics(
+        [(r.id_a, r.id_b) for r in rows], doc_pairs, CLUSTER_THRESH, eps
+    )
+    done("q20_ngram", dt)
+
+    # q41 — pair graph -> connected components vs planted clusters
+    dt, rows = _timed(
+        lambda: dedup_clusters(
+            ngram_jaccard_pairs(docs, threshold=CLUSTER_THRESH)
+        ).collect()
+    )
+    got = {frozenset(int(m) for m in r.members.split(",")) for r in rows}
+    want = _components(doc_pairs, CLUSTER_THRESH, eps)
+    # eps-band pairs can merge two wanted components or add a member; only
+    # count a mismatch when a wanted component is not a subset of some got
+    # component and vice versa modulo band pairs — with this corpus the band
+    # is almost always empty, so plain equality is the expected outcome.
+    checks["q41_clusters"] = {
+        "planted_components": len(want),
+        "got_components": len(got),
+        "exact_match": got == want,
+    }
+    done("q41_clusters", dt)
+
+    # q70 — incremental delta-vs-corpus probe (odd ids = delta)
+    dt, rows = _timed(
+        lambda: incremental_neardup(
+            docs.where(F.col("doc_id") % 2 == 1),
+            docs.where(F.col("doc_id") % 2 == 0),
+            threshold=J_THRESH,
+        ).collect()
+    )
+    cross = [(a, b, s) for a, b, s in doc_pairs if (a + b) % 2 == 1]
+    checks["q70_incremental"] = _pair_metrics(
+        [(r.new_id, r.corpus_id) for r in rows], cross, J_THRESH, eps
+    )
+    done("q70_incremental", dt)
+
+    # q21 — blocked-GEMM cosine near-dup
+    dt, rows = _timed(
+        lambda: embedding_neardup_pairs_blocked(emb, threshold=COS_THRESH).collect()
+    )
+    checks["q21_embedding"] = _pair_metrics(
+        [(r.id_a, r.id_b) for r in rows], vec_pairs, COS_THRESH, eps
+    )
+    done("q21_embedding", dt)
+
+    # q29 — k-means-trained IVF build + probe; recall@k vs numpy brute force
+    def _q29():
+        cents = kmeans_fit(emb, k=IVF_CELLS, max_iter=2, tol=0.0)
+        return ivf_topk(
+            emb,
+            emb.where(F.col("vec_id") < 10),
+            k=IVF_K,
+            nprobe=IVF_NPROBE,
+            centroids=cents,
+        ).collect()
+
+    dt, rows = _timed(_q29)
+    mat = np.vstack(
+        pq.read_table(os.path.join(ds_dir, "embeddings.parquet"))
+        .column("embedding")
+        .to_pylist()
+    ).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat[:10] @ mat.T
+    np.fill_diagonal(sims[:, :10], -np.inf)
+    true_topk = {
+        p: set(np.argsort(-sims[p])[:IVF_K].tolist()) for p in range(10)
+    }
+    got_nbrs: dict[int, set] = {}
+    for r in rows:
+        got_nbrs.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    hits = sum(len(got_nbrs.get(p, set()) & true_topk[p]) for p in range(10))
+    checks["q29_ivf"] = {
+        "recall_at_k": round(hits / (10 * IVF_K), 4),
+        "probes": 10,
+        "k": IVF_K,
+        "nprobe": IVF_NPROBE,
+        "n_cells": IVF_CELLS,
+    }
+    done("q29_ivf", dt)
+
+    return {
+        "n_docs": truth["n_docs"],
+        "n_vecs": truth["n_vecs"],
+        "planted_doc_pairs": len(doc_pairs),
+        "planted_vec_pairs": len(vec_pairs),
+        "wall_sec": wall,
+        "checks": checks,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", default="1,3,10")
+    ap.add_argument("--out-dir", default=os.path.join(REPO, "scale_data"))
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALE.json"))
+    ap.add_argument("--seed", type=int, default=2026)
+    args = ap.parse_args()
+    factors = [float(x) for x in args.factors.split(",")]
+
+    spark = get_spark("bench_scale")
+    results: dict[str, dict] = {}
+    for f_ in factors:
+        t0 = time.perf_counter()
+        results[f"x{f_:g}"] = run_factor(spark, f_, args.out_dir, args.seed)
+        print(
+            f"# factor {f_:g} done in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    exponents: dict[str, float] = {}
+    if len(factors) >= 2:
+        lo, hi = factors[-2], factors[-1]
+        wlo = results[f"x{lo:g}"]["wall_sec"]
+        whi = results[f"x{hi:g}"]["wall_sec"]
+        for q in wlo:
+            if wlo[q] > 0 and q in whi:
+                exponents[q] = round(math.log(whi[q] / wlo[q]) / math.log(hi / lo), 3)
+
+    out = {
+        "metric": "dedup_ann_scale_stress",
+        "unit": "sec",
+        "thresholds": {
+            "jaccard": J_THRESH,
+            "cluster": CLUSTER_THRESH,
+            "cosine": COS_THRESH,
+        },
+        "factors": results,
+        "scaling_exponent_last_step": exponents,
+        "q18_subquadratic": exponents.get("q18_minhash", 99) < 2.0,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -151,6 +151,57 @@ def test_q63_vocab_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    # Engine-side skew handling (q35's salting twin): a fact-fact sort-merge
+    # join with 90% of rows on one key must NOT leave one straggler task
+    # holding the hot partition — AQE's skew-join rule splits it at runtime.
+    # Thresholds are lowered so the ~20 MB test shuffle triggers the same
+    # code path a multi-TB hot partition would on a cluster; the assertion
+    # is on the FINAL adaptive plan, i.e. what actually executed.
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128k",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "32k",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 120_000).select(
+            F.when(F.col("id") % 10 < 9, 0)
+            .otherwise(F.col("id") % 97 + 1)
+            .cast("long")
+            .alias("key"),
+            # pseudo-random payload: shuffle block sizes are measured after
+            # compression, so a constant string would hide the skew
+            F.concat(
+                F.sha2(F.col("id").cast("string"), 256),
+                F.sha2((F.col("id") + 1).cast("string"), 256),
+                F.sha2((F.col("id") + 2).cast("string"), 256),
+            ).alias("payload"),
+        )
+        right = spark.range(0, 98).select(
+            F.col("id").alias("key"), F.lit("dim").alias("attr")
+        )
+        df = left.join(right, "key")
+        assert len(df.collect()) == 120_000
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_q65_quantize_is_shuffle_free(spark, sf_dir):
     # per-vector quantization audit is pure row-local array math: no
     # aggregation, no join — the only exchange allowed is the output sort
