@@ -701,6 +701,134 @@ def embedding_neardup_pairs_blocked(
     )
 
 
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    n_cells: int = 16,
+    threshold: float = 0.45,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: k-means-cluster the embedding
+    space, then compare pairs only WITHIN a cluster cell (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — the standard recipe for dropping semantically redundant
+    training documents that exact/MinHash dedup cannot see).
+
+    Scale shape (the reason this beats all-pairs at 100 TB): the cross-cell
+    pair space — the overwhelming majority of all pairs — is never
+    materialized. Cost is sum over cells of |cell|^2 / (2 * B^2) GEMM tiles
+    instead of n^2/2: with k balanced cells that is a k-fold reduction
+    before blocking. Within a cell the comparison reuses the blocked-GEMM
+    kernel (embedding_neardup_pairs_blocked): sub-block by id mod B inside
+    EACH cell, so one pathological hot cell degrades to bounded
+    (|cell|/B)^2 tiles rather than one task holding the whole cell — the
+    same hot-bucket posture as _drop_hot_buckets.
+
+    Centroids come from `centroids` ((cell, c_vec)) or are trained inline
+    with operators/kmeans.py:kmeans_fit (2 Lloyd iterations, tol=0 so the
+    iteration count is deterministic — the q29/q72 oracle unrolls exactly
+    that many). Assignment ranks ROUND(cosine, 6) with ties to the lower
+    cell, identical to operators/similarity.py:ivf_topk, so index build and
+    dedup agree on cell boundaries.
+
+    Returns (id_a, id_b, cell INT, cos_sim DOUBLE), id_a < id_b, ordered.
+    Rounding contract matches the other similarity operators: numpy only
+    pre-filters with an epsilon margin; the decimal(9,6) round + threshold
+    compare happen Spark-side.
+    """
+    import pandas as pd
+
+    from mapreduce_paper_implementation_spark.functions.vectors import cosine, norm
+    from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit
+
+    spark = emb.sparkSession
+    if centroids is None:
+        centroids = kmeans_fit(emb, k=n_cells, max_iter=2, tol=0.0)
+    cents = centroids.select(
+        "cell", "c_vec", norm(F.col("c_vec")).alias("c_nrm")
+    )
+
+    v = emb.select(
+        F.col(id_col).alias("id"), to_double_vec(vec_col).alias("vec")
+    ).withColumn("nrm", norm(F.col("vec")))
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "id",
+        "vec",
+        "cell",
+        F.round(cosine(F.col("vec"), F.col("c_vec"), F.col("nrm"), F.col("c_nrm")), 6).alias(
+            "c_cos"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("c_cos"), F.asc("cell"))
+    assigned = (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("id", "vec", F.col("cell").cast("int").alias("cell"))
+        .withColumn("blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
+    )
+
+    block_pairs = spark.createDataFrame(
+        [(a, b) for a in range(n_blocks) for b in range(n_blocks) if a <= b],
+        "pa int, pb int",
+    )
+    left = assigned.join(F.broadcast(block_pairs), F.col("blk") == F.col("pa")).select(
+        "cell", "pa", "pb", F.lit("L").alias("role"), "id", "vec"
+    )
+    right = assigned.join(F.broadcast(block_pairs), F.col("blk") == F.col("pb")).select(
+        "cell", "pa", "pb", F.lit("R").alias("role"), "id", "vec"
+    )
+    both = left.unionByName(right)
+
+    margin = 1e-6  # exceeds the max round-half-up shift; see blocked GEMM
+
+    def score(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        cell, pa, pb = int(key[0]), int(key[1]), int(key[2])
+        lrows = pdf[pdf["role"] == "L"]
+        rrows = pdf[pdf["role"] == "R"]
+        if lrows.empty or rrows.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cell": [], "cos": []})
+        lids = lrows["id"].to_numpy()
+        rids = rrows["id"].to_numpy()
+        ml = np.vstack(lrows["vec"].to_numpy())
+        mr = np.vstack(rrows["vec"].to_numpy())
+        ml = ml / np.linalg.norm(ml, axis=1, keepdims=True)
+        mr = mr / np.linalg.norm(mr, axis=1, keepdims=True)
+        g = ml @ mr.T
+        ii, jj = np.nonzero(g >= threshold - margin)
+        ia, ib = lids[ii], rids[jj]
+        keep = ia < ib if pa == pb else np.ones(len(ia), dtype=bool)
+        ia, ib, cs = ia[keep], ib[keep], g[ii, jj][keep]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cell": np.full(len(ia), cell, dtype=np.int32),
+                "cos": cs,
+            }
+        )
+
+    scored_pairs = both.groupBy("cell", "pa", "pb").applyInPandas(
+        score, "id_a long, id_b long, cell int, cos double"
+    )
+    return (
+        scored_pairs.select(
+            "id_a",
+            "id_b",
+            "cell",
+            F.round("cos", 6).cast("decimal(9,6)").alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .withColumn("cos_sim", F.col("cos_sim").cast("double"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def survivor_stats(
     docs: DataFrame,
     clusters: DataFrame | None = None,

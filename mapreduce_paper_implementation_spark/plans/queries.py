@@ -1125,14 +1125,16 @@ ORDER BY probe_id, rnk
 """
 
 
-def _q29_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 3, iters: int = 2) -> str:
-    """Oracle for the TRAINED-centroid IVF path: replays kmeans_fit's Lloyd
-    iterations (operators/kmeans.py) unrolled in plain SQL — init = vectors
-    of the n_cells lowest ids, assignment ranks ROUND(squared-L2, 6) with
-    ties to the lower cell, per-cell element-wise means with carry-forward
-    for emptied cells — then the same IVF probe as ivf_topk. Every ranking
-    quantizes to 6 decimals before comparing so DuckDB/Spark double-ulp
-    differences cannot flip an order."""
+def _ivf_build_ctes(n_cells: int = 16, iters: int = 2) -> list[str]:
+    """Shared SQL CTEs replaying the k-means index build + cell assignment:
+    kmeans_fit's Lloyd iterations (operators/kmeans.py) unrolled in plain
+    SQL — init = vectors of the n_cells lowest ids, assignment ranks
+    ROUND(squared-L2, 6) with ties to the lower cell, per-cell element-wise
+    means with carry-forward for emptied cells — ending in `cand`
+    (vec_id, vec, nrm, cell): every vector with its trained cell. Every
+    ranking quantizes to 6 decimals before comparing so DuckDB/Spark
+    double-ulp differences cannot flip an order. Used by the trained-IVF
+    probe oracle (q29) and the semantic-dedup oracle (q72)."""
 
     def d2(a: str, b: str) -> str:
         return (
@@ -1195,6 +1197,15 @@ def _q29_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 3, iters: int = 2) 
   SELECT vv.vec_id, vv.vec, vv.nrm, a.cell
   FROM vv JOIN assigned a ON a.vec_id = vv.vec_id AND a.cell_rank = 1
 )""",
+    ]
+    return ctes
+
+
+def _q29_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 3, iters: int = 2) -> str:
+    """Trained-IVF probe oracle: the shared index-build CTEs
+    (_ivf_build_ctes) followed by the same nprobe-cell probe as ivf_topk."""
+    ctes = _ivf_build_ctes(n_cells, iters)
+    ctes += [
         f"""pv AS (
   SELECT a.vec_id AS probe_id, a.cell AS p_cell, vv.vec AS p_vec, vv.nrm AS p_nrm
   FROM assigned a JOIN vv ON vv.vec_id = a.vec_id
@@ -1242,6 +1253,44 @@ def q29_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same count even on a fixture that converges in one round.
     cents = kmeans_fit(emb, k=16, max_iter=2, tol=0.0)
     return ivf_topk(emb, emb.where(F.col("vec_id") < 10), centroids=cents)
+
+
+# ---------------------------------------------------------------------------
+# Q72 semantic dedup — SemDeDup (Abbas et al. 2023): k-means-cluster the
+# embedding space, compare pairs only WITHIN a cell. The oracle reuses the
+# q29 Lloyd-unroll CTEs (the same trained index build, hash-checked) and
+# closes with the within-cell pair join — so cell boundaries, rounding and
+# thresholding are all exactly mirrored.
+# ---------------------------------------------------------------------------
+
+
+def _q72_oracle(n_cells: int = 16, iters: int = 2, threshold: float = 0.45) -> str:
+    ctes = _ivf_build_ctes(n_cells, iters)
+    cos = "ROUND(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6)"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(a.cell AS INT) AS cell,
+       CAST(CAST({cos} AS DECIMAL(9,6)) AS DOUBLE) AS cos_sim
+FROM cand a JOIN cand b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE CAST({cos} AS DECIMAL(9,6)) >= {threshold}
+ORDER BY id_a, id_b
+"""
+    )
+
+
+@query("q72_semantic_dedup", _q72_oracle())
+def q72_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs at cos >= 0.45 within k-means cells — the
+    within-cell restriction is the SemDeDup scale contract: cross-cell
+    pairs (the overwhelming majority) are never materialized."""
+    from mapreduce_paper_implementation_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, n_cells=16, threshold=0.45)
 
 
 # ---------------------------------------------------------------------------

@@ -56,6 +56,7 @@ from mapreduce_paper_implementation_spark.operators.dedup import (  # noqa: E402
     incremental_neardup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    semantic_dedup_pairs,
 )
 from mapreduce_paper_implementation_spark.operators.graph import dedup_clusters  # noqa: E402
 from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit  # noqa: E402
@@ -220,6 +221,17 @@ def run_factor(spark, factor: float, out_dir: str, seed: int, repeat: int = 2) -
         [(r.id_a, r.id_b) for r in rows], vec_pairs, COS_THRESH, eps
     )
     done("q21_embedding", dt)
+
+    # q72 — SemDeDup: within-k-means-cell cosine pairs. Recall < 1.0 is the
+    # designed trade (a planted pair straddling a cell boundary is dropped);
+    # report it rather than gate it. Extras must still be zero: within-cell
+    # scoring is exact, so any pair it emits is a true >=threshold pair.
+    dt, rows = _timed(
+        lambda: semantic_dedup_pairs(emb, n_cells=16, threshold=COS_THRESH).collect()
+    )
+    m72 = _pair_metrics([(r.id_a, r.id_b) for r in rows], vec_pairs, COS_THRESH, eps)
+    checks["q72_semantic"] = m72
+    done("q72_semantic", dt)
 
     # q29 — k-means-trained IVF build + probe; recall@k vs numpy brute force
     def _q29():

@@ -96,3 +96,34 @@ def test_blocked_gemm_recovers_planted_vec_pairs(spark, tiny_corpus):
     }
     pos, band = _positives(truth["vec_pairs"], 0.85)
     assert got - band == pos
+
+
+def test_semantic_dedup_is_within_cell_subset_with_high_recall(spark, tiny_corpus):
+    """SemDeDup contract on the planted corpus: (1) its pairs are a SUBSET of
+    the exact all-pairs result at the same threshold with identical scores
+    (the within-cell restriction can only drop pairs, never invent or
+    rescore them); (2) planted near-dups are ~identical vectors, so they
+    co-locate in a k-means cell and recall stays high — the quantified form
+    of 'cross-cell pairs carry no semantic-dup signal'."""
+    from mapreduce_paper_implementation_spark.operators.dedup import (
+        embedding_neardup_pairs_blocked,
+        semantic_dedup_pairs,
+    )
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+    ds, truth = tiny_corpus
+    emb = load_table(spark, ds, "embeddings")
+    all_pairs = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_neardup_pairs_blocked(emb, threshold=0.85).collect()
+    }
+    sem = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in semantic_dedup_pairs(emb, n_cells=8, threshold=0.85).collect()
+    }
+    assert set(sem) <= set(all_pairs)
+    assert all(all_pairs[k] == v for k, v in sem.items())
+    pos, band = _positives(truth["vec_pairs"], 0.85)
+    if pos:
+        recall = len((set(sem) - band) & pos) / len(pos)
+        assert recall >= 0.9, f"semantic recall {recall} — cells split planted dups"
