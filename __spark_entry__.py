@@ -8,10 +8,12 @@ value-hash -> CORRECTNESS_r{N}.json).
 Implementation lives in ``mapreduce_paper_implementation_spark/``; this file
 is a thin adapter. Queries q01-q17 are the declared manifest (SURVEY.md §2D);
 q18-q54 widen the reference + capability surface (dedup / similarity / text
-analysis / sessionization / joins / windows / subqueries); q55-q68 are the
+analysis / sessionization / joins / windows / subqueries); q55-q71 are the
 training-data-pipeline layer (decontamination, splits, mixture, packing,
-quality filters, quantization, sketches) in ``plans/pipeline_queries.py``.
-All are DuckDB-oracle-backed except q34 (HLL sketch, rows-only by design).
+quality filters, quantization, sketches, incremental rollup/near-dup,
+stratified sampling) in ``plans/pipeline_queries.py``; q72 is SemDeDup-style
+semantic dedup within trained k-means cells. All are DuckDB-oracle-backed
+except q34 (HLL sketch, rows-only by design).
 """
 
 from __future__ import annotations

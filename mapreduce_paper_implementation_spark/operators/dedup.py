@@ -709,6 +709,7 @@ def semantic_dedup_pairs(
     n_cells: int = 16,
     threshold: float = 0.45,
     n_blocks: int = 4,
+    nassign: int = 2,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: k-means-cluster the embedding
     space, then compare pairs only WITHIN a cluster cell (Abbas et al. 2023,
@@ -733,7 +734,16 @@ def semantic_dedup_pairs(
     cell, identical to operators/similarity.py:ivf_topk, so index build and
     dedup agree on cell boundaries.
 
-    Returns (id_a, id_b, cell INT, cos_sim DOUBLE), id_a < id_b, ordered.
+    `nassign` is the boundary-recall knob (the nprobe analog): each vector
+    joins its nassign nearest cells, and a pair is scored when the two
+    vectors SHARE any cell. Single-assignment loses exactly the near-dups
+    that straddle a Voronoi boundary — measured on the planted scale corpus
+    (BENCH_SCALE.json), recall at cos>=0.85 decayed 0.84 -> 0.67 from 1x to
+    30x with nassign=1 and recovers with 2 — at the cost of an nassign-fold
+    data replication, the same trade IVF makes.
+
+    Returns (id_a, id_b, cell INT, cos_sim DOUBLE), id_a < id_b, ordered;
+    a pair sharing several cells reports the lowest shared cell once.
     Rounding contract matches the other similarity operators: numpy only
     pre-filters with an epsilon margin; the decimal(9,6) round + threshold
     compare happen Spark-side.
@@ -766,7 +776,7 @@ def semantic_dedup_pairs(
     w = Window.partitionBy("id").orderBy(F.desc("c_cos"), F.asc("cell"))
     assigned = (
         scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
+        .where(F.col("r") <= nassign)
         .select("id", "vec", F.col("cell").cast("int").alias("cell"))
         .withColumn("blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
     )
@@ -816,12 +826,21 @@ def semantic_dedup_pairs(
     scored_pairs = both.groupBy("cell", "pa", "pb").applyInPandas(
         score, "id_a long, id_b long, cell int, cos double"
     )
+    # A pair sharing several of its nassign cells is scored once per shared
+    # cell (identical vectors, identical rounded score): collapse to one row
+    # reporting the lowest shared cell. MAX over the rounded decimal keeps
+    # the aggregate deterministic even in the 1-ulp tile-order corner.
     return (
         scored_pairs.select(
             "id_a",
             "id_b",
             "cell",
-            F.round("cos", 6).cast("decimal(9,6)").alias("cos_sim"),
+            F.round("cos", 6).cast("decimal(9,6)").alias("cos_dec"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("cell").alias("cell"),
+            F.max("cos_dec").alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
         .withColumn("cos_sim", F.col("cos_sim").cast("double"))

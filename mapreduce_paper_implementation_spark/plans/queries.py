@@ -1264,17 +1264,30 @@ def q29_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _q72_oracle(n_cells: int = 16, iters: int = 2, threshold: float = 0.45) -> str:
+def _q72_oracle(
+    n_cells: int = 16, iters: int = 2, threshold: float = 0.45, nassign: int = 2
+) -> str:
     ctes = _ivf_build_ctes(n_cells, iters)
     cos = "ROUND(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6)"
+    ctes.append(
+        f"""candk AS (
+  SELECT vv.vec_id, vv.vec, vv.nrm, a.cell
+  FROM vv JOIN assigned a ON a.vec_id = vv.vec_id AND a.cell_rank <= {nassign}
+)"""
+    )
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(a.cell AS INT) AS cell,
-       CAST(CAST({cos} AS DECIMAL(9,6)) AS DOUBLE) AS cos_sim
-FROM cand a JOIN cand b ON a.cell = b.cell AND a.vec_id < b.vec_id
-WHERE CAST({cos} AS DECIMAL(9,6)) >= {threshold}
+SELECT id_a, id_b, CAST(MIN(cell) AS INT) AS cell,
+       CAST(MAX(cos_dec) AS DOUBLE) AS cos_sim
+FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cell,
+         CAST({cos} AS DECIMAL(9,6)) AS cos_dec
+  FROM candk a JOIN candk b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+GROUP BY id_a, id_b
+HAVING MAX(cos_dec) >= {threshold}
 ORDER BY id_a, id_b
 """
     )
