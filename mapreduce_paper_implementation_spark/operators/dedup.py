@@ -701,6 +701,43 @@ def embedding_neardup_pairs_blocked(
     )
 
 
+def assign_cells(
+    emb: DataFrame,
+    centroids: DataFrame,
+    nassign: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, cell) rows assigning each vector to its `nassign` nearest
+    centroids by cosine — the shared assignment step of the semantic-dedup
+    operator and the streaming ANN-index maintainer. Ranks ROUND(cosine, 6)
+    with ties to the lower cell (the ivf_topk contract), so every consumer
+    agrees on cell boundaries across calls — the determinism that makes a
+    STORED assignment delta joinable with tomorrow's batch."""
+    from pyspark.sql import Window
+
+    from mapreduce_paper_implementation_spark.functions.vectors import cosine, norm
+
+    cents = centroids.select("cell", "c_vec", norm(F.col("c_vec")).alias("c_nrm"))
+    v = emb.select(
+        F.col(id_col).alias("id"), to_double_vec(vec_col).alias("vec")
+    ).withColumn("nrm", norm(F.col("vec")))
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "id",
+        "vec",
+        "cell",
+        F.round(cosine(F.col("vec"), F.col("c_vec"), F.col("nrm"), F.col("c_nrm")), 6).alias(
+            "c_cos"
+        ),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("c_cos"), F.asc("cell"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= nassign)
+        .select("id", "vec", F.col("cell").cast("int").alias("cell"))
+    )
+
+
 def semantic_dedup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -750,36 +787,14 @@ def semantic_dedup_pairs(
     """
     import pandas as pd
 
-    from mapreduce_paper_implementation_spark.functions.vectors import cosine, norm
     from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit
 
     spark = emb.sparkSession
     if centroids is None:
         centroids = kmeans_fit(emb, k=n_cells, max_iter=2, tol=0.0)
-    cents = centroids.select(
-        "cell", "c_vec", norm(F.col("c_vec")).alias("c_nrm")
-    )
-
-    v = emb.select(
-        F.col(id_col).alias("id"), to_double_vec(vec_col).alias("vec")
-    ).withColumn("nrm", norm(F.col("vec")))
-    scored = v.crossJoin(F.broadcast(cents)).select(
-        "id",
-        "vec",
-        "cell",
-        F.round(cosine(F.col("vec"), F.col("c_vec"), F.col("nrm"), F.col("c_nrm")), 6).alias(
-            "c_cos"
-        ),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("id").orderBy(F.desc("c_cos"), F.asc("cell"))
-    assigned = (
-        scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= nassign)
-        .select("id", "vec", F.col("cell").cast("int").alias("cell"))
-        .withColumn("blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
-    )
+    assigned = assign_cells(
+        emb, centroids, nassign=nassign, id_col=id_col, vec_col=vec_col
+    ).withColumn("blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
 
     block_pairs = spark.createDataFrame(
         [(a, b) for a in range(n_blocks) for b in range(n_blocks) if a <= b],

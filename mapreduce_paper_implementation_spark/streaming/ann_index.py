@@ -1,0 +1,238 @@
+"""Materialized semantic-index maintenance: the stateful half of
+operators/dedup.py:semantic_dedup_pairs (and the index ivf_topk probes).
+
+A production embedding pipeline ingests vectors continuously; rebuilding
+the k-means assignment of ALL history per run re-pays the corpus. This
+maintainer trains the coarse centroids ONCE (the offline index-build step,
+frozen thereafter — retraining is a new index generation, exactly like a
+real IVF deployment), then per ingest batch:
+
+1. assigns the batch's vectors to their `nassign` nearest frozen cells
+   (operators/dedup.py:assign_cells — deterministic across calls, which is
+   what makes yesterday's stored assignment joinable with today's batch);
+2. finds the batch's semantic near-dup pairs against all committed history
+   AND within itself, comparing only same-cell candidates — cost
+   O(|batch| x cell-mates), never O(corpus^2);
+3. appends the batch's (id, cell, vec) rows as a new delta and advances the
+   commit pointer.
+
+Each unordered pair is emitted exactly once, by the batch that completes
+it, so the union of per-batch dup outputs provably equals the one-shot
+semantic_dedup_pairs over the full corpus with the same frozen centroids —
+the differential gate in tests/test_streaming.py.
+
+State layout (same two-phase idempotence discipline as rollup.py /
+dedup_index.py — batch-keyed dirs a replay overwrites, pointer advanced
+only after all writes, at-or-below-pointer batch ids are no-ops):
+
+    state_dir/
+      centroids/g{N}/     frozen (cell, c_vec), keyed by the training batch
+      baseline/g{N}/cells/ compacted assignment store up to batch N
+      batches/b{N}/cells/ (id, cell, vec) assignment delta for batch N
+      dups/b{N}/          (id_a, id_b, cell, cos_sim) pairs completed by N
+      _CURRENT            highest committed batch id (atomic rename)
+      _CENTROIDS          centroid generation id (atomic rename)
+      _BASELINE           batch id the baseline covers (atomic rename)
+
+compact() folds committed assignment deltas into one baseline generation
+(same rationale as DedupIndexMaintainer.compact: without it probe cost and
+file-handle count grow with batch count forever).
+
+Scale note: the per-pair scoring here is the JVM cosine expression over
+same-cell candidate rows — right for ingest-batch sizes; a backfill over a
+huge history cell would use the tiled-GEMM kernel of semantic_dedup_pairs
+(same scores: both round to DECIMAL(9,6) before comparing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_paper_implementation_spark.functions.vectors import cosine, norm
+from mapreduce_paper_implementation_spark.operators.dedup import assign_cells
+
+
+class AnnIndexMaintainer:
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_cells: int = 16,
+        nassign: int = 2,
+        threshold: float = 0.85,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.n_cells = n_cells
+        self.nassign = nassign
+        self.threshold = threshold
+        os.makedirs(os.path.join(state_dir, "batches"), exist_ok=True)
+
+    # -- pointers (same discipline as rollup.py / dedup_index.py) ----------
+    @staticmethod
+    def _read_pointer(path: str) -> int | None:
+        try:
+            with open(path, encoding="ascii") as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return None
+
+    @staticmethod
+    def _write_pointer(path: str, version: int) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="ascii") as fh:
+            fh.write(str(version))
+        os.replace(tmp, path)
+
+    def _ptr(self, name: str) -> str:
+        return os.path.join(self.state_dir, name)
+
+    def _committed_version(self) -> int | None:
+        return self._read_pointer(self._ptr("_CURRENT"))
+
+    def _baseline_version(self) -> int | None:
+        return self._read_pointer(self._ptr("_BASELINE"))
+
+    def _batch_dir(self, batch_id: int, leaf: str) -> str:
+        return os.path.join(self.state_dir, "batches", f"b{batch_id:010d}", leaf)
+
+    def _baseline_dir(self, version: int) -> str:
+        return os.path.join(self.state_dir, "baseline", f"g{version:010d}", "cells")
+
+    def _centroid_dir(self, version: int) -> str:
+        return os.path.join(self.state_dir, "centroids", f"g{version:010d}")
+
+    # -- frozen centroids ---------------------------------------------------
+    def centroids(self) -> DataFrame | None:
+        gen = self._read_pointer(self._ptr("_CENTROIDS"))
+        return self.spark.read.parquet(self._centroid_dir(gen)) if gen is not None else None
+
+    def _ensure_centroids(self, emb: DataFrame, batch_id: int) -> DataFrame:
+        cents = self.centroids()
+        if cents is not None:
+            return cents
+        from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit
+
+        # tol=0 fixes the iteration count — a replayed training batch must
+        # reproduce the SAME centroids bit-for-bit (deterministic init,
+        # deterministic iteration count, deterministic tie-breaks).
+        trained = kmeans_fit(
+            emb, k=self.n_cells, max_iter=2, tol=0.0,
+            id_col=self.id_col, vec_col=self.vec_col,
+        )
+        trained.write.mode("overwrite").parquet(self._centroid_dir(batch_id))
+        self._write_pointer(self._ptr("_CENTROIDS"), batch_id)
+        return self.centroids()
+
+    # -- assignment store ---------------------------------------------------
+    def _committed_cell_dirs(self) -> list[str]:
+        committed = self._committed_version()
+        if committed is None:
+            return []
+        baseline = self._baseline_version()
+        dirs: list[str] = []
+        if baseline is not None:
+            dirs.append(self._baseline_dir(baseline))
+        floor = baseline if baseline is not None else -1
+        root = os.path.join(self.state_dir, "batches")
+        dirs += [
+            os.path.join(root, d, "cells")
+            for d in sorted(os.listdir(root))
+            if d.startswith("b") and d[1:].isdigit() and floor < int(d[1:]) <= committed
+        ]
+        return dirs
+
+    def cells(self) -> DataFrame | None:
+        """The materialized (id, cell, vec) assignment store — what ivf_topk
+        would probe and what each new batch joins against."""
+        dirs = self._committed_cell_dirs()
+        return self.spark.read.parquet(*dirs) if dirs else None
+
+    def compact(self) -> int | None:
+        """Fold committed assignment deltas into one baseline generation and
+        truncate the delta chain (idempotent, two-phase; see module doc)."""
+        import shutil
+
+        committed = self._committed_version()
+        if committed is None:
+            return None
+        if self._baseline_version() == committed:
+            return committed
+        self.spark.read.parquet(*self._committed_cell_dirs()).write.mode(
+            "overwrite"
+        ).parquet(self._baseline_dir(committed))
+        self._write_pointer(self._ptr("_BASELINE"), committed)
+        root = os.path.join(self.state_dir, "batches")
+        for d in os.listdir(root):
+            if d.startswith("b") and d[1:].isdigit() and int(d[1:]) <= committed:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        base_root = os.path.join(self.state_dir, "baseline")
+        for d in os.listdir(base_root):
+            if d.startswith("g") and d[1:].isdigit() and int(d[1:]) < committed:
+                shutil.rmtree(os.path.join(base_root, d), ignore_errors=True)
+        return committed
+
+    # -- per-batch ingest ----------------------------------------------------
+    def update(self, new_emb: DataFrame, batch_id: int) -> DataFrame | None:
+        """Ingest one batch: assign, find the semantic near-dup pairs this
+        batch COMPLETES (new-vs-history plus within-batch), persist both.
+        Returns the batch's pairs (None for an already-committed replay)."""
+        committed = self._committed_version()
+        if committed is not None and committed >= batch_id:
+            return None
+        cents = self._ensure_centroids(new_emb, batch_id)
+        assigned = assign_cells(
+            new_emb, cents, nassign=self.nassign,
+            id_col=self.id_col, vec_col=self.vec_col,
+        )
+
+        hist = self.cells()
+        # Two candidate families, so ingest ids need no ordering assumption:
+        # cross-batch = new x ALL history (each such pair is completed by
+        # exactly this batch, whatever the id order), within-batch = new x
+        # new under id_a > id_b (counted once). A pair sharing several cells
+        # collapses to its lowest shared cell, same as the batch operator.
+        ln = assigned.select(
+            F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "cell"
+        )
+        self_rn = assigned.select(
+            F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "cell"
+        )
+        cand = ln.join(self_rn, ["cell"]).where(F.col("id_a") > F.col("id_b"))
+        if hist is not None:
+            hist_rn = hist.select(
+                F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "cell"
+            )
+            cand = cand.unionByName(
+                ln.join(hist_rn, ["cell"]).where(F.col("id_a") != F.col("id_b"))
+            )
+        pairs = (
+            cand.select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                "cell",
+                F.round(
+                    cosine(
+                        F.col("vec_a"), F.col("vec_b"),
+                        norm(F.col("vec_a")), norm(F.col("vec_b")),
+                    ),
+                    6,
+                ).cast("decimal(9,6)").alias("cos_dec"),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.min("cell").alias("cell"), F.max("cos_dec").alias("cos_sim"))
+            .where(F.col("cos_sim") >= self.threshold)
+            .withColumn("cos_sim", F.col("cos_sim").cast("double"))
+        )
+        dups_dir = os.path.join(self.state_dir, "dups", f"b{batch_id:010d}")
+        pairs.write.mode("overwrite").parquet(dups_dir)
+        assigned.write.mode("overwrite").parquet(self._batch_dir(batch_id, "cells"))
+        self._write_pointer(self._ptr("_CURRENT"), batch_id)
+        return self.spark.read.parquet(dups_dir)

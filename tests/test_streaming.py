@@ -429,3 +429,79 @@ def test_dedup_index_compact_preserves_probes_and_truncates_chain(
     assert got == expected
     # and the chain is again 1 baseline + 1 new delta
     assert len(m._committed_dirs("bands")) == 2
+
+
+def test_ann_index_maintainer_equals_one_shot_semantic_dedup(spark, sf_dir, tmp_path):
+    """Maintained semantic index across 3 ingest batches: every batch emits
+    exactly the near-dup pairs it COMPLETES (new-vs-history + within-batch),
+    so the union over batches must equal the one-shot semantic_dedup_pairs
+    over the full corpus with the SAME frozen centroids — scores included.
+    Replaying a committed batch returns None and leaves state untouched."""
+    from mapreduce_paper_implementation_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+    from mapreduce_paper_implementation_spark.streaming.ann_index import (
+        AnnIndexMaintainer,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = AnnIndexMaintainer(
+        spark, str(tmp_path / "state"), n_cells=8, nassign=2, threshold=0.45
+    )
+    got = {}
+    for bid in range(3):
+        out = m.update(emb.where(F.col("vec_id") % 3 == bid), bid)
+        for r in out.collect():
+            got[(r["id_a"], r["id_b"])] = r["cos_sim"]
+
+    full = semantic_dedup_pairs(
+        emb, centroids=m.centroids(), nassign=2, threshold=0.45
+    )
+    expected = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in full.collect()}
+    assert got == expected
+    assert expected, "fixture produced no pairs — the differential is vacuous"
+
+    assert m.update(emb, 2) is None  # replay: no-op
+    assert m._committed_version() == 2
+
+
+def test_ann_index_compact_preserves_state_and_truncates_chain(
+    spark, sf_dir, tmp_path
+):
+    """After N batches the assignment store reads N delta dirs; compact()
+    folds them into ONE baseline dir with identical rows, GC removes the
+    superseded deltas, a replayed compact is a no-op, and the next batch's
+    pairs are unaffected by whether compaction ran."""
+    import os as _os
+
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+    from mapreduce_paper_implementation_spark.streaming.ann_index import (
+        AnnIndexMaintainer,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    state = str(tmp_path / "state")
+    twin_state = str(tmp_path / "twin")
+    m = AnnIndexMaintainer(spark, state, n_cells=8, nassign=2, threshold=0.45)
+    twin = AnnIndexMaintainer(spark, twin_state, n_cells=8, nassign=2, threshold=0.45)
+    for bid in range(3):
+        m.update(emb.where(F.col("vec_id") % 4 == bid), bid)
+        twin.update(emb.where(F.col("vec_id") % 4 == bid), bid)
+    assert len(m._committed_cell_dirs()) == 3
+    rows_before = sorted(map(tuple, m.cells().collect()))
+
+    covered = m.compact()
+    assert covered == 2
+    assert len(m._committed_cell_dirs()) == 1
+    assert sorted(map(tuple, m.cells().collect())) == rows_before
+    assert m.compact() == 2  # replay: no-op
+    batch_dirs = [
+        d for d in _os.listdir(_os.path.join(state, "batches")) if d.startswith("b")
+    ]
+    assert batch_dirs == []
+
+    last = emb.where(F.col("vec_id") % 4 == 3)
+    compacted_pairs = sorted(map(tuple, m.update(last, 3).collect()))
+    chain_pairs = sorted(map(tuple, twin.update(last, 3).collect()))
+    assert compacted_pairs == chain_pairs
