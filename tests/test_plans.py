@@ -151,6 +151,19 @@ def test_q63_vocab_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q72_semantic_dedup_plan_shape(spark, sf_dir):
+    # SemDeDup's scale contract in the physical plan: centroids and block
+    # pairs arrive as broadcasts (the corpus is never shuffled against
+    # them), the only nested-loop joins are those broadcast centroid scans
+    # (never a CartesianProduct), and exactly ONE Python boundary exists —
+    # the per-(cell, block-pair) GEMM. Everything else stays JVM-side.
+    plan = _plan(spark, sf_dir, "q72_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "ArrowEvalPython" not in plan  # no row-level Python UDFs anywhere
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     # Engine-side skew handling (q35's salting twin): a fact-fact sort-merge
     # join with 90% of rows on one key must NOT leave one straggler task
