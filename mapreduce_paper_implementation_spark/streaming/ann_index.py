@@ -38,10 +38,13 @@ compact() folds committed assignment deltas into one baseline generation
 (same rationale as DedupIndexMaintainer.compact: without it probe cost and
 file-handle count grow with batch count forever).
 
-Scale note: the per-pair scoring here is the JVM cosine expression over
-same-cell candidate rows — right for ingest-batch sizes; a backfill over a
-huge history cell would use the tiled-GEMM kernel of semantic_dedup_pairs
-(same scores: both round to DECIMAL(9,6) before comparing).
+Scale note: scoring uses the same tiled-GEMM kernel as the batch operator
+(one BLAS tile per (cell, L-block, R-block)); BENCH_INGEST.json records the
+per-batch cost curve — the per-pair JVM-expression formulation measured
+11 s -> 142 s over 10 batches of the x10 corpus before the GEMM rewrite.
+GEMM flops remain linear in history at fixed n_cells (the coarse-cell
+trade, bounded in production by retraining with larger k as the corpus
+grows); the interpreter constant is what the rewrite removes.
 """
 
 from __future__ import annotations
@@ -51,7 +54,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_paper_implementation_spark.functions.vectors import cosine, norm
 from mapreduce_paper_implementation_spark.operators.dedup import assign_cells
 
 
@@ -194,37 +196,94 @@ class AnnIndexMaintainer:
         )
 
         hist = self.cells()
-        # Two candidate families, so ingest ids need no ordering assumption:
+        # Candidate families, so ingest ids need no ordering assumption:
         # cross-batch = new x ALL history (each such pair is completed by
         # exactly this batch, whatever the id order), within-batch = new x
         # new under id_a > id_b (counted once). A pair sharing several cells
         # collapses to its lowest shared cell, same as the batch operator.
+        #
+        # Scoring is the tiled-GEMM kernel, NOT a per-pair JVM expression:
+        # with coarse cells every historical cell-mate is a candidate, so
+        # the per-pair path re-evaluates an interpreted 64-dim fold
+        # O(|batch| x occupancy) times per batch — measured 11 s -> 142 s
+        # over 10 ingest batches of the x10 corpus. One BLAS tile per
+        # (cell, L-block, R-block) scores the same pairs at matrix speed.
+        # (Flops stay linear in history at fixed n_cells — the coarse-cell
+        # trade — bounded in production by retraining with larger k as the
+        # corpus grows; what must not happen is paying interpreter cost on
+        # each of them.)
+        import pandas as pd
+
+        n_blocks = 4
         ln = assigned.select(
-            F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "cell"
+            "cell",
+            F.pmod(F.col("id"), F.lit(n_blocks)).cast("int").alias("pa"),
+            F.lit("L").alias("role"),
+            "id",
+            "vec",
+            F.lit(True).alias("is_new"),
+        ).crossJoin(
+            self.spark.range(n_blocks).select(F.col("id").cast("int").alias("pb"))
         )
-        self_rn = assigned.select(
-            F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "cell"
-        )
-        cand = ln.join(self_rn, ["cell"]).where(F.col("id_a") > F.col("id_b"))
+        right_src = assigned.withColumn("is_new", F.lit(True))
         if hist is not None:
-            hist_rn = hist.select(
-                F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "cell"
+            right_src = right_src.unionByName(hist.withColumn("is_new", F.lit(False)))
+        rn = right_src.select(
+            "cell",
+            F.pmod(F.col("id"), F.lit(n_blocks)).cast("int").alias("pb"),
+            F.lit("R").alias("role"),
+            "id",
+            "vec",
+            "is_new",
+        ).crossJoin(
+            self.spark.range(n_blocks).select(F.col("id").cast("int").alias("pa"))
+        )
+        both = ln.select("cell", "pa", "pb", "role", "id", "vec", "is_new").unionByName(
+            rn.select("cell", "pa", "pb", "role", "id", "vec", "is_new")
+        )
+
+        threshold = self.threshold
+        margin = 1e-6  # same pre-filter contract as the batch operator
+
+        def score(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+            import numpy as np
+
+            cell = int(key[0])
+            lrows = pdf[pdf["role"] == "L"]
+            rrows = pdf[pdf["role"] == "R"]
+            if lrows.empty or rrows.empty:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cell": [], "cos": []})
+            lids = lrows["id"].to_numpy()
+            rids = rrows["id"].to_numpy()
+            rnew = rrows["is_new"].to_numpy()
+            ml = np.vstack(lrows["vec"].to_numpy())
+            mr = np.vstack(rrows["vec"].to_numpy())
+            ml = ml / np.linalg.norm(ml, axis=1, keepdims=True)
+            mr = mr / np.linalg.norm(mr, axis=1, keepdims=True)
+            g = ml @ mr.T
+            ii, jj = np.nonzero(g >= threshold - margin)
+            ia, ib, bn = lids[ii], rids[jj], rnew[jj]
+            # keep: cross-batch (R from history) always, within-batch once
+            keep = (~bn) & (ia != ib) | (bn & (ia > ib))
+            ia, ib, cs = ia[keep], ib[keep], g[ii, jj][keep]
+            return pd.DataFrame(
+                {
+                    "id_a": np.minimum(ia, ib),
+                    "id_b": np.maximum(ia, ib),
+                    "cell": np.full(len(ia), cell, dtype=np.int32),
+                    "cos": cs,
+                }
             )
-            cand = cand.unionByName(
-                ln.join(hist_rn, ["cell"]).where(F.col("id_a") != F.col("id_b"))
-            )
+
+        scored = both.groupBy("cell", "pa", "pb").applyInPandas(
+            score, "id_a long, id_b long, cell int, cos double"
+        )
         pairs = (
-            cand.select(
-                F.least("id_a", "id_b").alias("id_a"),
-                F.greatest("id_a", "id_b").alias("id_b"),
+            scored.select(
+                "id_a",
+                "id_b",
                 "cell",
-                F.round(
-                    cosine(
-                        F.col("vec_a"), F.col("vec_b"),
-                        norm(F.col("vec_a")), norm(F.col("vec_b")),
-                    ),
-                    6,
-                ).cast("decimal(9,6)").alias("cos_dec"),
+                F.round("cos", 6).cast("decimal(9,6)").alias("cos_dec"),
             )
             .groupBy("id_a", "id_b")
             .agg(F.min("cell").alias("cell"), F.max("cos_dec").alias("cos_sim"))

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Ingest-cost bench for the streaming index maintainers.
+
+The maintainers' scale claim is O(|batch|) per ingest — cost must NOT grow
+with accumulated history. This measures it: split the generated x10 corpus
+(scripts/gen_scale.py: 50k docs / 20k vectors) into equal-size batches,
+feed them through DedupIndexMaintainer and AnnIndexMaintainer, and record
+each batch's update() wall-clock, compacting every `compact_every` batches
+(without compaction, delta-chain length adds a per-batch read cost that
+compaction is exactly designed to bound).
+
+Claim check in the artifact: `late_vs_early` = mean of the last 3 batch
+times / mean of batches 2-4 (batch 1 excluded — it pays centroid training
+/ first-index build). A maintainer re-paying history would show this ratio
+growing toward n_batches; O(batch) shows ~1 give or take box noise.
+
+Output: BENCH_INGEST.json at the repo root, echoed to stdout.
+
+Usage:
+    python scripts/bench_ingest.py [--factor 10] [--batches 10] [--compact-every 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gen_scale import generate  # noqa: E402
+from mapreduce_paper_implementation_spark.operators.caching import (  # noqa: E402
+    release_persisted,
+)
+from mapreduce_paper_implementation_spark.session import get_spark  # noqa: E402
+from mapreduce_paper_implementation_spark.sources.tables import load_table  # noqa: E402
+
+
+def _ratio(times: list[float]) -> float | None:
+    if len(times) < 7:
+        return None
+    early = times[1:4]  # skip batch 0: centroid training / first build
+    late = times[-3:]
+    return round(sum(late) / len(late) / (sum(early) / len(early)), 3)
+
+
+def run(spark, ds_dir: str, n_batches: int, compact_every: int) -> dict:
+    from mapreduce_paper_implementation_spark.streaming.ann_index import (
+        AnnIndexMaintainer,
+    )
+    from mapreduce_paper_implementation_spark.streaming.dedup_index import (
+        DedupIndexMaintainer,
+    )
+
+    docs = load_table(spark, ds_dir, "documents")
+    emb = load_table(spark, ds_dir, "embeddings")
+    docs.limit(5).collect()  # untimed session warmup
+
+    out: dict[str, dict] = {}
+    for name, maintainer, table, id_col in (
+        ("dedup_index", DedupIndexMaintainer, docs, "doc_id"),
+        ("ann_index", AnnIndexMaintainer, emb, "vec_id"),
+    ):
+        state = tempfile.mkdtemp(prefix=f"ingest_{name}_")
+        m = maintainer(spark, state)
+        times: list[float] = []
+        pair_total = 0
+        for bid in range(n_batches):
+            batch = table.where(F.col(id_col) % n_batches == bid)
+            t0 = time.perf_counter()
+            res = m.update(batch, bid)
+            pair_total += res.count()
+            times.append(round(time.perf_counter() - t0, 2))
+            if compact_every and (bid + 1) % compact_every == 0:
+                m.compact()
+            release_persisted()
+            spark.catalog.clearCache()
+        shutil.rmtree(state, ignore_errors=True)
+        out[name] = {
+            "batch_sec": times,
+            "pairs_found": pair_total,
+            "late_vs_early": _ratio(times),
+        }
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=float, default=10.0)
+    ap.add_argument("--batches", type=int, default=10)
+    ap.add_argument("--compact-every", type=int, default=3)
+    ap.add_argument("--out-dir", default=os.path.join(REPO, "scale_data"))
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_INGEST.json"))
+    args = ap.parse_args()
+
+    ds_dir = os.path.join(args.out_dir, f"x{args.factor:g}")
+    if not os.path.exists(os.path.join(ds_dir, "truth.json")):
+        generate(args.factor, args.out_dir)
+
+    spark = get_spark("bench_ingest")
+    result = {
+        "metric": "maintainer_ingest_cost",
+        "unit": "sec_per_batch",
+        "factor": args.factor,
+        "n_batches": args.batches,
+        "compact_every": args.compact_every,
+        "maintainers": run(spark, ds_dir, args.batches, args.compact_every),
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
