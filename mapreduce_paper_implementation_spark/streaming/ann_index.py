@@ -181,6 +181,53 @@ class AnnIndexMaintainer:
                 shutil.rmtree(os.path.join(base_root, d), ignore_errors=True)
         return committed
 
+    def retrain(self, k: int | None = None) -> int | None:
+        """Offline index-generation rebuild — the amortized answer to growing
+        cell occupancy: train NEW centroids (typically with a larger k) on
+        the full committed store, reassign the ENTIRE store under them, and
+        publish both as a new generation keyed by the committed batch id.
+        O(corpus) by design, run occasionally, exactly like a production IVF
+        index rebuild. Subsequent batches assign and probe under the new
+        cells. Returns the covered batch id (None if nothing is committed).
+
+        Idempotence/crash-safety: the new centroid and assignment dirs are
+        keyed by the covered batch id (a replay overwrites them); pointers
+        move only after both dirs are written. A crash between the two
+        pointer moves leaves new centroids with pre-retrain assignments —
+        detectable (pointer generations differ) and repaired by re-running
+        retrain, which rewrites both dirs and re-commits both pointers.
+        """
+        import shutil
+
+        committed = self._committed_version()
+        if committed is None:
+            return None
+        if k is not None:
+            self.n_cells = k
+        from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit
+
+        # cells() holds nassign rows per id (multi-assignment); training or
+        # reassigning on the raw store would duplicate every vector — k-means
+        # init would seed duplicate centroids and the row_number re-assignment
+        # would emit the SAME top cell nassign times, silently losing the
+        # second-nearest cells. One row per vector first.
+        store = self.cells().select("id", "vec").distinct()
+        trained = kmeans_fit(
+            store, k=self.n_cells, max_iter=2, tol=0.0, id_col="id", vec_col="vec"
+        )
+        trained.write.mode("overwrite").parquet(self._centroid_dir(committed))
+        cents = self.spark.read.parquet(self._centroid_dir(committed))
+        assign_cells(
+            store, cents, nassign=self.nassign, id_col="id", vec_col="vec"
+        ).write.mode("overwrite").parquet(self._baseline_dir(committed))
+        self._write_pointer(self._ptr("_CENTROIDS"), committed)
+        self._write_pointer(self._ptr("_BASELINE"), committed)
+        root = os.path.join(self.state_dir, "batches")
+        for d in os.listdir(root):
+            if d.startswith("b") and d[1:].isdigit() and int(d[1:]) <= committed:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        return committed
+
     # -- per-batch ingest ----------------------------------------------------
     def update(self, new_emb: DataFrame, batch_id: int) -> DataFrame | None:
         """Ingest one batch: assign, find the semantic near-dup pairs this

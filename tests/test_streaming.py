@@ -505,3 +505,55 @@ def test_ann_index_compact_preserves_state_and_truncates_chain(
     compacted_pairs = sorted(map(tuple, m.update(last, 3).collect()))
     chain_pairs = sorted(map(tuple, twin.update(last, 3).collect()))
     assert compacted_pairs == chain_pairs
+
+
+def test_ann_index_retrain_rebuilds_generation_and_stays_exact(
+    spark, sf_dir, tmp_path
+):
+    """retrain() is the offline index-generation rebuild: new centroids
+    (larger k) trained on the full store, the whole store reassigned, both
+    published as one generation, delta chain truncated. The next batch must
+    then emit exactly the pairs the one-shot operator (under the NEW
+    centroids) attributes to it — proving probe and store agree on the new
+    cell boundaries."""
+    from mapreduce_paper_implementation_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+    from mapreduce_paper_implementation_spark.streaming.ann_index import (
+        AnnIndexMaintainer,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = AnnIndexMaintainer(
+        spark, str(tmp_path / "state"), n_cells=4, nassign=2, threshold=0.45
+    )
+    for bid in range(2):
+        m.update(emb.where(F.col("vec_id") % 3 == bid), bid)
+
+    covered = m.retrain(k=12)
+    assert covered == 1
+    assert len(m._committed_cell_dirs()) == 1  # one baseline, no deltas
+    assert m.centroids().count() == 12
+    # the store survived the rebuild: same ids (nassign rows each), cells
+    # drawn from the new 12-cell space
+    assert sorted({r["id"] for r in m.cells().collect()}) == sorted(
+        r["vec_id"] for r in emb.where(F.col("vec_id") % 3 != 2).collect()
+    )
+    assert {r["cell"] for r in m.cells().collect()} <= set(range(1, 13))
+
+    last = emb.where(F.col("vec_id") % 3 == 2)
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"] for r in m.update(last, 2).collect()
+    }
+    full = semantic_dedup_pairs(
+        emb, centroids=m.centroids(), nassign=2, threshold=0.45
+    )
+    last_ids = {r["vec_id"] for r in last.collect()}
+    expected = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in full.collect()
+        if r["id_a"] in last_ids or r["id_b"] in last_ids
+    }
+    assert got == expected
+    assert expected, "no post-retrain pairs — the differential is vacuous"
