@@ -1000,3 +1000,49 @@ def q71_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "rk")
         .orderBy("source", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q73 Bloom-gated ingest membership — "which delta rows carry a key history
+# has already seen?" without joining history for the novel majority.
+#
+# Events with odd event_id are "today's ingest batch", even event_ids are
+# "history"; the seen-key is (user_id, event_type) — the crawler-frontier /
+# already-recorded-action shape. The engine builds a Bloom filter over
+# history's distinct keys (<= num_bits/64 rows, broadcast), probes it
+# map-side, and only bloom-positive keys reach the exact verify join
+# (operators/membership.py). Bloom filters have no false negatives and the
+# verify join removes false positives, so the result is EXACT — the oracle
+# is a plain membership LEFT JOIN; the filter changes only how much data
+# moves. tests/test_membership.py gates the pruning claim (novel keys never
+# enter the verify join) and the no-false-negative property.
+# ---------------------------------------------------------------------------
+
+_Q73_ORACLE = """
+SELECT e.event_id, e.user_id, e.event_type,
+       (h.user_id IS NOT NULL) AS seen
+FROM events e
+LEFT JOIN (
+  SELECT DISTINCT user_id, event_type FROM events WHERE event_id % 2 = 0
+) h ON e.user_id = h.user_id AND e.event_type = h.event_type
+WHERE e.event_id % 2 = 1
+ORDER BY event_id
+"""
+
+
+@query("q73_bloom_seen_keys", _Q73_ORACLE)
+def q73_bloom_seen_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.membership import (
+        seen_membership,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    delta = ev.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "event_type"
+    )
+    history = ev.where(F.col("event_id") % 2 == 0)
+    return (
+        seen_membership(delta, history, ["user_id", "event_type"])
+        .select("event_id", "user_id", "event_type", "seen")
+        .orderBy("event_id")
+    )
