@@ -101,3 +101,79 @@ def dedup_clusters(pairs: DataFrame, src_col: str = "id_a", dst_col: str = "id_b
         )
         .orderBy("component")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """PageRank with EXACT scaled-integer arithmetic: (node, rank_scaled,
+    rank) after `iters` synchronous iterations at damping d =
+    damping_pct/100, rank mass scaled by `scale`.
+
+    The MapReduce paper's canonical iterative workload (mapreduce-paper.pdf
+    names web-graph ranking as the motivating large computation; §2.3's
+    reverse web-link graph — our q66 — builds exactly the structure PageRank
+    consumes). The reference cannot express iteration at all (one map +
+    one reduce per job, /root/reference/mr/coordinator.go:135); chaining
+    jobs by hand is the workaround its model implies.
+
+    Why scaled integers: float PageRank sums contributions per target in a
+    nondeterministic order, so double results differ between engines (and
+    between runs at different parallelism) by accumulation order. With
+    rank as BIGINT(scale * value) and per-edge contributions computed by
+    integer division `(d_num * rank) div (d_den * outdeg)`, every operation
+    is exact and associative — any summation order gives the SAME integer,
+    so a DuckDB replay hash-matches bit-for-bit. Dropped remainders are
+    < 1/scale per edge (1e-12 of total mass) — quantization, not float
+    noise: deterministic everywhere.
+
+    Semantics (simple variant, mirrored exactly by the oracle): nodes =
+    endpoints of `edges`; rank_0 = floor(scale/N); rank_{i+1}(v) =
+    floor((1-d)*scale/N) + sum over in-edges (u,v) of
+    floor(d*rank_i(u) / outdeg(u)); dangling mass is dropped (not
+    redistributed).
+
+    Scale shape per iteration: ranks join edges on src (shuffle O(|E|)),
+    partial-aggregated sum per dst, left join back to the node list —
+    the Pregel message-passing round as two shuffles. N enters as a
+    single-row broadcast (the q49/q57 pattern), never a driver round-trip.
+    `localCheckpoint` every `checkpoint_every` rounds truncates lineage so
+    deep iteration counts don't blow up plan compilation (same discipline
+    as connected_components); the default never triggers at iters=3.
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    e = edges.select(src.alias("src"), dst.alias("dst")).distinct()
+    nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct()
+    n_row = F.broadcast(nodes.agg(F.count("*").alias("n")))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    d_num, d_den = damping_pct, 100
+    base = F.expr(f"({(d_den - d_num)} * {scale}) div ({d_den} * n)")
+    ranks = nodes.crossJoin(n_row).select(
+        "node", "n", F.expr(f"{scale} div n").alias("r")
+    )
+    for i in range(1, iters + 1):
+        contribs = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .join(outdeg, "src")
+            .select("dst", F.expr(f"({d_num} * r) div ({d_den} * od)").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.crossJoin(n_row)
+            .join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select("node", "n", (base + F.coalesce("s", F.lit(0))).alias("r"))
+        )
+        if i % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"),
+    )

@@ -1046,3 +1046,70 @@ def q73_bloom_seen_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "seen")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q74 PageRank — the MapReduce paper's canonical iterative workload over the
+# fixture's link graph (user_id -> props.k, the same edges q66 reverses).
+#
+# Exact scaled-integer arithmetic (operators/graph.py:pagerank): rank mass
+# scaled by 10^12 into BIGINTs, per-edge contributions by integer division —
+# every operation exact and associative, so the result is bit-identical
+# across engines, partitionings, and summation orders (float PageRank is
+# none of those). The oracle unrolls the 3 synchronous iterations as CTEs
+# with DuckDB's `//` (both engines truncate; all operands positive).
+#
+# Scale shape per iteration: ranks⋈edges on src + partial-aggregated sum
+# per dst + left join back to nodes — the Pregel round as two O(|E|)
+# shuffles; N enters as a single-row broadcast, never a driver round-trip.
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+
+
+def _q74_oracle(iters: int = 3, scale: int = _PR_SCALE, d_num: int = 85, d_den: int = 100) -> str:
+    ctes = [
+        """edges AS (
+  SELECT DISTINCT user_id AS src, CAST(props->>'k' AS BIGINT) AS dst
+  FROM events WHERE props->>'k' IS NOT NULL
+)""",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        "outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, {scale} // n AS r FROM nodes CROSS JOIN nn)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        ctes += [
+            f"""c{i} AS (
+  SELECT e.dst, SUM(({d_num} * r.r) // ({d_den} * o.od)) AS s
+  FROM edges e JOIN {prev} r ON r.node = e.src JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst
+)""",
+            f"""r{i} AS (
+  SELECT n.node, ({d_den - d_num} * {scale}) // ({d_den} * nn.n) + COALESCE(c.s, 0) AS r
+  FROM nodes n CROSS JOIN nn LEFT JOIN c{i} c ON c.dst = n.node
+)""",
+        ]
+        prev = f"r{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, CAST(r AS BIGINT) AS rank_scaled,
+       CAST(r AS DOUBLE) / {float(scale)!r} AS rank
+FROM {prev} ORDER BY node
+"""
+    )
+
+
+@query("q74_pagerank", _q74_oracle())
+def q74_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    return pagerank(edges, iters=3, scale=_PR_SCALE).orderBy("node")

@@ -4,8 +4,9 @@
 The maintainers' scale claim is O(|batch|) per ingest — cost must NOT grow
 with accumulated history. This measures it: split the generated x10 corpus
 (scripts/gen_scale.py: 50k docs / 20k vectors) into equal-size batches,
-feed them through DedupIndexMaintainer and AnnIndexMaintainer, and record
-each batch's update() wall-clock, compacting every `compact_every` batches
+feed them through DedupIndexMaintainer, AnnIndexMaintainer, and
+SeenKeysMaintainer (exact content-digest membership via the Bloom filter),
+and record each batch's update() wall-clock, compacting every `compact_every` batches
 (without compaction, delta-chain length adds a per-batch read cost that
 compaction is exactly designed to bound).
 
@@ -56,28 +57,41 @@ def run(spark, ds_dir: str, n_batches: int, compact_every: int) -> dict:
     from mapreduce_paper_implementation_spark.streaming.ann_index import (
         AnnIndexMaintainer,
     )
+    from mapreduce_paper_implementation_spark.streaming.bloom import (
+        SeenKeysMaintainer,
+    )
     from mapreduce_paper_implementation_spark.streaming.dedup_index import (
         DedupIndexMaintainer,
     )
 
     docs = load_table(spark, ds_dir, "documents")
     emb = load_table(spark, ds_dir, "embeddings")
+    # seen-keys ingest: exact content-digest membership per batch (the
+    # "have we crawled this exact document before" check)
+    hashed = docs.select("doc_id", F.md5("text").alias("content_hash"))
     docs.limit(5).collect()  # untimed session warmup
 
     out: dict[str, dict] = {}
-    for name, maintainer, table, id_col in (
-        ("dedup_index", DedupIndexMaintainer, docs, "doc_id"),
-        ("ann_index", AnnIndexMaintainer, emb, "vec_id"),
+    for name, make, table, id_col, metric in (
+        ("dedup_index", lambda s: DedupIndexMaintainer(spark, s), docs, "doc_id", None),
+        ("ann_index", lambda s: AnnIndexMaintainer(spark, s), emb, "vec_id", None),
+        (
+            "seen_keys",
+            lambda s: SeenKeysMaintainer(spark, s, ["content_hash"]),
+            hashed,
+            "doc_id",
+            lambda df: df.where("seen").count(),
+        ),
     ):
         state = tempfile.mkdtemp(prefix=f"ingest_{name}_")
-        m = maintainer(spark, state)
+        m = make(state)
         times: list[float] = []
         pair_total = 0
         for bid in range(n_batches):
             batch = table.where(F.col(id_col) % n_batches == bid)
             t0 = time.perf_counter()
             res = m.update(batch, bid)
-            pair_total += res.count()
+            pair_total += metric(res) if metric else res.count()
             times.append(round(time.perf_counter() - t0, 2))
             if compact_every and (bid + 1) % compact_every == 0:
                 m.compact()

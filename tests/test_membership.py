@@ -148,3 +148,51 @@ def test_multi_column_keys(spark):
         for r in seen_membership(delta, history, ["u", "t"], num_bits=1 << 10).collect()
     }
     assert rows == {(1, "a"): True, (1, "b"): False, (2, "b"): True, (3, "a"): False}
+
+
+# --- pagerank (operators/graph.py) — differential vs a pure-Python replay of
+# the same scaled-integer recurrence, which is exact by construction --------
+
+
+def _py_pagerank(edges, iters=3, scale=10**6, d_num=85, d_den=100):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in set(edges):
+        outdeg[u] = outdeg.get(u, 0) + 1
+    r = {v: scale // n for v in nodes}
+    base = (d_den - d_num) * scale // (d_den * n)
+    for _ in range(iters):
+        acc = {v: 0 for v in nodes}
+        for u, v in set(edges):
+            acc[v] += (d_num * r[u]) // (d_den * outdeg[u])
+        r = {v: base + acc[v] for v in nodes}
+    return r
+
+
+def test_pagerank_matches_python_reference(spark):
+    from mapreduce_paper_implementation_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 1), (3, 2), (3, 1), (4, 3), (2, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df, iters=3, scale=10**6).collect()
+    }
+    assert got == _py_pagerank(edges)
+
+
+def test_pagerank_partition_invariant(spark):
+    """The scaled-integer formulation is associative: any partitioning or
+    summation order yields the identical integers (the property the
+    float formulation lacks)."""
+    from mapreduce_paper_implementation_spark.operators.graph import pagerank
+
+    edges = [(i, (i * 7) % 23) for i in range(200)] + [(i, (i * 3) % 23) for i in range(200)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = {r["node"]: r["rank_scaled"] for r in pagerank(df, iters=4).collect()}
+    b = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df.repartition(13, "dst"), iters=4).collect()
+    }
+    assert a == b

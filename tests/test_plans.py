@@ -221,3 +221,25 @@ def test_q65_quantize_is_shuffle_free(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q65_quantize_audit")
     assert "hashpartitioning" not in plan
     assert "Join" not in plan
+
+
+def test_q73_bloom_word_map_broadcasts(spark, sf_dir):
+    """The Bloom probe must broadcast the word map (bounded at num_bits/64
+    rows) and never shuffle the delta against full history; the only
+    acceptable joins are broadcast-hash (word map, verify set) plus the
+    final flag join on the key columns."""
+    plan = _plan(spark, sf_dir, "q73_bloom_seen_keys")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q74_pagerank_no_cartesian_beyond_single_row_n(spark, sf_dir):
+    """PageRank's only nested-loop join is the single-row node-count
+    broadcast (the q49/q57 pattern); per-iteration work is equi-joins +
+    partial aggregation, never a cartesian over data."""
+    plan = _plan(spark, sf_dir, "q74_pagerank")
+    assert "CartesianProduct" not in plan
+    # the n-row broadcast appears once per rank recomputation; each must be
+    # a BROADCAST nested loop (single-row build side), never a shuffle NL
+    assert "partial_count" in plan or "count(1)" in plan  # N computed by agg, not collect
