@@ -78,16 +78,16 @@ def build_bloom(
     num_hashes: int = DEFAULT_NUM_HASHES,
     seed: int = DEFAULT_SEED,
 ) -> DataFrame:
-    """Bloom filter over the distinct keys of `keys` as a (word, bits) frame.
+    """Bloom filter over the keys of `keys` as a (word, bits) frame.
 
     One pass over the key set: explode the k positions, BIT_OR the bit
-    masks per 64-bit word. Partial aggregation bounds the shuffle at
-    (num_bits/64) rows per input partition; the result is <= num_bits/64
-    rows total, independent of |keys|."""
-    pos = (
-        keys.select(*key_cols)
-        .distinct()
-        .select(F.explode(_positions(key_cols, num_bits, num_hashes, seed)).alias("pos"))
+    masks per 64-bit word. No distinct needed — OR-ing a duplicate key's
+    bits is a no-op, so deduplication would only add a shuffle. Partial
+    aggregation bounds the shuffle at (num_bits/64) rows per input
+    partition; the result is <= num_bits/64 rows total, independent of
+    |keys|."""
+    pos = keys.select(
+        F.explode(_positions(key_cols, num_bits, num_hashes, seed)).alias("pos")
     )
     word, bit = _word_bit(F.col("pos"))
     return (
@@ -153,8 +153,8 @@ def seen_membership(
     column (or a maintained filter — rebuild is associative, so a streaming
     maintainer can BIT_OR per-batch filters)."""
     key_cols = list(key_cols)
-    hist_keys = history.select(*key_cols).distinct()
-    bloom = build_bloom(hist_keys, key_cols, num_bits=num_bits, num_hashes=num_hashes, seed=seed)
+    raw_hist = history.select(*key_cols)
+    bloom = build_bloom(raw_hist, key_cols, num_bits=num_bits, num_hashes=num_hashes, seed=seed)
     delta_keys = delta.select(*key_cols).distinct()
     maybe = bloom_maybe_seen(
         delta_keys, bloom, key_cols, num_bits=num_bits, num_hashes=num_hashes, seed=seed
@@ -162,11 +162,19 @@ def seen_membership(
     negatives = maybe.where(~F.col("bloom_maybe")).select(
         *key_cols, F.lit(False).alias("seen")
     )
-    positives = (
-        maybe.where(F.col("bloom_maybe"))
-        .select(*key_cols)
-        .join(hist_keys.withColumn("_in_hist", F.lit(True)), key_cols, "left")
-        .select(*key_cols, F.coalesce("_in_hist", F.lit(False)).alias("seen"))
-    )
+    pos_keys = maybe.where(F.col("bloom_maybe")).select(*key_cols)
+    # Verify WITHOUT shuffling (or deduplicating) history: semi-join history
+    # against the bloom-positive key set — the small side, which AQE
+    # broadcasts — so history is only scanned map-side; then distinct the
+    # matches (bounded by |pos_keys|) and flag. A left join against raw
+    # history would duplicate a key stored more than once.
+    matched = raw_hist.join(pos_keys, key_cols, "left_semi").distinct()
+    positives = pos_keys.join(
+        matched.withColumn("_in_hist", F.lit(True)), key_cols, "left"
+    ).select(*key_cols, F.coalesce("_in_hist", F.lit(False)).alias("seen"))
     flags = negatives.unionByName(positives)
-    return delta.join(flags, key_cols, "left")
+    out = delta.join(flags, key_cols, "left")
+    # NULL keys never equi-join (neither here nor in a plain membership
+    # join), so they'd surface as seen=NULL; resolve them to the membership
+    # answer a LEFT JOIN gives: not seen.
+    return out.withColumn("seen", F.coalesce("seen", F.lit(False)))

@@ -155,19 +155,25 @@ class SeenKeysMaintainer:
                 num_hashes=self.num_hashes,
                 seed=self.seed,
             )
-            hist_keys = self.keys()
-            positives = (
-                maybe.where(F.col("bloom_maybe"))
-                .select(*self.key_cols)
-                .join(hist_keys.withColumn("_h", F.lit(True)), self.key_cols, "left")
-                .select(*self.key_cols, F.coalesce("_h", F.lit(False)).alias("seen"))
-            )
+            pos_keys = maybe.where(F.col("bloom_maybe")).select(*self.key_cols)
+            # The key store holds one distinct-key set PER DELTA, so a key
+            # seen in several batches appears several times before compact();
+            # a plain left join against it would duplicate flag rows. Semi-
+            # join the store against the (small) positive set and distinct
+            # the matches instead — history is scanned map-side, never
+            # shuffled or deduplicated wholesale.
+            matched = self.keys().join(pos_keys, self.key_cols, "left_semi").distinct()
+            positives = pos_keys.join(
+                matched.withColumn("_h", F.lit(True)), self.key_cols, "left"
+            ).select(*self.key_cols, F.coalesce("_h", F.lit(False)).alias("seen"))
             flags = (
                 maybe.where(~F.col("bloom_maybe"))
                 .select(*self.key_cols, F.lit(False).alias("seen"))
                 .unionByName(positives)
             )
-        tagged = batch.join(flags, self.key_cols, "left")
+        tagged = batch.join(flags, self.key_cols, "left").withColumn(
+            "seen", F.coalesce("seen", F.lit(False))  # NULL keys: not seen
+        )
         tagged.write.mode("overwrite").parquet(seen_dir)
         build_bloom(
             batch_keys,

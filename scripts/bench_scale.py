@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Scale-stress bench for the dedup/ANN paths (VERDICT r04 ask #1).
 
-Runs the six scale-critical operators — q18 MinHash+LSH, q20 exact n-gram
+Runs the scale-critical operators — q18 MinHash+LSH, q20 exact n-gram
 Jaccard, q21 blocked-GEMM embedding near-dup, q29 trained-IVF ANN, q41
-dedup clustering, q70 incremental near-dup — on generated corpora 1x/3x/10x
+dedup clustering, q70 incremental near-dup, q72 SemDeDup, q73 bloom
+membership, q74 PageRank — on generated corpora 1x/3x/10x
 the sf0.1 fixture size (scripts/gen_scale.py: planted near-dup clusters,
 Zipf sources), and records per-factor wall-times, planted-pair recall /
 precision, and the empirical scaling exponent between successive factors
@@ -58,7 +59,13 @@ from mapreduce_paper_implementation_spark.operators.dedup import (  # noqa: E402
     ngram_jaccard_pairs,
     semantic_dedup_pairs,
 )
-from mapreduce_paper_implementation_spark.operators.graph import dedup_clusters  # noqa: E402
+from mapreduce_paper_implementation_spark.operators.graph import (  # noqa: E402
+    dedup_clusters,
+    pagerank,
+)
+from mapreduce_paper_implementation_spark.operators.membership import (  # noqa: E402
+    seen_membership,
+)
 from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit  # noqa: E402
 from mapreduce_paper_implementation_spark.operators.similarity import ivf_topk  # noqa: E402
 from mapreduce_paper_implementation_spark.session import get_spark  # noqa: E402
@@ -268,6 +275,56 @@ def run_factor(spark, factor: float, out_dir: str, seed: int, repeat: int = 2) -
         "n_cells": IVF_CELLS,
     }
     done("q29_ivf", dt)
+
+    # q73 — bloom-gated exact-digest membership (odd ids = delta). Cost must
+    # scale with |delta| + the broadcast filter, never |history| re-joined;
+    # exactness cross-checked against a plain membership join per factor.
+    hashed = docs.select("doc_id", F.md5("text").alias("content_hash"))
+    delta_h = hashed.where(F.col("doc_id") % 2 == 1)
+    hist_h = hashed.where(F.col("doc_id") % 2 == 0)
+    dt, n_seen = _timed(
+        lambda: seen_membership(delta_h, hist_h, ["content_hash"])
+        .where("seen")
+        .count()
+    )
+    plain = (
+        delta_h.join(
+            hist_h.select("content_hash").distinct(), "content_hash", "left_semi"
+        ).count()
+    )
+    checks["q73_membership"] = {
+        "seen_bloom": n_seen,
+        "seen_plain_join": plain,
+        "exact_match": n_seen == plain,
+    }
+    done("q73_membership", dt)
+
+    # q74 — PageRank, 3 iterations over a synthetic 2-out-regular graph on
+    # the doc ids (gen_scale has no link table; the graph size tracks the
+    # corpus factor). Exact integer arithmetic means the mass invariant is
+    # checkable: every node has out-edges, so total rank after any round is
+    # scale minus only integer-floor dust.
+    n_docs = truth["n_docs"]
+    edges = docs.select(F.col("doc_id").alias("src")).select(
+        "src",
+        F.explode(
+            F.array(
+                (F.col("src") * 7919 + 13) % n_docs,
+                (F.col("src") * 104729 + 7) % n_docs,
+            )
+        ).alias("dst"),
+    )
+    dt, mass = _timed(
+        lambda: pagerank(edges, iters=3)
+        .agg(F.sum("rank_scaled").alias("m"))
+        .collect()[0]["m"]
+    )
+    checks["q74_pagerank"] = {
+        "rank_mass": int(mass),
+        "scale": 10**12,
+        "mass_conserved": 0.99 * 10**12 <= mass <= 10**12,
+    }
+    done("q74_pagerank", dt)
 
     return {
         "n_docs": truth["n_docs"],

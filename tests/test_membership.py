@@ -196,3 +196,30 @@ def test_pagerank_partition_invariant(spark):
         for r in pagerank(df.repartition(13, "dst"), iters=4).collect()
     }
     assert a == b
+
+
+def test_null_keys_are_not_seen(spark):
+    """NULL keys never equi-join — the membership answer is False, not NULL
+    (matches what a plain LEFT JOIN oracle reports)."""
+    history = spark.createDataFrame([(1,), (2,)], ["k"])
+    delta = spark.createDataFrame([(1, 10), (None, 11)], ["k", "row_id"])
+    rows = {r["row_id"]: r["seen"] for r in
+            seen_membership(delta, history, ["k"], num_bits=1 << 10).collect()}
+    assert rows == {10: True, 11: False}
+
+
+def test_maintainer_no_duplicate_rows_for_multiply_stored_keys(spark, tmp_path):
+    """A key ingested in several batches sits in several uncompacted key-
+    store deltas; probing it must still yield exactly one row per batch row
+    (regression: a plain left join against the raw store duplicated them)."""
+    from mapreduce_paper_implementation_spark.streaming.bloom import SeenKeysMaintainer
+
+    m = SeenKeysMaintainer(spark, str(tmp_path / "s"), ["k"], num_bits=1 << 10)
+    mk = lambda lo, keys: spark.createDataFrame(  # noqa: E731
+        [(i, k) for i, k in enumerate(keys, start=lo)], ["row_id", "k"]
+    )
+    m.update(mk(0, [7, 8]), 0)      # delta b0 stores key 7
+    m.update(mk(10, [7, 9]), 1)     # delta b1 stores key 7 AGAIN (seen=True)
+    out = m.update(mk(20, [7, 10]), 2).collect()   # probe key 7: in 2 deltas
+    assert len(out) == 2, out
+    assert {r["row_id"]: r["seen"] for r in out} == {20: True, 21: False}
