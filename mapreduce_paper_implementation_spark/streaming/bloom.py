@@ -217,3 +217,20 @@ class SeenKeysMaintainer:
             if d.startswith("g") and d[1:].isdigit() and int(d[1:]) < committed:
                 shutil.rmtree(os.path.join(base_root, d), ignore_errors=True)
         return committed
+
+
+def maintain_seen_keys(
+    stream_df: DataFrame, maintainer: SeenKeysMaintainer, checkpoint_dir: str
+):
+    """Wire a raw record stream into the maintainer (foreachBatch, same
+    pattern as streaming/rollup.py:maintain_rollup). Each micro-batch is
+    tagged against all history committed before it and appended; replays of
+    a committed epoch are no-ops by the pointer discipline, so at-least-once
+    delivery yields exactly-once state. Returns the started StreamingQuery."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda df, batch_id: maintainer.update(df, batch_id)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -557,3 +557,56 @@ def test_ann_index_retrain_rebuilds_generation_and_stays_exact(
     }
     assert got == expected
     assert expected, "no post-retrain pairs — the differential is vacuous"
+
+
+def test_streaming_seen_keys_maintenance_matches_batchwise_truth(spark, sf_dir, tmp_path):
+    """Drive SeenKeysMaintainer through a real file stream (foreachBatch,
+    multiple micro-batches): every persisted per-batch answer must equal
+    the reconstruction from the stored key deltas — a row is `seen` iff its
+    key appeared in a STRICTLY earlier micro-batch — and the final key
+    store must cover exactly the distinct input keys."""
+    import os
+
+    from mapreduce_paper_implementation_spark.streaming.bloom import (
+        SeenKeysMaintainer,
+        maintain_seen_keys,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+
+    m = SeenKeysMaintainer(spark, str(tmp_path / "state"), ["user_id", "event_type"])
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = maintain_seen_keys(stream, m, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    root = tmp_path / "state" / "batches"
+    batch_ids = sorted(int(d[1:]) for d in os.listdir(root))
+    assert len(batch_ids) >= 2  # multiple micro-batches actually exercised
+    seen_union: set = set()
+    checked = 0
+    for bid in batch_ids:
+        answer = spark.read.parquet(
+            str(tmp_path / "state" / "seen" / f"b{bid:010d}")
+        ).collect()
+        for r in answer:
+            assert r["seen"] == ((r["user_id"], r["event_type"]) in seen_union), r
+            checked += 1
+        seen_union |= {
+            (r["user_id"], r["event_type"])
+            for r in spark.read.parquet(str(root / f"b{bid:010d}" / "keys")).collect()
+        }
+    assert checked == ev.count()
+    got_keys = {(r["user_id"], r["event_type"]) for r in m.keys().collect()}
+    want_keys = {
+        (r["user_id"], r["event_type"])
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    assert got_keys == want_keys
