@@ -13,8 +13,10 @@ training-data-pipeline layer (decontamination, splits, mixture, packing,
 quality filters, quantization, sketches, incremental rollup/near-dup,
 stratified sampling) in ``plans/pipeline_queries.py``; q72 is SemDeDup-style
 semantic dedup within trained k-means cells; q73 is Bloom-gated ingest
-membership (delta keys vs history without shuffling history). All are
-DuckDB-oracle-backed except q34 (HLL sketch, rows-only by design).
+membership (delta keys vs history without shuffling history); q74 is
+PageRank with exact scaled-integer arithmetic (bit-identical across engines
+and partitionings). All are DuckDB-oracle-backed except q34 (HLL sketch,
+rows-only by design).
 """
 
 from __future__ import annotations
