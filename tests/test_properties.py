@@ -362,3 +362,69 @@ def test_ts_encodings_load_identically_for_any_instants(spark, tmp_path_factory,
     a = load_table(spark, str(tmp / "micros"), "events").select("event_id", "ts")
     b = load_table(spark, str(tmp / "nanos"), "events").select("event_id", "ts")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    hist=st.lists(st.integers(0, 200), min_size=0, max_size=30),
+    delta=st.lists(st.integers(0, 200), min_size=1, max_size=30),
+)
+def test_seen_membership_matches_python_sets(spark, hist, delta):
+    """Bloom-gated membership == plain set membership for ANY key sets
+    (exercises empty history, full-overlap, duplicate keys)."""
+    from mapreduce_paper_implementation_spark.operators.membership import seen_membership
+
+    h = spark.createDataFrame([(k,) for k in hist] or [(None,)], "k long").where(
+        "k IS NOT NULL"
+    )
+    d = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(delta)], "row_id long, k long"
+    )
+    got = {
+        r["row_id"]: r["seen"]
+        for r in seen_membership(d, h, ["k"], num_bits=1 << 10).collect()
+    }
+    want = {i: (k in set(hist)) for i, k in enumerate(delta)}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, (1 << 21) - 1), st.integers(0, (1 << 21) - 1)),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_morton_key_is_injective_on_masked_domain(spark, pts):
+    """Distinct in-budget (x, y) points map to distinct Morton keys (the
+    bijection that makes Z-order a total order over the grid)."""
+    from mapreduce_paper_implementation_spark.operators.layout import morton_key
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    keys = [r["z"] for r in df.select(morton_key(["x", "y"], 21).alias("z")).collect()]
+    assert len(set(keys)) == len(pts)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=25,
+    ),
+    iters=st.integers(1, 4),
+)
+def test_pagerank_matches_python_for_any_graph(spark, edges, iters):
+    """Scaled-integer PageRank == a pure-Python replay of the recurrence for
+    arbitrary small graphs (self-loops, dangling nodes, parallel edges)."""
+    from mapreduce_paper_implementation_spark.operators.graph import pagerank
+    from tests.test_membership import _py_pagerank
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df, iters=iters, scale=10**6).collect()
+    }
+    assert got == _py_pagerank(edges, iters=iters)
