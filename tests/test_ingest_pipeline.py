@@ -1,0 +1,122 @@
+"""The daily-ingest topology, end to end: SeenKeysMaintainer (exact
+content-digest gate) feeding DedupIndexMaintainer (near-dup gate), three
+batches, against a pure-Python replay of the same sequential semantics.
+
+Each maintainer is already proven equal to its batch expression in
+isolation (tests/test_membership.py, tests/test_streaming.py); this test
+pins that they COMPOSE: per batch, exact duplicates of any earlier doc are
+dropped first (never reaching the near-dup index), then the novel remainder
+is probed against the accumulated index of all earlier NOVEL docs, and the
+flagged near-dups are exactly the >=threshold Jaccard matches computed
+independently in Python with the engine's own tokenizer/shingle
+definitions."""
+
+from __future__ import annotations
+
+import random
+import re
+
+import pyspark.sql.functions as F
+
+THRESH = 0.8
+VOCAB = [f"w{i}" for i in range(120)]
+
+
+def _mk_docs():
+    """Deterministic corpus: 3 batches, with planted cross-batch exact
+    duplicates and near-duplicates (one-token substitution: J ~ (n-4)/(n+2)
+    >= 0.8 at n = 40 tokens)."""
+    rng = random.Random(77)
+    mk = lambda: [rng.choice(VOCAB) for _ in range(40)]  # noqa: E731
+    base = [mk() for _ in range(18)]
+    batches, did = [], 0
+
+    def doc(tokens):
+        nonlocal did
+        did += 1
+        return (did, " ".join(tokens))
+
+    b0 = [doc(base[i]) for i in range(6)]
+    near_of_0 = base[0][:]
+    near_of_0[7] = "zzz"  # near-dup of batch-0 doc
+    b1 = [doc(base[i]) for i in range(6, 12)] + [
+        doc(base[2]),       # exact dup of batch-0 doc -> dropped at the gate
+        doc(near_of_0),     # near-dup of batch-0 doc -> flagged by the index
+    ]
+    near_of_b1 = base[8][:]
+    near_of_b1[11] = "qqq"
+    b2 = [doc(base[i]) for i in range(12, 18)] + [
+        doc(base[7]),       # exact dup of a batch-1 doc
+        doc(near_of_b1),    # near-dup of a batch-1 doc
+        doc(base[2]),       # exact dup again (of batch-0)
+    ]
+    batches = [b0, b1, b2]
+    return batches
+
+
+def _shingles(text):
+    toks = [t for t in re.split(r"[^A-Za-z]+", text) if t]
+    return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+
+def _jaccard(a, b):
+    return len(a & b) / len(a | b) if a | b else 0.0
+
+
+def test_ingest_topology_matches_python_replay(spark, tmp_path):
+    from mapreduce_paper_implementation_spark.streaming.bloom import SeenKeysMaintainer
+    from mapreduce_paper_implementation_spark.streaming.dedup_index import (
+        DedupIndexMaintainer,
+    )
+
+    batches = _mk_docs()
+    seen = SeenKeysMaintainer(spark, str(tmp_path / "seen"), ["content_hash"])
+    index = DedupIndexMaintainer(spark, str(tmp_path / "index"), threshold=THRESH)
+
+    # --- engine: sequential ingest ------------------------------------
+    flagged_engine: dict[int, set] = {}
+    corpus_engine: set = set()
+    for bid, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+            "content_hash", F.md5("text")
+        )
+        tagged = seen.update(df, bid)
+        novel = tagged.where(~F.col("seen")).select("doc_id", "text")
+        dups = index.update(novel, bid)
+        flagged_engine[bid] = {
+            (r["new_id"], r["corpus_id"]) for r in dups.collect()
+        }
+        corpus_engine |= {r["doc_id"] for r in novel.collect()}
+
+    # --- python replay of the same sequential semantics ----------------
+    flagged_py: dict[int, set] = {}
+    corpus_py: list[tuple[int, str]] = []
+    seen_texts: set = set()
+    for bid, rows in enumerate(batches):
+        prior_novel = list(corpus_py)
+        novel_rows = []
+        for did, text in rows:
+            if text in seen_texts:
+                continue
+            novel_rows.append((did, text))
+        flagged_py[bid] = {
+            (did, pid)
+            for did, text in novel_rows
+            for pid, ptext in prior_novel
+            if _jaccard(_shingles(text), _shingles(ptext)) >= THRESH
+        }
+        # maintainer semantics: the whole novel batch joins the index/corpus
+        seen_texts |= {t for _, t in rows}
+        corpus_py += novel_rows
+
+    assert {d for d, _ in corpus_py} == corpus_engine
+    for bid in range(len(batches)):
+        assert flagged_engine[bid] == flagged_py[bid], (
+            bid,
+            flagged_engine[bid],
+            flagged_py[bid],
+        )
+    # the planted structure actually fired: both gates saw work
+    assert sum(len(v) for v in flagged_py.values()) >= 2
+    total_docs = sum(len(b) for b in batches)
+    assert len(corpus_py) < total_docs  # exact gate dropped the replays
