@@ -15,7 +15,8 @@ stratified sampling) in ``plans/pipeline_queries.py``; q72 is SemDeDup-style
 semantic dedup within trained k-means cells; q73 is Bloom-gated ingest
 membership (delta keys vs history without shuffling history); q74 is
 PageRank with exact scaled-integer arithmetic (bit-identical across engines
-and partitionings). All are DuckDB-oracle-backed except q34 (HLL sketch,
+and partitionings); q75 is cross-document boilerplate detection (repeated
+10-gram fraction). All are DuckDB-oracle-backed except q34 (HLL sketch,
 rows-only by design).
 """
 

@@ -135,3 +135,80 @@ def pii_count(text_col: Column | str) -> Column:
         total = total + F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[name]), 0))
         c = F.regexp_replace(c, PII_PATTERNS[name], "<PII>")
     return total
+
+
+def crossdoc_repeated_grams(
+    docs: "DataFrame",
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Cross-document boilerplate signal: per doc, how many of its k-token
+    grams also occur in at least one OTHER document.
+
+    Substring-level duplication (shared license headers, navigation chrome,
+    templated paragraphs) is invisible to document-level near-dup — two docs
+    sharing one boilerplate paragraph have low overall Jaccard — and to the
+    within-doc repetition filter (q62). The standard pipeline signal (the
+    "duplicated n-gram fraction" family used by C4/Gopher-style cleaning,
+    applied ACROSS documents) is the fraction of a doc's k-gram positions
+    whose gram appears in >= 2 distinct docs.
+
+    Spark shape: explode tokens with position (codegen), form each
+    position's k-gram with one collect_list window over (doc, pos) ROWS
+    k-1 FOLLOWING — a single sort per doc partition, no HOF per-element
+    re-evaluation (SURVEY.md §8.1) — then one groupBy(gram) with
+    approx-free COUNT(DISTINCT doc) over the gram index and a broadcast-
+    friendly aggregate back per doc. The gram index shuffles
+    (gram-hash, doc) pairs once; at 100 TB you'd materialize it exactly
+    like the LSH band index (streaming/dedup_index.py pattern).
+
+    Returns (id, n_grams, n_repeated, repeated_frac[round-6 double]),
+    one row per doc with >= 1 full k-gram.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, k - 1)
+    )
+    grams = (
+        toks.select(
+            "id",
+            "pos",
+            F.concat_ws(" ", F.collect_list("tok").over(w)).alias("gram"),
+            F.count("tok").over(w).alias("glen"),
+        )
+        .where(F.col("glen") == k)
+        # shuffle a fixed-width hash, not the gram text (collision odds at
+        # 64 bits are negligible against any realistic gram count)
+        .select("id", "pos", F.xxhash64("gram").alias("gh"))
+    )
+    gram_docs = grams.select("gh", "id").distinct()
+    repeated = (
+        gram_docs.groupBy("gh")
+        .agg(F.count("*").alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("gh")
+    )
+    per_pos = grams.join(repeated.withColumn("_r", F.lit(1)), "gh", "left")
+    return (
+        per_pos.groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce("_r", F.lit(0))).alias("n_repeated"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            F.col("n_repeated").cast("bigint").alias("n_repeated"),
+            F.round(F.col("n_repeated") / F.col("n_grams"), 6)
+            .cast("decimal(9,6)")
+            .cast("double")
+            .alias("repeated_frac"),
+        )
+    )

@@ -1113,3 +1113,55 @@ def q74_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("bigint").alias("dst"),
     ).where(F.col("dst").isNotNull())
     return pagerank(edges, iters=3, scale=_PR_SCALE).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Q75 cross-document boilerplate — repeated k-token grams ACROSS documents.
+#
+# Substring-level duplication (license headers, templated paragraphs) is
+# invisible to doc-level near-dup (low overall Jaccard) and to the
+# within-doc repetition filter (q62); the pipeline signal is each doc's
+# fraction of 10-gram positions whose gram occurs in >= 2 distinct docs
+# (operators/text_analysis.py:crossdoc_repeated_grams — one window sort per
+# doc for gram formation, one shuffle of fixed-width gram hashes for the
+# index; at 100 TB the gram index is materialized and maintained like the
+# LSH band index). The oracle rebuilds the same positional grams with
+# DuckDB list_slice and joins on the gram TEXT, so a 64-bit gram-hash
+# collision on the Spark side would surface as a hash mismatch here.
+# ---------------------------------------------------------------------------
+
+_Q75_ORACLE = f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(list_slice(toks, i, i + 9), ' ') AS gram
+  FROM t, UNNEST(range(1, len(toks) - 8)) AS u(i)
+  WHERE len(toks) >= 10
+),
+rep AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN r.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+       CAST(CAST(ROUND(CAST(SUM(CASE WHEN r.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*), 6) AS DECIMAL(9,6)) AS DOUBLE) AS repeated_frac
+FROM g LEFT JOIN rep r USING (gram)
+GROUP BY g.doc_id
+ORDER BY doc_id
+"""
+
+
+@query("q75_crossdoc_boilerplate", _Q75_ORACLE)
+def q75_crossdoc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.text_analysis import (
+        crossdoc_repeated_grams,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        crossdoc_repeated_grams(docs, k=10)
+        .select(
+            F.col("id").alias("doc_id"), "n_grams", "n_repeated", "repeated_frac"
+        )
+        .orderBy("doc_id")
+    )

@@ -624,3 +624,36 @@ def test_survivor_stats_from_materialized_clusters(spark, sf_dir):
     ]
     assert inline == reused
     assert len(inline) > 0
+
+
+def test_crossdoc_repeated_grams_hand_example(spark):
+    """Two docs share a 12-token boilerplate paragraph; a third is unique.
+    With k=10, the shared paragraph contributes 3 gram positions per doc
+    (12 - 10 + 1), every other position is unique; doc C has zero repeats.
+    Doc-level Jaccard between A and B is far below near-dup thresholds —
+    exactly the case this signal exists for."""
+    from mapreduce_paper_implementation_spark.operators.text_analysis import (
+        crossdoc_repeated_grams,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    a_body = " ".join(f"a{i}" for i in range(30))
+    b_body = " ".join(f"c{i}" for i in range(25))
+    c_body = " ".join(f"d{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + a_body),   # 42 tokens -> 33 grams
+            (2, b_body + " " + boiler),   # 37 tokens -> 28 grams
+            (3, c_body),                  # 20 tokens -> 11 grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_grams"], r["n_repeated"], r["repeated_frac"])
+        for r in crossdoc_repeated_grams(docs, k=10, id_col="doc_id").collect()
+    }
+    # only the 3 all-boilerplate gram positions repeat: doc 1 at pos 0..2,
+    # doc 2 at pos 25..27 (mixed-boundary grams differ between the docs)
+    assert got[1] == (33, 3, round(3 / 33, 6))
+    assert got[2] == (28, 3, round(3 / 28, 6))
+    assert got[3] == (11, 0, 0.0)
