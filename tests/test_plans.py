@@ -243,3 +243,12 @@ def test_q74_pagerank_no_cartesian_beyond_single_row_n(spark, sf_dir):
     # the n-row broadcast appears once per rank recomputation; each must be
     # a BROADCAST nested loop (single-row build side), never a shuffle NL
     assert "partial_count" in plan or "count(1)" in plan  # N computed by agg, not collect
+
+
+def test_q75_gram_index_no_cartesian(spark, sf_dir):
+    """Cross-doc gram matching must be the hash-equi broadcast join on the
+    gram index, never any nested-loop pairing of documents."""
+    plan = _plan(spark, sf_dir, "q75_crossdoc_boilerplate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning" in plan  # the gram-hash index shuffle
