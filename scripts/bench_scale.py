@@ -4,7 +4,7 @@
 Runs the scale-critical operators — q18 MinHash+LSH, q20 exact n-gram
 Jaccard, q21 blocked-GEMM embedding near-dup, q29 trained-IVF ANN, q41
 dedup clustering, q70 incremental near-dup, q72 SemDeDup, q73 bloom
-membership, q74 PageRank — on generated corpora 1x/3x/10x
+membership, q74 PageRank, q75 cross-doc boilerplate — on generated corpora 1x/3x/10x
 the sf0.1 fixture size (scripts/gen_scale.py: planted near-dup clusters,
 Zipf sources), and records per-factor wall-times, planted-pair recall /
 precision, and the empirical scaling exponent between successive factors
@@ -65,6 +65,9 @@ from mapreduce_paper_implementation_spark.operators.graph import (  # noqa: E402
 )
 from mapreduce_paper_implementation_spark.operators.membership import (  # noqa: E402
     seen_membership,
+)
+from mapreduce_paper_implementation_spark.operators.text_analysis import (  # noqa: E402
+    crossdoc_repeated_grams,
 )
 from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit  # noqa: E402
 from mapreduce_paper_implementation_spark.operators.similarity import ivf_topk  # noqa: E402
@@ -325,6 +328,47 @@ def run_factor(spark, factor: float, out_dir: str, seed: int, repeat: int = 2) -
         "mass_conserved": 0.99 * 10**12 <= mass <= 10**12,
     }
     done("q74_pagerank", dt)
+
+    # q75 — cross-doc repeated 10-grams. Exact Python replay at the
+    # smallest factor (450k gram positions — cheap in-process); wall-clock
+    # plus the repeated-position count at larger factors (the operator is
+    # oracle-gated at driver SFs; here the question is the scaling shape of
+    # the window + gram-hash shuffle).
+    dt, rows = _timed(lambda: crossdoc_repeated_grams(docs, k=10).collect())
+    if factor <= 1:
+        import re
+
+        tbl = pq.read_table(
+            os.path.join(ds_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        gram_docs: dict[str, set] = {}
+        per_doc: dict[int, list] = {}
+        for did, text in zip(
+            tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+        ):
+            toks = [t for t in re.split(r"[^A-Za-z]+", text) if t]
+            grams = [" ".join(toks[i : i + 10]) for i in range(len(toks) - 9)]
+            if grams:
+                per_doc[did] = grams
+            for g in set(grams):
+                gram_docs.setdefault(g, set()).add(did)
+        rep = {g for g, ds_ in gram_docs.items() if len(ds_) >= 2}
+        want = {
+            did: (len(gs), sum(1 for g in gs if g in rep))
+            for did, gs in per_doc.items()
+        }
+        got = {r.id: (r.n_grams, r.n_repeated) for r in rows}
+        checks["q75_boilerplate"] = {
+            "exact_match": got == want,
+            "n_docs": len(want),
+            "repeated_positions": sum(v[1] for v in want.values()),
+        }
+    else:
+        checks["q75_boilerplate"] = {
+            "rows": len(rows),
+            "repeated_positions": int(sum(r.n_repeated for r in rows)),
+        }
+    done("q75_boilerplate", dt)
 
     return {
         "n_docs": truth["n_docs"],
