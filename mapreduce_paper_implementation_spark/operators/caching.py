@@ -14,7 +14,7 @@ a still-unevaluated plan that references a released frame simply recomputes
 it. Call sites:
 
 - bench.py / scripts/driver_sim.py call release_persisted() after each
-  query, so a 71-query run caches at most one query's intermediates at a
+  query, so a full-manifest run caches at most one query's intermediates at a
   time.
 - Long-running sessions call it whenever a dedup/ANN result has been fully
   consumed.

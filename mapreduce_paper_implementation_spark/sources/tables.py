@@ -135,7 +135,7 @@ def _normalize_timestamp(df: DataFrame, col: str) -> DataFrame:
 # Compatible-drift allowlist: stored dtypes the catalog will silently cast
 # to each declared dtype. Anything outside this map (string->int, struct->
 # anything, ...) is a semantic fixture change, and casting it would produce
-# silent all-NULL columns feeding 71 queries — that must error loudly, the
+# silent all-NULL columns feeding every manifest query — that must error loudly, the
 # same policy as a disappearing column. Timestamps are handled separately by
 # _normalize_timestamp (long = nanos-as-long, ntz/date = zone-free recast).
 _COMPATIBLE_DRIFT: dict[str, frozenset[str]] = {
