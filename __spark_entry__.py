@@ -16,7 +16,8 @@ semantic dedup within trained k-means cells; q73 is Bloom-gated ingest
 membership (delta keys vs history without shuffling history); q74 is
 PageRank with exact scaled-integer arithmetic (bit-identical across engines
 and partitionings); q75 is cross-document boilerplate detection (repeated
-10-gram fraction). All are DuckDB-oracle-backed except q34 (HLL sketch,
+10-gram fraction); q76 materializes the q57 mixture as a deterministic
+weighted sample. All are DuckDB-oracle-backed except q34 (HLL sketch,
 rows-only by design).
 """
 

@@ -42,3 +42,46 @@ def stratified_sample(
         df.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= k)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    strata_col: str,
+    hash_col: str,
+    weights: DataFrame,
+    weight_col: str,
+    total_k: int,
+    id_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Materialize a mixture: per stratum, keep floor(total_k * weight + 0.5)
+    rows chosen by the same deterministic md5 rank as `stratified_sample`.
+
+    This is the step that turns mixture WEIGHTS (e.g. the temperature-scaled
+    token shares of q57) into an actual sampled corpus with per-source
+    counts proportional to the weights — the composition a training run
+    executes. `floor(x + 0.5)` rather than round(): both engines floor
+    doubles identically, while round-on-double half-case conventions differ
+    (HALF_UP vs away-from-zero vs banker's) — the q29-tol lesson applied to
+    quotas.
+
+    Scale shape: the weights frame is |strata| rows — broadcast joined onto
+    the ranked corpus, so the only shuffle is the stratum-key window that
+    stratified-rank sampling already pays. A stratum whose quota exceeds its
+    row count yields the whole stratum (floor cap, no error), mirroring how
+    a mixture over-asks a small source.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(hash_col).cast("binary")).asc(),
+        *[F.col(c).asc() for c in id_cols],
+    )
+    quotas = weights.select(
+        strata_col,
+        F.floor(F.lit(total_k) * F.col(weight_col) + F.lit(0.5))
+        .cast("long")
+        .alias("k_quota"),
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(quotas), strata_col)
+        .where(F.col("rk") <= F.col("k_quota"))
+    )

@@ -1165,3 +1165,69 @@ def q75_crossdoc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q76 mixture-weighted sample — materialize the q57 mixture.
+#
+# Turns the temperature-scaled source weights (q57) into an actual sampled
+# corpus: per source, floor(100 * w + 0.5) documents chosen by the q71
+# deterministic md5 rank. floor(x + 0.5) instead of round(): double
+# rounding half-case conventions differ across engines (the q29-tol lesson
+# applied to quotas); floor is unambiguous. The weights/quotas frame is
+# |sources| rows broadcast onto the ranked corpus — the only shuffle is the
+# stratum window q71 already pays (operators/sampling.py:weighted_sample).
+# ---------------------------------------------------------------------------
+
+_Q76_ORACLE = f"""
+WITH s AS (
+  SELECT source, CAST(SUM(len({sql_tokens('text')})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+wts AS (
+  SELECT source,
+         CAST(CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE))
+           / (SELECT SUM(sqrt(CAST(n_tokens AS DOUBLE))) FROM s), 6)
+           AS DECIMAL(9,6)) AS DOUBLE) AS w
+  FROM s
+),
+q AS (SELECT source, CAST(FLOOR(100 * w + 0.5) AS BIGINT) AS k_quota FROM wts),
+r AS (
+  SELECT source, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY md5(text), doc_id
+         ) AS BIGINT) AS rk
+  FROM documents
+)
+SELECT r.source, r.doc_id, r.rk, q.k_quota
+FROM r JOIN q USING (source)
+WHERE r.rk <= q.k_quota
+ORDER BY source, rk
+"""
+
+
+@query("q76_mixture_sample", _Q76_ORACLE)
+def q76_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens")
+    )
+    denom = per_source.agg(
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("denom")
+    )
+    weights = per_source.crossJoin(F.broadcast(denom)).select(
+        "source",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) / F.col("denom"), 6)
+        .cast("decimal(9,6)")
+        .cast("double")
+        .alias("w"),
+    )
+    return (
+        weighted_sample(
+            docs, "source", "text", weights, "w", total_k=100, id_cols=("doc_id",)
+        )
+        .select("source", "doc_id", "rk", "k_quota")
+        .orderBy("source", "rk")
+    )

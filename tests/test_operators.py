@@ -657,3 +657,20 @@ def test_crossdoc_repeated_grams_hand_example(spark):
     assert got[1] == (33, 3, round(3 / 33, 6))
     assert got[2] == (28, 3, round(3 / 28, 6))
     assert got[3] == (11, 0, 0.0)
+
+
+def test_weighted_sample_quota_caps_at_stratum_size(spark):
+    """A stratum whose quota exceeds its row count yields the whole stratum
+    (mixture over-asks a small source); quotas floor(total_k*w + 0.5)."""
+    from mapreduce_paper_implementation_spark.operators.sampling import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, "big", f"t{i}") for i in range(20)] + [(100 + i, "tiny", f"u{i}") for i in range(2)],
+        "doc_id long, source string, text string",
+    )
+    wts = spark.createDataFrame([("big", 0.5), ("tiny", 0.5)], "source string, w double")
+    got = weighted_sample(
+        docs, "source", "text", wts, "w", total_k=10, id_cols=("doc_id",)
+    ).groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    assert counts == {"big": 5, "tiny": 2}  # tiny capped at its 2 rows
