@@ -1436,24 +1436,61 @@ def q33_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q34 approximate distinct — HyperLogLog++. THE single intentional rows-only
-# manifest entry (every other query is oracle-hash-checked): Spark's HLL++
-# sketch and any DuckDB approximation are different estimators, so an exact
-# value match is impossible BY DESIGN — that's the point of a sketch. The
-# correctness gate lives in pytest instead: <5% relative error vs the exact
-# per-type countDistinct (tests/test_operators.py).
+# Q34 approximate distinct — HyperLogLog++, bracket-oracled (r5 ask #5).
+# Spark's HLL++ sketch and any DuckDB approximation are different estimators,
+# so an exact VALUE match is impossible by design — that's the point of a
+# sketch. What IS exactly checkable is the estimator's accuracy contract:
+# |approx/exact - 1| <= 3*rsd (HLL++'s error is ~N(0, rsd); 3 sigma never
+# trips on a healthy sketch). The query emits that boolean per group and the
+# oracle emits literal TRUE over the exact-count CTE, so the driver's value
+# hash now gates the sketch instead of recording `no_oracle` forever. The
+# tighter <5% numeric gate stays in pytest (tests/test_operators.py:217).
+#
+# Scale note: the exact count_distinct alongside the sketch is the BRACKET
+# HARNESS, not the production path — at 100 TB you run the approx aggregate
+# alone (one ~kB mergeable sketch per group per partition crossing the
+# shuffle); the bracket variant exists so correctness is machine-checked at
+# driver SFs where the exact side is cheap.
 # ---------------------------------------------------------------------------
 
+_Q34_RSD = 0.01
 
-@query("q34_approx_distinct_users")
+_Q34_ORACLE = """
+WITH exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type, TRUE AS within_bracket
+FROM exact
+ORDER BY event_type
+"""
+
+
+@query("q34_approx_distinct_users", _Q34_ORACLE)
 def q34_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++, rsd=0.01): sketches merge associatively
     so the shuffle carries one ~kB sketch per group per partition instead of
-    the distinct-value set — the only viable COUNT(DISTINCT) at 100 TB."""
+    the distinct-value set — the only viable COUNT(DISTINCT) at 100 TB.
+    Output is the 3-sigma bracket check vs the exact count (see block
+    comment): the boolean hash-matches the oracle's TRUE, making the sketch
+    value-checked through the driver path."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=_Q34_RSD).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            (
+                F.abs(
+                    F.col("approx_users").cast("double") / F.col("exact_users") - 1.0
+                )
+                <= 3 * _Q34_RSD
+            ).alias("within_bracket"),
+        )
         .orderBy("event_type")
     )
 

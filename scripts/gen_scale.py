@@ -252,12 +252,174 @@ def generate(factor: float, out_dir: str, seed: int = 2026) -> str:
     return ds_dir
 
 
+# ---------------------------------------------------------------------------
+# Relational-table scaling (VERDICT r05 ask #1): derive a FULL sf-style
+# directory — all 10 catalog tables — at N times the sf0.1 fixture, so the
+# entire query manifest (not just the dedup/ANN family) can replay at scale.
+#
+# Strategy: replicate-with-offset, not resynthesize. Each copy c of a fact
+# table gets every surrogate key shifted by c*stride (stride = the base
+# table's dense key count), so FK integrity is EXACT by construction — copy
+# c's lineitem rows point at copy c's orders/part/supplier rows, which exist
+# and are unique. Value distributions (prices, dates, statuses, the Zipf
+# event skew over user_id) are preserved verbatim because every copy carries
+# the original values.
+#
+# events is the one deliberate exception: user_id is NOT offset — each copy
+# keeps the original user population, so the global per-user Zipf skew is
+# preserved EXACTLY (hot users get factor-times hotter, matching how a real
+# event stream scales over time), and ts is shifted per copy by the base
+# window rounded up to whole days (copy c = days [c*W, (c+1)*W)) so copies
+# read as successive time periods: daily-rollup group counts scale with the
+# factor instead of every copy piling onto the same 30 days, and no
+# (user_id, ts) collisions are introduced.
+#
+# region/nation are fixed-size dimensions at every TPC-H scale factor and
+# are copied unchanged. documents/embeddings come from the synthetic
+# planted-truth generators above (replicating fixture text verbatim would
+# make every doc an exact k-way duplicate and turn the dedup queries into a
+# degenerate workload).
+#
+# The output directory is named sf{0.1*factor:g} (e.g. factor 10 -> sf1) so
+# every sf-dir-parsing path (credit_paths, bench.py's sf field) works
+# unchanged.
+# ---------------------------------------------------------------------------
+
+BASE_SF_DIR = "/root/testdata/sf0.1"
+BASE_SF = 0.1
+_DAY_US = 86_400_000_000
+
+# table -> {key column -> stride table}; stride = row count of that table's
+# base fixture (keys are dense 0..N-1 — asserted at generation time).
+_REL_OFFSETS: dict[str, dict[str, str]] = {
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "events": {"event_id": "events"},
+}
+
+
+def _offset_col(tbl: "pa.Table", col: str, delta: int) -> "pa.Table":
+    import pyarrow.compute as pc
+
+    idx = tbl.schema.get_field_index(col)
+    field = tbl.schema.field(col)
+    arr = pc.add(tbl.column(col), pa.scalar(delta, field.type))
+    return tbl.set_column(idx, field, arr)
+
+
+def _shift_ts(tbl: "pa.Table", col: str, delta_us: int) -> "pa.Table":
+    import pyarrow.compute as pc
+
+    idx = tbl.schema.get_field_index(col)
+    field = tbl.schema.field(col)
+    arr = pc.add(tbl.column(col).cast(pa.int64()), delta_us).cast(field.type)
+    return tbl.set_column(idx, field, arr)
+
+
+def generate_relational(
+    factor: int, out_dir: str, base_dir: str = BASE_SF_DIR, seed: int = 2026
+) -> str:
+    """Write a full sf{0.1*factor}-style directory under out_dir.
+
+    Idempotent and deterministic: replication math has no RNG; the
+    documents/embeddings tables are the seeded synthetic generators (same
+    seed -> byte-identical to the scale_data/x{factor} stress corpora)."""
+    k = int(factor)
+    if k < 1:
+        raise ValueError("relational scaling is whole-copy replication: factor >= 1")
+    tag = f"sf{BASE_SF * k:g}"
+    ds_dir = os.path.join(out_dir, tag)
+    os.makedirs(ds_dir, exist_ok=True)
+
+    base: dict[str, pa.Table] = {}
+    strides: dict[str, int] = {}
+    for name in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"):
+        base[name] = pq.read_table(os.path.join(base_dir, f"{name}.parquet"))
+        strides[name] = base[name].num_rows
+
+    # dense-key precondition for the stride math
+    import pyarrow.compute as pc
+
+    for name, keycol in (
+        ("customer", "c_custkey"),
+        ("supplier", "s_suppkey"),
+        ("part", "p_partkey"),
+        ("orders", "o_orderkey"),
+        ("events", "event_id"),
+    ):
+        mx = pc.max(base[name].column(keycol)).as_py()
+        if mx != strides[name] - 1:
+            raise AssertionError(
+                f"{name}.{keycol} max {mx} != rows-1 {strides[name] - 1}; "
+                "fixture keys are no longer dense — stride replication unsafe"
+            )
+
+    ev_ts = base["events"].column("ts").cast(pa.int64())
+    span_us = (
+        (pc.max(ev_ts).as_py() - pc.min(ev_ts).as_py()) // _DAY_US + 1
+    ) * _DAY_US
+
+    for name in ("region", "nation"):
+        pq.write_table(base[name], os.path.join(ds_dir, f"{name}.parquet"))
+
+    for name, offsets in _REL_OFFSETS.items():
+        copies = []
+        for c in range(k):
+            t = base[name]
+            for col, stride_tbl in offsets.items():
+                if c:
+                    t = _offset_col(t, col, c * strides[stride_tbl])
+            if name == "events" and c:
+                t = _shift_ts(t, "ts", c * span_us)
+            copies.append(t)
+        pq.write_table(
+            pa.concat_tables(copies), os.path.join(ds_dir, f"{name}.parquet")
+        )
+
+    # synthetic planted-truth corpora for the text/vector tables (reuse the
+    # x{k} stress corpus when it's already on disk — same seed, same bytes)
+    stress_dir = os.path.join(out_dir, f"x{k:g}")
+    if not os.path.exists(os.path.join(stress_dir, "truth.json")):
+        generate(float(k), out_dir, seed)
+    import shutil
+
+    for fname in ("documents.parquet", "embeddings.parquet", "truth.json"):
+        shutil.copyfile(os.path.join(stress_dir, fname), os.path.join(ds_dir, fname))
+
+    # q03 reads the credit fixture keyed off the sf-dir name; make sure the
+    # matching scale exists.
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from mapreduce_paper_implementation_spark.sources.credit_fixture import (
+        generate as gen_credit,
+    )
+
+    gen_credit(BASE_SF * k)
+    return ds_dir
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=float, default=10.0)
     ap.add_argument("--out-dir", default="scale_data")
     ap.add_argument("--seed", type=int, default=2026)
+    ap.add_argument(
+        "--relational",
+        action="store_true",
+        help="also derive the full sf{0.1*factor} relational directory",
+    )
     args = ap.parse_args()
+    if args.relational:
+        rd = generate_relational(int(args.factor), args.out_dir, seed=args.seed)
+        print(json.dumps({"relational_dir": rd}))
     ds = generate(args.factor, args.out_dir, args.seed)
     with open(os.path.join(ds, "truth.json")) as f:
         t = json.load(f)
