@@ -1231,3 +1231,94 @@ def q76_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "rk", "k_quota")
         .orderBy("source", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q77 keyed upsert (MERGE) — operators/merge.py applied to a deterministic
+# daily-maintenance scenario on the fixture star schema (VERDICT r05 ask #6).
+#
+# Source = one row per ordering customer, derived from orders: the
+# customer's exact decimal spend becomes the new c_acctbal. Key arithmetic
+# plants every MERGE branch: k % 7 == 3 rows get key+20000 (outside the
+# customer key domain -> INSERT), k % 11 == 0 rows are tombstones (matched
+# -> DELETE; the k%7==3 & k%11==0 overlap is an unmatched tombstone ->
+# no-op), everything else matches -> UPDATE, and non-ordering customers are
+# untouched -> KEPT. Output is the full merged table, so the oracle checks
+# all four branches row-for-row.
+#
+# The oracle expresses the identical semantics relationally (kept / updated
+# / inserted CTEs): this container's DuckDB (1.0.0) predates the MERGE INTO
+# statement (added in 1.4), and the driver runs one SELECT per oracle — the
+# algebra below IS the ANSI MERGE result table, just without a mutable
+# target.
+#
+# Scale shape: merge_upsert is one full-outer shuffle join on the key (full
+# outer cannot broadcast in Spark by definition — both sides may produce
+# unmatched rows). With the target bucketed on the key (operators/layout.py)
+# only the delta shuffles; arbitration is a codegen CASE on presence flags.
+# ---------------------------------------------------------------------------
+
+_Q77_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey AS k,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+  FROM orders GROUP BY o_custkey
+),
+src AS (
+  SELECT CASE WHEN k % 7 = 3 THEN k + 20000 ELSE k END AS c_custkey,
+         'upd_' || CAST(k AS VARCHAR) AS c_name,
+         CAST(k % 25 AS INTEGER) AS c_nationkey,
+         total AS c_acctbal,
+         'MERGED' AS c_mktsegment,
+         (k % 11 = 0) AS tombstone
+  FROM spend
+),
+kept AS (
+  SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment
+  FROM customer t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+  WHERE s.c_custkey IS NULL
+),
+updated AS (
+  SELECT s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment
+  FROM src s JOIN customer t ON t.c_custkey = s.c_custkey
+  WHERE NOT s.tombstone
+),
+inserted AS (
+  SELECT s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment
+  FROM src s LEFT JOIN customer t ON t.c_custkey = s.c_custkey
+  WHERE t.c_custkey IS NULL AND NOT s.tombstone
+)
+SELECT * FROM kept
+UNION ALL SELECT * FROM updated
+UNION ALL SELECT * FROM inserted
+ORDER BY c_custkey
+"""
+
+
+@query("q77_merge_upsert", _Q77_ORACLE)
+def q77_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.merge import merge_upsert
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("k")
+    src = (
+        orders.groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("total")
+        )
+        .select(
+            F.when(k % 7 == 3, k + 20000).otherwise(k).alias("c_custkey"),
+            F.concat(F.lit("upd_"), k.cast("string")).alias("c_name"),
+            (k % 25).cast("int").alias("c_nationkey"),
+            F.col("total").alias("c_acctbal"),
+            F.lit("MERGED").alias("c_mktsegment"),
+            (k % 11 == 0).alias("tombstone"),
+        )
+    )
+    return merge_upsert(
+        customer, src, ["c_custkey"], tombstone_col="tombstone"
+    ).orderBy("c_custkey")
