@@ -612,12 +612,36 @@ def embedding_neardup_pairs(
     )
 
 
+def derive_gemm_blocks(
+    n_rows: int, dim: int, tile_mem_bytes: int = 64 << 20
+) -> int:
+    """Block count B for the tiled all-pairs GEMM so one task's working set
+    fits a fixed memory target (VERDICT r05 ask #3 — auto-B, no manual
+    scale knob). Two constraints, take the binding one:
+
+    - operand matrices: 2 * (n/B) * dim * 8 bytes  ->  B >= 2*n*dim*8 / M
+    - score tile:       (n/B)^2 * 8 bytes          ->  B >= n * sqrt(8 / M)
+
+    The score tile binds for low dim / large n (the common shape); operands
+    bind for very wide vectors. Floor 1; no upper cap — replication factor
+    is B by design and the caller's corpus size is what drives it.
+    """
+    import math
+
+    if n_rows <= 0 or dim <= 0:
+        return 1
+    by_operands = math.ceil(2 * n_rows * dim * 8 / tile_mem_bytes)
+    by_tile = math.ceil(n_rows * math.sqrt(8 / tile_mem_bytes))
+    return max(1, by_operands, by_tile)
+
+
 def embedding_neardup_pairs_blocked(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
+    tile_mem_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Embedding-cosine near-dup via blocked matrix multiplication.
 
@@ -630,7 +654,9 @@ def embedding_neardup_pairs_blocked(
 
     Cost model at scale: data replication factor is B (each block joins B
     partners) and per-task memory is (n/B)*dim doubles for the two operand
-    matrices plus the (n/B)^2 score tile; choose B ~ n*dim*8 / executor_mem.
+    matrices plus the (n/B)^2 score tile. By default B is DERIVED from the
+    corpus (one count+dim probe job, then derive_gemm_blocks targets
+    `tile_mem_bytes` per task) — pass n_blocks only to pin a plan.
     The GEMM runs at BLAS speed — orders of magnitude above per-pair
     expression evaluation — and the per-group Arrow transfer is the only
     Python boundary.
@@ -645,9 +671,15 @@ def embedding_neardup_pairs_blocked(
     import pandas as pd
 
     spark = emb.sparkSession
-    v = emb.select(F.col(id_col).alias("id"), to_double_vec(vec_col).alias("vec")).withColumn(
-        "blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int")
-    )
+    v = emb.select(F.col(id_col).alias("id"), to_double_vec(vec_col).alias("vec"))
+    if n_blocks is None:
+        stats = v.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.size("vec")).alias("dim")
+        ).first()
+        n_blocks = derive_gemm_blocks(
+            stats["n"] or 0, stats["dim"] or 0, tile_mem_bytes
+        )
+    v = v.withColumn("blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
     block_pairs = spark.createDataFrame(
         [(a, b) for a in range(n_blocks) for b in range(n_blocks) if a <= b], "pa int, pb int"
     )
