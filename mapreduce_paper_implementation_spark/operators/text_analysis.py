@@ -137,6 +137,38 @@ def pii_count(text_col: Column | str) -> Column:
     return total
 
 
+def gram_positions(
+    docs: "DataFrame",
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """(id, pos, gh) — every k-token gram position with its 64-bit gram
+    hash. The shared gram-formation step of crossdoc_repeated_grams and the
+    materialized gram-index maintainer (streaming/gram_index.py): one
+    posexplode (codegen) + one collect_list window over (doc, pos) ROWS k-1
+    FOLLOWING — a single sort per doc partition, no HOF per-element
+    re-evaluation (SURVEY.md §8.1). Only the fixed-width xxhash64 leaves
+    the operator (collision odds at 64 bits are negligible against any
+    realistic gram count); the gram text never shuffles."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos").rowsBetween(Window.currentRow, k - 1)
+    return (
+        toks.select(
+            "id",
+            "pos",
+            F.concat_ws(" ", F.collect_list("tok").over(w)).alias("gram"),
+            F.count("tok").over(w).alias("glen"),
+        )
+        .where(F.col("glen") == k)
+        .select("id", "pos", F.xxhash64("gram").alias("gh"))
+    )
+
+
 def crossdoc_repeated_grams(
     docs: "DataFrame",
     k: int = 10,
@@ -160,34 +192,15 @@ def crossdoc_repeated_grams(
     re-evaluation (SURVEY.md §8.1) — then one groupBy(gram) with
     approx-free COUNT(DISTINCT doc) over the gram index and a broadcast-
     friendly aggregate back per doc. The gram index shuffles
-    (gram-hash, doc) pairs once; at 100 TB you'd materialize it exactly
-    like the LSH band index (streaming/dedup_index.py pattern).
+    (gram-hash, doc) pairs once; the MATERIALIZED twin for continuous
+    ingest is streaming/gram_index.py:GramIndexMaintainer (per-batch
+    gram-hash deltas incl. retroactive repeat credits, compaction, replay
+    idempotence — the dedup_index.py treatment this docstring promised).
 
     Returns (id, n_grams, n_repeated, repeated_frac[round-6 double]),
     one row per doc with >= 1 full k-gram.
     """
-    from pyspark.sql import Window
-
-    toks = docs.select(
-        F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "tok")
-    )
-    w = (
-        Window.partitionBy("id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, k - 1)
-    )
-    grams = (
-        toks.select(
-            "id",
-            "pos",
-            F.concat_ws(" ", F.collect_list("tok").over(w)).alias("gram"),
-            F.count("tok").over(w).alias("glen"),
-        )
-        .where(F.col("glen") == k)
-        # shuffle a fixed-width hash, not the gram text (collision odds at
-        # 64 bits are negligible against any realistic gram count)
-        .select("id", "pos", F.xxhash64("gram").alias("gh"))
-    )
+    grams = gram_positions(docs, k, id_col, text_col)
     gram_docs = grams.select("gh", "id").distinct()
     repeated = (
         gram_docs.groupBy("gh")
