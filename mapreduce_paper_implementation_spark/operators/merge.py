@@ -71,7 +71,20 @@ def merge_upsert(
         )
 
     if version_col is not None:
-        # latest-version-wins dedup: deterministic total order per key.
+        # latest-version-wins dedup. The orderBy must be a TOTAL order per
+        # key or the winner of an exact (key, version) tie depends on
+        # partition order (ADVICE r06): after version desc and
+        # tombstone-preference, every remaining source column breaks the
+        # tie, so two distinct rows can never compare equal and identical
+        # rows make the choice immaterial.
+        tie_cols = [
+            c
+            for c, t in source.dtypes
+            if c not in keys
+            and c != version_col
+            and c != tombstone_col
+            and not t.startswith("map<")  # maps are not orderable in Spark
+        ]
         w = Window.partitionBy(*keys).orderBy(
             F.col(version_col).desc(),
             *(
@@ -79,6 +92,7 @@ def merge_upsert(
                 if tombstone_col is not None
                 else []
             ),
+            *[F.col(c).desc_nulls_last() for c in tie_cols],
         )
         source = (
             source.withColumn("__rn", F.row_number().over(w))

@@ -1239,8 +1239,10 @@ def q76_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Source = one row per ordering customer, derived from orders: the
 # customer's exact decimal spend becomes the new c_acctbal. Key arithmetic
-# plants every MERGE branch: k % 7 == 3 rows get key+20000 (outside the
-# customer key domain -> INSERT), k % 11 == 0 rows are tombstones (matched
+# plants every MERGE branch: k % 7 == 3 rows get key + max(c_custkey)
+# (outside the customer key domain at ANY scale factor -> INSERT; the
+# offset is derived from the data, not a literal, per ADVICE r06),
+# k % 11 == 0 rows are tombstones (matched
 # -> DELETE; the k%7==3 & k%11==0 overlap is an unmatched tombstone ->
 # no-op), everything else matches -> UPDATE, and non-ordering customers are
 # untouched -> KEPT. Output is the full merged table, so the oracle checks
@@ -1264,14 +1266,15 @@ WITH spend AS (
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
   FROM orders GROUP BY o_custkey
 ),
+maxk AS (SELECT MAX(c_custkey) AS m FROM customer),
 src AS (
-  SELECT CASE WHEN k % 7 = 3 THEN k + 20000 ELSE k END AS c_custkey,
+  SELECT CASE WHEN k % 7 = 3 THEN k + m ELSE k END AS c_custkey,
          'upd_' || CAST(k AS VARCHAR) AS c_name,
          CAST(k % 25 AS INTEGER) AS c_nationkey,
          total AS c_acctbal,
          'MERGED' AS c_mktsegment,
          (k % 11 = 0) AS tombstone
-  FROM spend
+  FROM spend CROSS JOIN maxk
 ),
 kept AS (
   SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment
@@ -1302,6 +1305,12 @@ def q77_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     k = F.col("k")
+    # Insert offset derived from the data (ADVICE r06): a literal offset
+    # collides with real custkeys once the key domain outgrows it (sf1
+    # custkeys reach 149999 > 20000). max(c_custkey) is a 1-row broadcast
+    # cross join, and k + max is provably outside the domain (k >= 1) and
+    # collision-free among inserts at every scale factor.
+    maxk = customer.agg(F.max("c_custkey").alias("m"))
     src = (
         orders.groupBy(F.col("o_custkey").alias("k"))
         .agg(
@@ -1310,8 +1319,9 @@ def q77_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total")
         )
+        .crossJoin(F.broadcast(maxk))
         .select(
-            F.when(k % 7 == 3, k + 20000).otherwise(k).alias("c_custkey"),
+            F.when(k % 7 == 3, k + F.col("m")).otherwise(k).alias("c_custkey"),
             F.concat(F.lit("upd_"), k.cast("string")).alias("c_name"),
             (k % 25).cast("int").alias("c_nationkey"),
             F.col("total").alias("c_acctbal"),
