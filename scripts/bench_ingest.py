@@ -63,6 +63,9 @@ def run(spark, ds_dir: str, n_batches: int, compact_every: int) -> dict:
     from mapreduce_paper_implementation_spark.streaming.dedup_index import (
         DedupIndexMaintainer,
     )
+    from mapreduce_paper_implementation_spark.streaming.gram_index import (
+        GramIndexMaintainer,
+    )
 
     docs = load_table(spark, ds_dir, "documents")
     emb = load_table(spark, ds_dir, "embeddings")
@@ -74,6 +77,7 @@ def run(spark, ds_dir: str, n_batches: int, compact_every: int) -> dict:
     out: dict[str, dict] = {}
     for name, make, table, id_col, metric in (
         ("dedup_index", lambda s: DedupIndexMaintainer(spark, s), docs, "doc_id", None),
+        ("gram_index", lambda s: GramIndexMaintainer(spark, s), docs, "doc_id", None),
         ("ann_index", lambda s: AnnIndexMaintainer(spark, s), emb, "vec_id", None),
         (
             "seen_keys",
