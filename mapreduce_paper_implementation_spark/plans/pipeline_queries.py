@@ -741,6 +741,11 @@ def q65_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collect_list is bounded by the per-target distinct-referrer count (the
 # same bound the paper's reduce output has); sort_array orders numerically
 # before stringifying, so the list is deterministic on both engines.
+#
+# r06 flagged an x10 exponent of 1.43 from the full-manifest replay; a solo
+# quiet-box re-run (r07) measures 1.63 s -> 5.16 s, exponent 0.50 — the
+# replay reading was in-session JIT/GC pressure, not a scaling defect. The
+# dominant cost is the linear get_json_object parse of the events rows.
 # ---------------------------------------------------------------------------
 
 _Q66_ORACLE = """

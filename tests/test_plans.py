@@ -10,6 +10,8 @@ value still matches the oracle.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from mapreduce_paper_implementation_spark.plans.queries import QUERIES
 
 
@@ -252,3 +254,49 @@ def test_q75_gram_index_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning" in plan  # the gram-hash index shuffle
+
+
+def test_q77_merge_is_full_outer_no_cartesian(spark, sf_dir):
+    # the keyed MERGE must plan as ONE full-outer equi-join on the key —
+    # never a nested loop. The only BroadcastNestedLoopJoin allowed is the
+    # single-row max(c_custkey) offset broadcast (q74-style scalar).
+    plan = _plan(spark, sf_dir, "q77_merge_upsert")
+    assert "FullOuter" in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_merge_bucketed_target_has_no_target_side_exchange(spark):
+    # operators/merge.py:28's scale claim, demonstrated: with the target
+    # stored bucketed on the merge key, the full-outer join reads target
+    # buckets in place — ONLY the (small) source delta shuffles. Exactly one
+    # Exchange in the bucketed plan vs two when the target is unbucketed.
+    from mapreduce_paper_implementation_spark.operators.merge import merge_upsert
+    from mapreduce_paper_implementation_spark.sources.bucketing import write_bucketed
+
+    # warehouse dir is a static conf (default ./spark-warehouse, gitignored);
+    # the managed-table DROP below removes the files.
+    target = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    source = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    write_bucketed(target, "merge_tgt_bucketed", "k", n_buckets=n_shuffle)
+    try:
+        merged = merge_upsert(spark.table("merge_tgt_bucketed"), source, ["k"])
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan  # source side only
+        assert "FullOuter" in plan
+
+        baseline = merge_upsert(target, source, ["k"])
+        base_plan = baseline._jdf.queryExecution().executedPlan().toString()
+        assert base_plan.count("Exchange") == 2  # both sides shuffle
+        # and the bucketed layout changed only the plan, not the answer
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, baseline.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS merge_tgt_bucketed")
