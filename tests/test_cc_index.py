@@ -1,0 +1,93 @@
+"""Differential gates for streaming/cc_index.py:ComponentsMaintainer — the
+incremental twin of operators/graph.py:connected_components (q41).
+VERDICT r05/r06 stretch: after every delta-edge batch the maintained label
+table must equal a full recompute over the union of all edges so far,
+including the retroactive relabel when a new edge merges two existing
+components."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from mapreduce_paper_implementation_spark.operators.graph import (
+    connected_components,
+)
+from mapreduce_paper_implementation_spark.streaming.cc_index import (
+    ComponentsMaintainer,
+)
+
+SCHEMA = "id_a long, id_b long"
+
+
+def _labels(df):
+    return {(r["id"], r["component"]) for r in df.collect()}
+
+
+def _full(spark, edges):
+    # max_iter raised: sparse random graphs grow long chains whose diameter
+    # exceeds the dedup-cluster default of 20 propagation rounds.
+    return _labels(
+        connected_components(spark.createDataFrame(edges, SCHEMA), max_iter=60)
+    )
+
+
+def test_cc_maintainer_matches_full_recompute_planted(spark, tmp_path):
+    """Planted batches exercising every transition: fresh components, a
+    cross-batch merge (retroactive relabel), growth of an old component by
+    a new vertex, and an all-new component."""
+    batches = [
+        [(1, 2), (3, 4)],          # two fresh components {1,2} {3,4}
+        [(5, 6), (2, 3)],          # new comp {5,6}; edge MERGES {1,2}+{3,4}
+        [(4, 100)],                # new vertex joins the merged component
+        [(7, 8), (8, 9)],          # an all-new 3-vertex chain
+    ]
+    m = ComponentsMaintainer(spark, str(tmp_path / "state"))
+    seen: list = []
+    for bid, b in enumerate(batches):
+        delta = m.update(spark.createDataFrame(b, SCHEMA), bid)
+        seen += b
+        assert _labels(m.labels()) == _full(spark, seen), f"batch {bid}"
+        if bid == 1:
+            # the merge batch must RE-EMIT the relabeled {3,4} rows.
+            d = _labels(delta)
+            assert (3, 1) in d and (4, 1) in d
+            assert (5, 5) in d and (6, 5) in d
+            # vertices 1,2 keep label 1 -> not re-emitted (delta contract)
+            assert not any(i == 1 or i == 2 for i, _ in d)
+        if bid == 2:
+            assert _labels(delta) == {(100, 1)}
+
+
+def test_cc_maintainer_matches_full_recompute_random(spark, tmp_path):
+    """200-vertex random graph in 3 batches (seeded): label table equals
+    the full recompute after every batch."""
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    thirds = [edges[0::3], edges[1::3], edges[2::3]]
+    m = ComponentsMaintainer(spark, str(tmp_path / "state"), max_iter=60)
+    seen: list = []
+    for bid, b in enumerate(thirds):
+        m.update(spark.createDataFrame(b, SCHEMA), bid)
+        seen += b
+        assert _labels(m.labels()) == _full(spark, seen), f"batch {bid}"
+
+
+def test_cc_maintainer_replay_and_vacuum(spark, tmp_path):
+    m = ComponentsMaintainer(spark, str(tmp_path / "state"))
+    m.update(spark.createDataFrame([(1, 2)], SCHEMA), 0)
+    m.update(spark.createDataFrame([(2, 3)], SCHEMA), 1)
+    before = _labels(m.labels())
+    # replay of a committed batch: None, state untouched
+    assert m.update(spark.createDataFrame([(9, 10)], SCHEMA), 1) is None
+    assert m.update(spark.createDataFrame([(9, 10)], SCHEMA), 0) is None
+    assert _labels(m.labels()) == before
+    # vacuum drops the superseded version, keeps the committed one
+    assert m.vacuum(keep=0) == [0]
+    assert _labels(m.labels()) == before
+    # an edge inside one component is a no-op delta (nothing relabeled)
+    delta = m.update(spark.createDataFrame([(1, 3)], SCHEMA), 2)
+    assert _labels(delta) == set()
+    assert _labels(m.labels()) == before
