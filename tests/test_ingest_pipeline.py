@@ -222,3 +222,34 @@ def test_policy_retrain_fires_on_occupancy_growth(spark, sf_dir, tmp_path):
     assert m.maintainer.n_cells == 8  # retrain_k applied
     occ = m.maintainer.occupancy()
     assert sum(occ.values()) > 0
+
+
+def test_policy_vacuum_bounds_versioned_state(spark, sf_dir, tmp_path):
+    """Vacuum policy on a versioned maintainer (rollup): after each batch
+    only the committed version plus `keep` predecessors remain on disk, the
+    events record the removals, and replays fire nothing."""
+    import os
+
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+    from mapreduce_paper_implementation_spark.streaming.policy import (
+        MaintainedIngest,
+        MaintenancePolicy,
+    )
+    from mapreduce_paper_implementation_spark.streaming.rollup import RollupMaintainer
+
+    ev = load_table(spark, sf_dir, "events")
+    state = str(tmp_path / "rollup")
+    m = MaintainedIngest(
+        RollupMaintainer(spark, state), MaintenancePolicy(vacuum_keep=1)
+    )
+    for bid in range(4):
+        m.update(ev.where(F.col("event_id") % 4 == bid), bid)
+
+    versions = sorted(d for d in os.listdir(state) if d.startswith("v"))
+    assert versions == ["v0000000003"]  # keep=1: the committed version only
+    assert [e.action for e in m.events] == ["vacuum"] * 3  # batches 1-3
+    # replay: no state change, no new events
+    assert m.update(ev.where(F.col("event_id") % 4 == 0), 0) is None
+    assert [e.action for e in m.events] == ["vacuum"] * 3
+    # maintained state is still the full fold (vacuum never drops committed)
+    assert m.current_state().count() > 0
