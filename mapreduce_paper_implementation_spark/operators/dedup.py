@@ -945,3 +945,75 @@ def survivor_stats(
         )
         .orderBy("source")
     )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    clusters: DataFrame | None = None,
+    threshold: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_chars_col: str = "n_chars",
+) -> DataFrame:
+    """Canonical-document selection: per near-dup cluster, keep the BEST
+    doc, not the arbitrary min-id one — (component, canonical_id,
+    n_members, canonical_quality).
+
+    survivor_stats keeps min-id per cluster (cheap, deterministic, but
+    blind); a production training-data pipeline keeps the highest-QUALITY
+    member (the RefinedWeb/FineWeb-style canonicalization step), falling
+    back to min id on exact quality ties so the choice is total-ordered.
+    Quality is q24's composite, rounded to 6 decimals BEFORE comparison so
+    the winner is identical across engines and float orders.
+
+    `clusters` as in survivor_stats: pass the materialized q41 (id,
+    component) map in production; computed inline from
+    ngram_jaccard_pairs(threshold) when omitted (the q78 manifest shape).
+
+    Scale shape: quality is a pure codegen projection over the docs scan;
+    the member join keys on id; the argmax is ONE aggregate via
+    max(struct(quality, -id)) — lexicographic struct max gives max quality
+    then min id with no window sort; struct max plans as a SortAggregate
+    partial/final pair, so the map-side combine still runs before the
+    shuffle (tests/test_plans.py pins the shape).
+    Reference analog: none (beyond-reference pipeline surface).
+    """
+    from mapreduce_paper_implementation_spark.operators.graph import (
+        connected_components,
+    )
+    from mapreduce_paper_implementation_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    if clusters is None:
+        clusters = connected_components(
+            ngram_jaccard_pairs(
+                docs, id_col=id_col, text_col=text_col, threshold=threshold
+            )
+        )
+    quality = docs.select(
+        F.col(id_col).alias("id"),
+        F.round(quality_score(text_col, n_chars_col), 6)
+        .cast("decimal(9,6)")
+        .cast("double")
+        .alias("quality"),
+    )
+    members = clusters.join(quality, "id")
+    return (
+        members.groupBy("component")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("quality").alias("q"), (-F.col("id")).alias("neg_id")
+                )
+            ).alias("best"),
+        )
+        .select(
+            "component",
+            (-F.col("best.neg_id")).cast("bigint").alias("canonical_id"),
+            F.col("n_members"),
+            F.col("best.q").alias("canonical_quality"),
+        )
+        .orderBy("component")
+    )

@@ -23,7 +23,7 @@ from mapreduce_paper_implementation_spark.operators.dedup import (
     DEFAULT_MAX_SHINGLE_DF,
     ngram_jaccard_pairs,
 )
-from mapreduce_paper_implementation_spark.operators.text_analysis import sql_tokens
+from mapreduce_paper_implementation_spark.operators.text_analysis import sql_stop_ratio, sql_tokens
 from mapreduce_paper_implementation_spark.plans.queries import query
 from mapreduce_paper_implementation_spark.sources.tables import load_table
 
@@ -1337,3 +1337,90 @@ def q77_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(
         customer, src, ["c_custkey"], tombstone_col="tombstone"
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Q78 canonical-document selection — per near-dup cluster, keep the BEST
+# member (highest q24 quality, min doc_id on exact ties), the
+# RefinedWeb/FineWeb-style canonicalization step that q58's min-id
+# survivorship is blind to. Composes the q20 pair graph + q41 clustering +
+# q24 quality: clusters computed inline here (the self-contained manifest
+# shape); production passes the materialized q41 map to
+# operators/dedup.canonical_docs and pays only the quality projection and
+# one argmax aggregate (max of struct(quality, -id) — no window sort, full
+# map-side partial aggregation).
+#
+# The oracle recloses the pair graph with the q58 recursive CTE and picks
+# the canonical member via ordered array_agg; quality is rounded to 6
+# decimals on BOTH engines before comparison so the argmax winner cannot
+# diverge on float noise.
+# ---------------------------------------------------------------------------
+
+_Q78_QUALITY_SQL = f"""CAST(CAST(ROUND(
+         0.4 * LEAST(len({sql_tokens('text')}) / 50.0, 1.0)
+         + 0.3 * (CASE WHEN n_chars > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / n_chars ELSE 0.0 END)
+         + 0.3 * LEAST({sql_stop_ratio('text')} * 5, 1.0)
+       , 6) AS DECIMAL(9,6)) AS DOUBLE)"""
+
+_Q78_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(
+    list_transform(
+      range(1, greatest(len({sql_tokens('text')}) - 1, 1)),
+      i -> array_to_string(list_slice({sql_tokens('text')}, i, i + 2), ' ')
+    )) AS shingles
+  FROM documents
+  WHERE len({sql_tokens('text')}) >= 3
+),
+inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inv AS (
+  SELECT * FROM inv0
+  WHERE shingle NOT IN (
+    SELECT shingle FROM inv0 GROUP BY shingle HAVING COUNT(*) > {DEFAULT_MAX_SHINGLE_DF}
+  )
+),
+co AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
+  FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM co
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON sa.doc_id = id_a
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON sb.doc_id = id_b
+  WHERE CAST(ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS DECIMAL(9,6)) >= 0.1
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+rec AS (
+  WITH RECURSIVE reach(id, lbl) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+  )
+  SELECT id, MIN(lbl) AS component FROM reach GROUP BY id
+),
+q AS (SELECT doc_id, {_Q78_QUALITY_SQL} AS quality FROM documents),
+m AS (SELECT r.component, r.id, q.quality FROM rec r JOIN q ON q.doc_id = r.id)
+SELECT component,
+       (ARRAY_AGG(id ORDER BY quality DESC, id))[1] AS canonical_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MAX(quality) AS canonical_quality
+FROM m GROUP BY component ORDER BY component
+"""
+
+
+@query("q78_canonical_docs", _Q78_ORACLE)
+def q78_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-contained manifest shape: clusters computed inline (see the
+    block comment). Production passes clusters= (the materialized q41
+    output) to operators/dedup.canonical_docs — identical results both
+    ways (tests/test_operators.py::test_canonical_docs_with_materialized_clusters)."""
+    from mapreduce_paper_implementation_spark.operators.dedup import canonical_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return canonical_docs(docs, threshold=0.1)

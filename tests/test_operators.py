@@ -674,3 +674,50 @@ def test_weighted_sample_quota_caps_at_stratum_size(spark):
     ).groupBy("source").count().collect()
     counts = {r["source"]: r["count"] for r in got}
     assert counts == {"big": 5, "tiny": 2}  # tiny capped at its 2 rows
+
+
+def test_canonical_docs_with_materialized_clusters(spark, sf_dir):
+    """canonical_docs(docs) (inline closure) == canonical_docs(docs,
+    clusters=<materialized q41-style map>), and the canonical member really
+    is the max-quality (tie -> min id) member of each cluster."""
+    from mapreduce_paper_implementation_spark.operators.dedup import (
+        canonical_docs,
+        ngram_jaccard_pairs,
+    )
+    from mapreduce_paper_implementation_spark.operators.graph import (
+        connected_components,
+    )
+    from mapreduce_paper_implementation_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    inline = [tuple(r) for r in canonical_docs(docs, threshold=0.1).collect()]
+    clusters = connected_components(ngram_jaccard_pairs(docs, threshold=0.1))
+    reused = [
+        tuple(r)
+        for r in canonical_docs(docs, clusters=clusters, threshold=0.1).collect()
+    ]
+    assert inline == reused
+    assert len(inline) > 0
+
+    # independent argmax check in Python over the cluster map + quality col
+    qual = {
+        r["doc_id"]: r["q"]
+        for r in docs.select(
+            "doc_id",
+            F.round(quality_score("text", "n_chars"), 6)
+            .cast("decimal(9,6)")
+            .cast("double")
+            .alias("q"),
+        ).collect()
+    }
+    members: dict[int, list[int]] = {}
+    for r in clusters.collect():
+        members.setdefault(r["component"], []).append(r["id"])
+    expected = {
+        comp: (min(ids, key=lambda i: (-qual[i], i)), len(ids))
+        for comp, ids in members.items()
+    }
+    got = {c: (cid, n) for c, cid, n, _ in inline}
+    assert got == expected

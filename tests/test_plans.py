@@ -300,3 +300,17 @@ def test_merge_bucketed_target_has_no_target_side_exchange(spark):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS merge_tgt_bucketed")
+
+
+def test_q78_canonical_docs_no_cartesian(spark, sf_dir):
+    # composes the q20 shingle self-join + q41 propagation + one argmax
+    # aggregate: the quality projection must stay codegen (no Python), the
+    # argmax must be a hash aggregate (no window sort), and nothing may
+    # degenerate into a cartesian.
+    plan = _plan(spark, sf_dir, "q78_canonical_docs")
+    assert "CartesianProduct" not in plan
+    # struct max is not hash-aggregable, so the argmax is a SortAggregate —
+    # but still a partial/final PAIR (map-side combine before the shuffle).
+    assert plan.count("SortAggregate") >= 2
+    assert "Window" not in plan  # argmax via max(struct), not row_number
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
