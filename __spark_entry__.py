@@ -17,7 +17,9 @@ membership (delta keys vs history without shuffling history); q74 is
 PageRank with exact scaled-integer arithmetic (bit-identical across engines
 and partitionings); q75 is cross-document boilerplate detection (repeated
 10-gram fraction); q76 materializes the q57 mixture as a deterministic
-weighted sample. All queries are DuckDB-oracle-backed — including q34,
+weighted sample; q77 is the keyed MERGE upsert (full-outer + presence-flag
+arbitration, tombstone deletes); q78 is canonical-document selection
+(argmax-quality per near-dup cluster). All queries are DuckDB-oracle-backed — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design).
 """
