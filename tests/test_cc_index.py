@@ -91,3 +91,33 @@ def test_cc_maintainer_replay_and_vacuum(spark, tmp_path):
     delta = m.update(spark.createDataFrame([(1, 3)], SCHEMA), 2)
     assert _labels(delta) == set()
     assert _labels(m.labels()) == before
+
+
+def test_cc_maintainer_composes_with_dedup_index(spark, sf_dir, tmp_path):
+    """The production topology: per ingest batch, DedupIndexMaintainer
+    emits the batch's cross-batch near-dup pairs; ComponentsMaintainer
+    folds them into the standing cluster map. After all batches the
+    maintained labels must equal a one-shot connected_components over the
+    union of every emitted pair."""
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+    from mapreduce_paper_implementation_spark.streaming.dedup_index import (
+        DedupIndexMaintainer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = DedupIndexMaintainer(spark, str(tmp_path / "index"), threshold=0.8)
+    cc = ComponentsMaintainer(spark, str(tmp_path / "cc"))
+
+    all_pairs: list = []
+    for bid in range(3):
+        dups = index.update(docs.where(F.col("doc_id") % 3 == bid), bid)
+        pairs = dups.select(
+            F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b")
+        )
+        rows = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+        all_pairs += rows
+        if rows:
+            cc.update(spark.createDataFrame(rows, SCHEMA), bid)
+
+    assert all_pairs, "fixture must contain cross-batch near-dups"
+    assert _labels(cc.labels()) == _full(spark, all_pairs)
