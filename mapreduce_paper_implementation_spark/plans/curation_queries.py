@@ -1,0 +1,647 @@
+"""Corpus-curation queries Q79-Q82 — the second tranche of training-data
+pipeline surface beyond plans/pipeline_queries.py: PII redaction audit,
+mergeable histogram quantiles (q37's bounded-memory scale path), context-
+window document chunking, and bigram collocation mining.
+
+Same contract as plans/queries.py (SURVEY.md §2D determinism rules): every
+query is (spark, sf_dir) -> DataFrame with a DuckDB oracle string; inexact
+columns are ROUND(..., k) double on both engines with identical IEEE
+operation order; outputs fully sorted by key.
+
+Provenance: the reference's Map/Reduce surface (mr/worker.go:32-33) is the
+generalized capability; none exist as mrapps. All are SURVEY.md §2C
+"north-star training-data pipeline" components, expressed Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_paper_implementation_spark.functions.text import let, tokens
+from mapreduce_paper_implementation_spark.operators.text_analysis import (
+    PII_PATTERNS,
+    pii_count,
+    scrub_pii,
+    sql_tokens,
+)
+from mapreduce_paper_implementation_spark.plans.queries import query
+from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Q79 PII scrub audit — plant deterministic synthetic PII, scrub, hash-check.
+#
+# The fixture corpus is letters-only (no real PII), so the query PLANTS
+# deterministic synthetic spans derived from doc_id — an email every 5th doc,
+# a long id every 7th, a phone-shaped span every 11th — then runs the
+# production scrub (operators/text_analysis.py:scrub_pii) and value-checks
+# the scrubbed text via md5. This turns the previously pytest-only scrub
+# operator into an oracle-gated manifest query: the DuckDB twin applies the
+# IDENTICAL RE2/Java-compatible patterns in the identical order, so a single
+# character of divergence (pattern semantics, replacement order, greedy-match
+# behavior) hash-mismatches.
+#
+# Scale shape: map-only — regexp chains are pure codegen'd Column
+# expressions; at 100 TB this is a rewrite pass with zero shuffles (the final
+# ORDER BY is the manifest determinism rule, not part of the operator).
+# Planted values derive from doc_id alone, so the scenario is collision-free
+# at every gen_scale factor of the manifest replay.
+# ---------------------------------------------------------------------------
+
+_Q79_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id, source,
+    text
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' ref ' || CAST(100000000 + doc_id * 37 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    AS t
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(t, '{PII_PATTERNS["email"]}')) AS n1,
+         regexp_replace(t, '{PII_PATTERNS["email"]}', '<PII>', 'g') AS t
+  FROM planted
+),
+s2 AS (
+  SELECT doc_id, source, n1,
+         len(regexp_extract_all(t, '{PII_PATTERNS["phone"]}')) AS n2,
+         regexp_replace(t, '{PII_PATTERNS["phone"]}', '<PII>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, source, n1, n2,
+         len(regexp_extract_all(t, '{PII_PATTERNS["digit_run"]}')) AS n3,
+         regexp_replace(t, '{PII_PATTERNS["digit_run"]}', '<PII>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, source,
+       CAST(n1 + n2 + n3 AS BIGINT) AS n_spans,
+       CAST(length(t) AS BIGINT) AS scrubbed_len,
+       md5(t) AS scrubbed_md5
+FROM s3
+ORDER BY doc_id
+"""
+
+
+@query("q79_pii_scrub", _Q79_ORACLE)
+def q79_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(""),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" ref "), (F.lit(100000000) + did * 37).cast("string")),
+        ).otherwise(""),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call +1 (555) 010-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+    )
+    return (
+        docs.select("doc_id", "source", planted.alias("t"))
+        .select(
+            "doc_id",
+            "source",
+            pii_count("t").cast("long").alias("n_spans"),
+            F.length(scrub_pii("t")).cast("long").alias("scrubbed_len"),
+            F.md5(scrub_pii("t")).alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q80 histogram quantile sketch — q37's bounded-memory, mergeable scale path.
+#
+# q37's exact median/p90 needs the full sorted value set per group; at 100 TB
+# that is a sort of the entire fact table. The sketch path bins values into
+# fixed-width buckets (width 0.25, data-INdependent so partial histograms
+# from any partition/batch merge by plain count addition — the same
+# associative-state property as operators/incremental.py), then estimates
+# the quantile by linear interpolation inside the target bucket. Memory is
+# O(value_range / width) per group regardless of row count, the aggregation
+# is one partial+final HashAggregate (map-side combine collapses each
+# partition to its local histogram), and the tiny per-group histogram —
+# never the raw values — crosses the shuffle.
+#
+# Determinism: bins and ranks are exact integers (rank = ceil via integer
+# arithmetic, never 0.9*n in floating point — 0.9 has no exact double
+# representation); the final interpolation is the identical IEEE expression
+# on both engines over identical integer inputs, rounded to 4 decimals.
+# pytest additionally brackets the estimate against q37's exact values
+# (|est - exact| <= bin width).
+# ---------------------------------------------------------------------------
+
+_Q80_ORACLE = """
+WITH hist AS (
+  SELECT event_type, CAST(floor(value * 4) AS BIGINT) AS bin, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM hist
+),
+tot AS (SELECT event_type, SUM(cnt) AS n, COUNT(*) AS n_bins FROM hist GROUP BY 1),
+tgt AS (
+  SELECT event_type, 'p50' AS q, (n + 1) // 2 AS t FROM tot
+  UNION ALL
+  SELECT event_type, 'p90', (9 * n + 9) // 10 FROM tot
+),
+hit AS (
+  SELECT g.event_type, g.q,
+         CAST(ROUND(CAST(c.bin AS DOUBLE) * 0.25
+                    + (0.25 * (g.t - (c.cum - c.cnt))) / c.cnt, 4)
+              AS DECIMAL(18,4)) AS est
+  FROM tgt g JOIN cum c
+    ON c.event_type = g.event_type AND c.cum - c.cnt < g.t AND c.cum >= g.t
+)
+SELECT t.event_type,
+       CAST(MAX(CASE WHEN h.q = 'p50' THEN h.est END) AS DOUBLE) AS med_est,
+       CAST(MAX(CASE WHEN h.q = 'p90' THEN h.est END) AS DOUBLE) AS p90_est,
+       CAST(MAX(t.n_bins) AS BIGINT) AS n_bins
+FROM tot t JOIN hit h ON h.event_type = t.event_type
+GROUP BY t.event_type
+ORDER BY t.event_type
+"""
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantile_ranks,
+    inv_width: int = 4,
+) -> DataFrame:
+    """(group, q, est, n_bins) histogram-interpolated quantile estimates.
+    `quantile_ranks` is a list of (label, rank_sql) where rank_sql is an
+    integer SQL expression over the group row count column `n` yielding the
+    1-based target rank (use exact integer ceil arithmetic — `div`, never
+    floating-point fractions). Shared by q80 and the incremental-histogram
+    differential (tests/test_operators.py)."""
+    hist = (
+        df.select(F.col(group_col), F.floor(F.col(value_col) * inv_width).cast("long").alias("bin"))
+        .groupBy(group_col, "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    win = Window.partitionBy(group_col).orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("cnt").over(win))
+    tot = hist.groupBy(group_col).agg(
+        F.sum("cnt").alias("n"), F.count("*").alias("n_bins")
+    )
+    width = 1.0 / inv_width
+    tgt = None
+    for label, rank_sql in quantile_ranks:
+        part = tot.select(
+            group_col, F.lit(label).alias("q"), F.expr(rank_sql).cast("long").alias("t")
+        )
+        tgt = part if tgt is None else tgt.unionByName(part)
+    hit = (
+        tgt.join(cum, group_col)
+        .where((F.col("cum") - F.col("cnt") < F.col("t")) & (F.col("cum") >= F.col("t")))
+        .select(
+            group_col,
+            "q",
+            F.round(
+                F.col("bin").cast("double") * width
+                + (F.lit(width) * (F.col("t") - (F.col("cum") - F.col("cnt")))) / F.col("cnt"),
+                4,
+            )
+            .cast("decimal(18,4)")
+            .alias("est"),
+        )
+    )
+    return hit.join(tot.select(group_col, "n_bins"), group_col)
+
+
+@query("q80_hist_quantile", _Q80_ORACLE)
+def q80_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ranks = [
+        ("p50", "(n + 1) div 2"),  # ceil(n/2), exact integer arithmetic
+        ("p90", "(9 * n + 9) div 10"),  # ceil(9n/10)
+    ]
+    hq = histogram_quantiles(events, "event_type", "value", ranks)
+    return (
+        hq.groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("q") == "p50", F.col("est"))).cast("double").alias("med_est"),
+            F.max(F.when(F.col("q") == "p90", F.col("est"))).cast("double").alias("p90_est"),
+            F.max("n_bins").cast("long").alias("n_bins"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q81 context-window document chunking — the pre-tokenization sharding step
+# that turns variable-length documents into fixed-window training chunks
+# (64 tokens, stride 48 => 16-token overlap). Complements q59's greedy
+# packing: packing concatenates SHORT sequences up to the context length,
+# chunking splits LONG documents down to it.
+#
+# Chunk-count spec (deterministic, covers every token): a doc with n tokens
+# yields c = 1 + ceil(max(n - 64, 0) / 48) chunks; chunk i starts at token
+# 48*i (0-based) and takes min(64, n - start) tokens. The last chunk always
+# reaches token n; starts never exceed n-16 for n > 64.
+#
+# Scale shape: map-only — tokenize, per-row explode of a c-element index
+# sequence, slice + hash; no shuffle (final ORDER BY is the manifest rule).
+# The chunk TEXT never needs to leave the operator in production (downstream
+# tokenizers consume it in place); the manifest emits md5 so the oracle
+# value-checks content without hashing megabytes through the driver.
+# ---------------------------------------------------------------------------
+
+_Q81_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens('text')} AS tk FROM documents
+),
+sized AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         1 + (greatest(len(tk) - 64, 0) + 47) // 48 AS c
+  FROM toks
+),
+idx AS (
+  SELECT doc_id, tk, n, unnest(range(0, c)) AS i FROM sized
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       CAST(least(64, n - 48 * i) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(tk, 48 * i + 1, 48 * i + 64), ' ')) AS chunk_md5
+FROM idx
+ORDER BY doc_id, chunk_id
+"""
+
+
+@query("q81_doc_chunks", _Q81_ORACLE)
+def q81_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    W, S = 64, 48
+    sized = docs.select(
+        "doc_id",
+        tokens("text").alias("tk"),
+    ).select(
+        "doc_id",
+        "tk",
+        F.size("tk").alias("n"),
+        (F.lit(1) + F.expr(f"(greatest(size(tk) - {W}, 0) + {S - 1}) div {S}")).alias("c"),
+    )
+    idx = sized.select(
+        "doc_id",
+        "tk",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("c") - 1)).alias("i"),
+    )
+    return idx.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_id"),
+        F.least(F.lit(W), F.col("n") - S * F.col("i")).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.slice("tk", S * F.col("i") + 1, W))).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# Q82 bigram collocation mining — corpus-level phrase discovery (the PMI /
+# lift family): for every adjacent token pair, how much more often does it
+# occur than independence predicts? Tokenizer-vocabulary curation and
+# phrase-aware dedup both start from this table.
+#
+# score = (c_xy / N_big) / ((c_x / N_uni) * (c_y / N_uni))  — PMI without
+# the log (monotone, so ranking is identical), computed as one double
+# expression over exact integer counts in the identical operation order on
+# both engines, rounded to 6 decimals.
+#
+# Scale shape: bigram formation is map-only (adjacent-pair transform over
+# the let-bound token array — no window, no per-doc shuffle); one
+# partial+final count aggregate per table; the two unigram joins BROADCAST
+# the vocabulary (vocab ≪ corpus at any scale — unigram counts for a 100 TB
+# corpus fit executor memory; were they ever to outgrow it, the fallback is
+# a shuffle join salted per operators/skew.py, since token frequency is
+# Zipf-skewed). Final top-k is TakeOrderedAndProject, never a global sort.
+# ---------------------------------------------------------------------------
+
+_Q82_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens('text')} AS tk FROM documents
+),
+big AS (
+  SELECT tk[i] AS x, tk[i + 1] AS y
+  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM toks WHERE len(tk) >= 2)
+),
+bc AS (SELECT x, y, COUNT(*) AS c_xy FROM big GROUP BY 1, 2),
+uni AS (
+  SELECT t AS tok, COUNT(*) AS c
+  FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1
+),
+n_uni AS (SELECT SUM(c) AS nu FROM uni),
+n_big AS (SELECT SUM(c_xy) AS nb FROM bc)
+SELECT b.x, b.y, CAST(b.c_xy AS BIGINT) AS c_xy,
+       CAST(ROUND((CAST(b.c_xy AS DOUBLE) * nu * nu) / (CAST(nb AS DOUBLE) * ux.c * uy.c), 6)
+            AS DOUBLE) AS lift
+FROM bc b
+JOIN uni ux ON ux.tok = b.x
+JOIN uni uy ON uy.tok = b.y
+CROSS JOIN n_uni CROSS JOIN n_big
+WHERE b.c_xy >= 5
+ORDER BY lift DESC, x ASC, y ASC
+LIMIT 20
+"""
+
+
+@query("q82_bigram_collocations", _Q82_ORACLE)
+def q82_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode(
+            let(
+                tokens("text"),
+                # no otherwise(): docs with <2 tokens yield NULL, which
+                # explode() drops — and the when() guard is load-bearing
+                # (sequence(1, 0) is DESCENDING, see word_shingles).
+                lambda tk: F.when(
+                    F.size(tk) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(tk) - 1),
+                        lambda i: F.struct(
+                            F.element_at(tk, i).alias("x"),
+                            F.element_at(tk, i + 1).alias("y"),
+                        ),
+                    ),
+                ),
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    bc = pairs.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    uni = docs.select(F.explode(tokens("text")).alias("tok")).groupBy("tok").agg(
+        F.count("*").alias("c")
+    )
+    n_uni = uni.agg(F.sum("c").alias("nu"))
+    n_big = bc.agg(F.sum("c_xy").alias("nb"))
+    return (
+        bc.where(F.col("c_xy") >= 5)
+        .join(F.broadcast(uni.withColumnRenamed("tok", "x").withColumnRenamed("c", "cx")), "x")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "y").withColumnRenamed("c", "cy")), "y")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "x",
+            "y",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.round(
+                (F.col("c_xy").cast("double") * F.col("nu") * F.col("nu"))
+                / (F.col("nb").cast("double") * F.col("cx") * F.col("cy")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("x"), F.asc("y"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q83 embedding outlier audit — the pruning half of the SemDeDup family
+# (q72 removes near-DUPLICATES; this surfaces the OUTLIERS): per trained
+# k-means cell, the 3 members least similar to their own centroid — the
+# noisy/low-density examples curation pipelines drop or down-weight
+# (SemDeDup, Abbas et al. 2023 §4 prunes by distance-to-centroid).
+#
+# Shares the exact trained index build with q29/q72: kmeans_fit (2 Lloyd
+# iterations, lowest-id seeding) on the Spark side, the identical unrolled
+# CTEs (_ivf_build_ctes) on the oracle side — so the assignment, the cosine
+# quantization (ROUND 6) and the tiebreaks cannot drift between the three
+# semantic queries.
+#
+# Scale shape: centroids broadcast (k rows); assignment + centroid cosine is
+# one map-side pass over the vectors; the only shuffle is the per-cell rank
+# window (k cells x bottom-3 survivors). At 100 TB the vectors never shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _q83_oracle(n_cells: int = 16, iters: int = 2, bottom: int = 3) -> str:
+    from mapreduce_paper_implementation_spark.plans.queries import _ivf_build_ctes
+
+    ctes = _ivf_build_ctes(n_cells, iters)
+    ctes += [
+        f"""scored AS (
+  SELECT c.cell, c.vec_id,
+         CAST(ROUND(list_dot_product(c.vec, ct.c_vec) / (c.nrm * ct.c_nrm), 6) AS DECIMAL(9,6)) AS cos_c
+  FROM cand c JOIN cents ct ON ct.cell = c.cell
+)""",
+        """ranked AS (
+  SELECT cell, vec_id, cos_c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cos_c ASC, vec_id ASC) AS BIGINT) AS rk
+  FROM scored
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(cell AS BIGINT) AS cell, rk, vec_id, CAST(cos_c AS DOUBLE) AS cos_c
+FROM ranked WHERE rk <= {bottom}
+ORDER BY cell, rk
+"""
+    )
+
+
+@query("q83_embedding_outliers", _q83_oracle())
+def q83_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.functions.vectors import (
+        dot,
+        norm,
+        to_double_vec,
+    )
+    from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=16, max_iter=2, tol=0.0).withColumn(
+        "c_nrm", norm(F.col("c_vec"))
+    )
+    v = emb.select(
+        F.col("vec_id"), to_double_vec("embedding").alias("vec")
+    ).withColumn("nrm", norm(F.col("vec")))
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        F.round(dot(F.col("vec"), F.col("c_vec")) / (F.col("nrm") * F.col("c_nrm")), 6)
+        .cast("decimal(9,6)")
+        .alias("cos_c"),
+    )
+    # same cell assignment as the q29/q72 index: best cosine, tie -> lower cell
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
+    assigned = (
+        scored.withColumn("cr", F.row_number().over(aw)).where(F.col("cr") == 1).drop("cr")
+    )
+    rw = Window.partitionBy("cell").orderBy(F.asc("cos_c"), F.asc("vec_id"))
+    return (
+        assigned.withColumn("rk", F.row_number().over(rw).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "rk",
+            "vec_id",
+            F.col("cos_c").cast("double").alias("cos_c"),
+        )
+        .orderBy("cell", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q84 funnel attribution — view -> click -> purchase within per-step 4-hour
+# windows, the conversion analysis every event-analytics engine ships. A
+# purchase converts at step 2 if the user's most recent prior click is
+# within 4 h; at step 3 if, additionally, the most recent view BEFORE THAT
+# CLICK was within 4 h of the click.
+#
+# Single-pass window formulation (no joins): per user, ordered by (ts,
+# event_id), carry three running values — last view time, last click time,
+# and "last view time as seen at the last click" (a nested carry: at click
+# rows the current last-view is captured, and that captured value is itself
+# carried forward). MAX over the running frame equals "latest" because
+# event times are monotone within the frame. ONE shuffle (the per-user
+# window), then the day rollup.
+#
+# All time arithmetic in epoch MICROS (unix_micros / epoch_us) — identical
+# integers on both engines, timezone-free (q60/q61 convention). Day =
+# floor-div of micros by 86_400e6 (fixture epochs are positive).
+# ---------------------------------------------------------------------------
+
+_H4_US = 4 * 3600 * 1_000_000
+_DAY_US = 86_400 * 1_000_000
+
+_Q84_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us FROM events
+),
+w1 AS (
+  SELECT user_id, event_id, event_type, t_us,
+         MAX(CASE WHEN event_type = 'view' THEN t_us END) OVER (
+           PARTITION BY user_id ORDER BY t_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+  FROM e
+),
+w2 AS (
+  SELECT user_id, event_type, t_us,
+         MAX(CASE WHEN event_type = 'click' THEN t_us END) OVER (
+           PARTITION BY user_id ORDER BY t_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc,
+         MAX(CASE WHEN event_type = 'click' THEN lv END) OVER (
+           PARTITION BY user_id ORDER BY t_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv_at_lc
+  FROM w1
+)
+SELECT t_us // {_DAY_US} AS day_num,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN lc IS NOT NULL AND lc >= t_us - {_H4_US}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_conv_click,
+       CAST(SUM(CASE WHEN lc IS NOT NULL AND lc >= t_us - {_H4_US}
+                      AND lv_at_lc IS NOT NULL AND lv_at_lc >= lc - {_H4_US}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_conv_full
+FROM w2
+WHERE event_type = 'purchase'
+GROUP BY day_num
+ORDER BY day_num
+"""
+
+
+@query("q84_funnel", _Q84_ORACLE)
+def q84_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w1 = e.withColumn(
+        "lv", F.max(F.when(F.col("event_type") == "view", F.col("t_us"))).over(w)
+    )
+    w2 = w1.withColumn(
+        "lc", F.max(F.when(F.col("event_type") == "click", F.col("t_us"))).over(w)
+    ).withColumn(
+        "lv_at_lc",
+        F.max(F.when(F.col("event_type") == "click", F.col("lv"))).over(w),
+    )
+    conv2 = F.col("lc").isNotNull() & (F.col("lc") >= F.col("t_us") - _H4_US)
+    conv3 = (
+        conv2
+        & F.col("lv_at_lc").isNotNull()
+        & (F.col("lv_at_lc") >= F.col("lc") - _H4_US)
+    )
+    return (
+        w2.where(F.col("event_type") == "purchase")
+        .groupBy(F.expr(f"t_us div {_DAY_US}").alias("day_num"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum(conv2.cast("long")).cast("long").alias("n_conv_click"),
+            F.sum(conv3.cast("long")).cast("long").alias("n_conv_full"),
+        )
+        .orderBy("day_num")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q85 retention cohorts — users grouped by first-seen day, distinct-user
+# counts per (cohort, days-since-first) offset: the activity-retention
+# triangle every growth dashboard draws.
+#
+# Cohort via a per-user window MIN (no self-join: the events already
+# shuffle once on user_id for the window; the min rides that partition),
+# then one distinct-count aggregate on (cohort, offset). Day arithmetic in
+# epoch micros (q84 convention).
+#
+# Scale shape: two shuffles total — user window + the cohort-offset
+# count-distinct (itself a partial-agg expand). The cohort matrix is
+# O(days^2) rows regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+_Q85_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // {_DAY_US} AS day_num FROM events
+),
+c AS (
+  SELECT user_id, day_num,
+         MIN(day_num) OVER (PARTITION BY user_id) AS cohort_day
+  FROM e
+)
+SELECT cohort_day, day_num - cohort_day AS day_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM c
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""
+
+
+@query("q85_retention_cohorts", _Q85_ORACLE)
+def q85_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id", F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day_num")
+    )
+    c = e.withColumn(
+        "cohort_day", F.min("day_num").over(Window.partitionBy("user_id"))
+    )
+    return (
+        c.groupBy(
+            "cohort_day", (F.col("day_num") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -2271,3 +2271,4 @@ def q41_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # survivor materialization). Imported last so the registry decorator can be
 # imported from this module without a circular-import trap.
 from mapreduce_paper_implementation_spark.plans import pipeline_queries  # noqa: E402,F401
+from mapreduce_paper_implementation_spark.plans import curation_queries  # noqa: E402,F401

@@ -1,0 +1,148 @@
+"""Round-7 curation-query additions (q79-q85): plan shapes + the q80
+histogram-quantile accuracy bracket. Oracle hash-matching itself is covered
+by the parameterized tests/test_queries.py::test_query_matches_oracle (all
+seven register DuckDB oracles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_paper_implementation_spark.plans.queries import QUERIES
+from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q79_scrub_is_map_only(spark, sf_dir):
+    # PII scrub is a per-row regexp rewrite: no aggregation, no join — the
+    # only exchange allowed is the final determinism-rule orderBy (range).
+    plan = _plan(spark, sf_dir, "q79_pii_scrub")
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_q81_chunking_is_map_only(spark, sf_dir):
+    # tokenize -> explode chunk indices -> slice+hash is per-row work; the
+    # only exchange allowed is the final orderBy.
+    plan = _plan(spark, sf_dir, "q81_doc_chunks")
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_q82_unigram_joins_broadcast(spark, sf_dir):
+    # the vocabulary joins must broadcast (vocab << corpus at any scale);
+    # the only nested-loop joins are the two single-row total broadcasts.
+    plan = _plan(spark, sf_dir, "q82_bigram_collocations")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # final top-20 is TakeOrderedAndProject, never a global sort of all
+    # bigrams
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q80_histogram_has_partial_aggregation(spark, sf_dir):
+    # the per-(type, bin) histogram must collapse map-side (partial+final
+    # HashAggregate around the exchange) so raw values never shuffle.
+    plan = _plan(spark, sf_dir, "q80_hist_quantile")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_q80_estimates_bracket_exact_quantiles(spark, sf_dir):
+    # histogram interpolation with width w can be off by at most w from the
+    # exact order statistic (the estimate lies inside the target bin, and
+    # the exact quantile lies inside the same bin by construction of the
+    # cumulative rank).
+    est = {
+        r["event_type"]: r
+        for r in QUERIES["q80_hist_quantile"](spark, sf_dir).collect()
+    }
+    # the guarantee is against the DISCRETE order statistic the rank targets
+    # (value at rank ceil(q*n)) — estimate and order stat share a bin by
+    # construction of the cumulative rank, so they differ by < bin width.
+    # (Interpolated percentile() can cross a bin edge, so it is NOT the
+    # right truth here.)
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("value"))
+        .alias("rk"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    exact = {
+        (r["event_type"], r["q"]): r["value"]
+        for r in ranked.withColumn(
+            "q",
+            F.when(F.col("rk") == F.expr("(n + 1) div 2"), "p50").when(
+                F.col("rk") == F.expr("(9 * n + 9) div 10"), "p90"
+            ),
+        )
+        .where(F.col("q").isNotNull())
+        .collect()
+    }
+    w = 0.25
+    for t, r in est.items():
+        assert abs(r["med_est"] - exact[(t, "p50")]) <= w, (t, r, exact[(t, "p50")])
+        assert abs(r["p90_est"] - exact[(t, "p90")]) <= w, (t, r, exact[(t, "p90")])
+        # boundedness: the sketch state is O(range/width), not O(rows)
+        assert r["n_bins"] <= 4000
+
+
+def test_q80_histogram_merges_across_batches(spark, sf_dir):
+    # the mergeable-state property q80's docstring claims: histograms built
+    # per batch and summed equal the one-shot histogram, so the quantile
+    # path composes with incremental maintenance (operators/incremental.py).
+    events = load_table(spark, sf_dir, "events")
+
+    def hist(df):
+        return (
+            df.select(
+                "event_type", F.floor(F.col("value") * 4).cast("long").alias("bin")
+            )
+            .groupBy("event_type", "bin")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    one_shot = hist(events)
+    b0 = hist(events.where(F.col("event_id") % 3 == 0))
+    b1 = hist(events.where(F.col("event_id") % 3 == 1))
+    b2 = hist(events.where(F.col("event_id") % 3 == 2))
+    merged = (
+        b0.unionByName(b1)
+        .unionByName(b2)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    diff = one_shot.exceptAll(merged).union(merged.exceptAll(one_shot))
+    assert diff.count() == 0
+
+
+def test_q83_vectors_never_shuffle_for_assignment(spark, sf_dir):
+    # centroids broadcast; the only exchanges are the two rank windows
+    # (per-vector assignment, per-cell bottom-k) — never a shuffle join of
+    # the vectors against anything.
+    plan = _plan(spark, sf_dir, "q83_embedding_outliers")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the k-row centroid broadcast
+
+
+def test_q84_funnel_single_user_shuffle(spark, sf_dir):
+    # the three running carries share ONE user window partition: exactly one
+    # hash exchange on user_id before the day rollup's exchange.
+    plan = _plan(spark, sf_dir, "q84_funnel")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "Join" not in plan
+
+
+def test_q85_cohort_min_rides_the_window_not_a_join(spark, sf_dir):
+    # cohort day must come from the per-user window MIN, not a self-join
+    plan = _plan(spark, sf_dir, "q85_retention_cohorts")
+    assert "Join" not in plan
