@@ -153,3 +153,95 @@ def finalize_rollup(state: DataFrame) -> DataFrame:
         "max_value",
         F.hll_sketch_estimate("users_hll").alias("approx_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 3. histogram quantile state — mergeable order statistics
+# ---------------------------------------------------------------------------
+#
+# Exact quantiles are not algebraic (no bounded merge), so continuous
+# aggregates carry a fixed-width bin histogram instead: the state is the
+# (group..., bin) count table, merge is plain count addition (associative +
+# commutative like every other column here), and finalize interpolates the
+# target rank inside its bin — the same estimator as the q80 manifest query
+# (plans/curation_queries.py), with the same within-bin-width error bound.
+# State size is O(groups x value_range/width), independent of row count.
+
+
+def hist_state(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    inv_width: int = 4,
+) -> DataFrame:
+    """One pass over a delta -> (group..., bin, cnt) mergeable histogram
+    state. Bin width 1/inv_width is data-INdependent so any two deltas'
+    states merge by addition."""
+    return (
+        df.select(
+            *group_cols,
+            F.floor(F.col(value_col) * inv_width).cast("long").alias("bin"),
+        )
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_hist_states(states: Sequence[DataFrame], group_cols: Sequence[str]) -> DataFrame:
+    """Union + re-add: O(|state|), raw data never re-read."""
+    return merge_rollups(states, [*group_cols, "bin"], add_cols=["cnt"])
+
+
+def quantiles_from_hist(
+    hist: DataFrame,
+    group_cols: Sequence[str],
+    quantile_ranks: Sequence[tuple[str, str]],
+    inv_width: int = 4,
+) -> DataFrame:
+    """(group..., q, est, n_bins) — interpolate each target rank inside its
+    bin. `quantile_ranks` pairs a label with an integer SQL rank expression
+    over the group row count `n` (e.g. ``("p50", "(n + 1) div 2")``) — exact
+    integer ceil arithmetic, never floating-point fractions. The final
+    interpolation is one IEEE double expression over exact integer inputs
+    (identical operation order as the q80 DuckDB oracle), rounded to 4."""
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(*group_cols).orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("cnt").over(win))
+    tot = hist.groupBy(*group_cols).agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("n_bins")
+    )
+    width = 1.0 / inv_width
+    # all target ranks in ONE pass over tot (explode of a literal struct
+    # array), not a union of per-label selects that would re-aggregate the
+    # histogram once per quantile
+    tgt = tot.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(label).alias("q"),
+                        F.expr(rank_sql).cast("long").alias("t"),
+                    )
+                    for label, rank_sql in quantile_ranks
+                ]
+            )
+        ).alias("qt"),
+    ).select(*group_cols, "qt.q", "qt.t")
+    hit = (
+        tgt.join(cum, list(group_cols))
+        .where((F.col("cum") - F.col("cnt") < F.col("t")) & (F.col("cum") >= F.col("t")))
+        .select(
+            *group_cols,
+            "q",
+            F.round(
+                F.col("bin").cast("double") * width
+                + (F.lit(width) * (F.col("t") - (F.col("cum") - F.col("cnt")))) / F.col("cnt"),
+                4,
+            )
+            .cast("decimal(18,4)")
+            .alias("est"),
+        )
+    )
+    return hit.join(tot.select(*group_cols, "n_bins"), list(group_cols))

@@ -193,41 +193,19 @@ def histogram_quantiles(
     `quantile_ranks` is a list of (label, rank_sql) where rank_sql is an
     integer SQL expression over the group row count column `n` yielding the
     1-based target rank (use exact integer ceil arithmetic — `div`, never
-    floating-point fractions). Shared by q80 and the incremental-histogram
-    differential (tests/test_operators.py)."""
-    hist = (
-        df.select(F.col(group_col), F.floor(F.col(value_col) * inv_width).cast("long").alias("bin"))
-        .groupBy(group_col, "bin")
-        .agg(F.count("*").alias("cnt"))
+    floating-point fractions). Thin composition of the mergeable state
+    primitives in operators/incremental.py §3 (hist_state +
+    quantiles_from_hist) — the SAME state the continuous-aggregate
+    maintenance path carries, so the one-shot manifest query and the
+    incremental path cannot drift (tests/test_round7_additions.py
+    differential)."""
+    from mapreduce_paper_implementation_spark.operators.incremental import (
+        hist_state,
+        quantiles_from_hist,
     )
-    win = Window.partitionBy(group_col).orderBy("bin")
-    cum = hist.withColumn("cum", F.sum("cnt").over(win))
-    tot = hist.groupBy(group_col).agg(
-        F.sum("cnt").alias("n"), F.count("*").alias("n_bins")
-    )
-    width = 1.0 / inv_width
-    tgt = None
-    for label, rank_sql in quantile_ranks:
-        part = tot.select(
-            group_col, F.lit(label).alias("q"), F.expr(rank_sql).cast("long").alias("t")
-        )
-        tgt = part if tgt is None else tgt.unionByName(part)
-    hit = (
-        tgt.join(cum, group_col)
-        .where((F.col("cum") - F.col("cnt") < F.col("t")) & (F.col("cum") >= F.col("t")))
-        .select(
-            group_col,
-            "q",
-            F.round(
-                F.col("bin").cast("double") * width
-                + (F.lit(width) * (F.col("t") - (F.col("cum") - F.col("cnt")))) / F.col("cnt"),
-                4,
-            )
-            .cast("decimal(18,4)")
-            .alias("est"),
-        )
-    )
-    return hit.join(tot.select(group_col, "n_bins"), group_col)
+
+    hist = hist_state(df, [group_col], value_col, inv_width)
+    return quantiles_from_hist(hist, [group_col], quantile_ranks, inv_width)
 
 
 @query("q80_hist_quantile", _Q80_ORACLE)

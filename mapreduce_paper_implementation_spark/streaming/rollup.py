@@ -39,12 +39,29 @@ from mapreduce_paper_implementation_spark.operators.incremental import (
 
 class RollupMaintainer:
     """Durable (bucket, key) rollup state under `state_dir`, updated one
-    micro-batch at a time via `update` (a foreachBatch callback)."""
+    micro-batch at a time via `update` (a foreachBatch callback).
 
-    def __init__(self, spark: SparkSession, state_dir: str, bucket_s: int = 3600):
+    The versioned-state/atomic-pointer machinery is state-shape-agnostic:
+    pass `state_fn` (delta -> mergeable state frame) and `merge_fn`
+    (state, state -> state) to maintain any associative state under the
+    same exactly-once discipline — `histogram_maintainer` below uses this
+    for the q80 quantile-sketch state (operators/incremental.py §3)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        bucket_s: int = 3600,
+        state_fn=None,
+        merge_fn=None,
+    ):
         self.spark = spark
         self.state_dir = state_dir
         self.bucket_s = bucket_s
+        self._state_fn = state_fn or (
+            lambda delta: rollup_state(delta, bucket_s=self.bucket_s)
+        )
+        self._merge_fn = merge_fn or merge_states
         os.makedirs(state_dir, exist_ok=True)
 
     # -- pointer ----------------------------------------------------------
@@ -81,10 +98,10 @@ class RollupMaintainer:
         committed = self._committed_version()
         if committed is not None and committed >= batch_id:
             return
-        state = rollup_state(delta, bucket_s=self.bucket_s)
+        state = self._state_fn(delta)
         prev = self.current_state()
         if prev is not None:
-            state = merge_states(prev, state)
+            state = self._merge_fn(prev, state)
         state.write.mode("overwrite").parquet(self._version_dir(batch_id))
         self._commit_version(batch_id)
 
@@ -111,6 +128,33 @@ class RollupMaintainer:
                 shutil.rmtree(self._version_dir(v))
                 removed.append(v)
         return removed
+
+
+def histogram_maintainer(
+    spark: SparkSession,
+    state_dir: str,
+    group_cols=("event_type",),
+    value_col: str = "value",
+    inv_width: int = 4,
+) -> RollupMaintainer:
+    """Streaming twin of the q80 histogram-quantile sketch: maintains the
+    (group..., bin, cnt) state from operators/incremental.py §3 under the
+    versioned exactly-once discipline above. Serving side is
+    `quantiles_from_hist(maintainer.current_state(), ...)` — always one
+    cheap interpolation away, raw history never re-read; state size is
+    O(groups x value_range/width) regardless of stream volume."""
+    from mapreduce_paper_implementation_spark.operators.incremental import (
+        hist_state,
+        merge_hist_states,
+    )
+
+    gc = list(group_cols)
+    return RollupMaintainer(
+        spark,
+        state_dir,
+        state_fn=lambda delta: hist_state(delta, gc, value_col, inv_width),
+        merge_fn=lambda a, b: merge_hist_states([a, b], gc),
+    )
 
 
 def maintain_rollup(

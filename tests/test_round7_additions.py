@@ -96,32 +96,31 @@ def test_q80_estimates_bracket_exact_quantiles(spark, sf_dir):
 
 
 def test_q80_histogram_merges_across_batches(spark, sf_dir):
-    # the mergeable-state property q80's docstring claims: histograms built
-    # per batch and summed equal the one-shot histogram, so the quantile
-    # path composes with incremental maintenance (operators/incremental.py).
-    events = load_table(spark, sf_dir, "events")
-
-    def hist(df):
-        return (
-            df.select(
-                "event_type", F.floor(F.col("value") * 4).cast("long").alias("bin")
-            )
-            .groupBy("event_type", "bin")
-            .agg(F.count("*").alias("cnt"))
-        )
-
-    one_shot = hist(events)
-    b0 = hist(events.where(F.col("event_id") % 3 == 0))
-    b1 = hist(events.where(F.col("event_id") % 3 == 1))
-    b2 = hist(events.where(F.col("event_id") % 3 == 2))
-    merged = (
-        b0.unionByName(b1)
-        .unionByName(b2)
-        .groupBy("event_type", "bin")
-        .agg(F.sum("cnt").alias("cnt"))
+    # the mergeable-state property q80's docstring claims: hist_state built
+    # per batch and merged equals the one-shot state, AND the finalized
+    # quantiles from the merged state equal the direct q80-path output — the
+    # continuous-aggregate contract (operators/incremental.py §3).
+    from mapreduce_paper_implementation_spark.operators.incremental import (
+        hist_state,
+        merge_hist_states,
+        quantiles_from_hist,
     )
+
+    events = load_table(spark, sf_dir, "events")
+    one_shot = hist_state(events, ["event_type"], "value")
+    batches = [
+        hist_state(events.where(F.col("event_id") % 3 == i), ["event_type"], "value")
+        for i in range(3)
+    ]
+    merged = merge_hist_states(batches, ["event_type"])
     diff = one_shot.exceptAll(merged).union(merged.exceptAll(one_shot))
     assert diff.count() == 0
+
+    ranks = [("p50", "(n + 1) div 2"), ("p90", "(9 * n + 9) div 10")]
+    q_inc = quantiles_from_hist(merged, ["event_type"], ranks)
+    q_one = quantiles_from_hist(one_shot, ["event_type"], ranks)
+    qdiff = q_inc.exceptAll(q_one).union(q_one.exceptAll(q_inc))
+    assert qdiff.count() == 0
 
 
 def test_q83_vectors_never_shuffle_for_assignment(spark, sf_dir):
@@ -146,3 +145,42 @@ def test_q85_cohort_min_rides_the_window_not_a_join(spark, sf_dir):
     # cohort day must come from the per-user window MIN, not a self-join
     plan = _plan(spark, sf_dir, "q85_retention_cohorts")
     assert "Join" not in plan
+
+
+def test_streaming_histogram_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """foreachBatch histogram maintenance (streaming/rollup.py:
+    histogram_maintainer): stream the events fixture through the maintainer
+    and the served quantiles must equal the one-shot q80-path computation;
+    replaying a committed batch id must not double-count."""
+    from mapreduce_paper_implementation_spark.operators.incremental import (
+        hist_state,
+        quantiles_from_hist,
+    )
+    from mapreduce_paper_implementation_spark.streaming.events import stream_events
+    from mapreduce_paper_implementation_spark.streaming.rollup import (
+        histogram_maintainer,
+        maintain_rollup,
+    )
+
+    m = histogram_maintainer(spark, str(tmp_path / "state"))
+    q = maintain_rollup(stream_events(spark, sf_dir), m, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    events = load_table(spark, sf_dir, "events")
+    ranks = [("p50", "(n + 1) div 2"), ("p90", "(9 * n + 9) div 10")]
+
+    def served(hist):
+        return sorted(
+            tuple(r)
+            for r in quantiles_from_hist(hist, ["event_type"], ranks).collect()
+        )
+
+    expected = served(hist_state(events, ["event_type"], "value"))
+    assert served(m.current_state()) == expected
+
+    committed = m._committed_version()
+    m.update(events, committed)  # replay: must be a no-op
+    assert served(m.current_state()) == expected
