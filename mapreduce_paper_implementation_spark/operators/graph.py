@@ -186,3 +186,72 @@ def pagerank(
         F.col("r").alias("rank_scaled"),
         (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"),
     )
+
+
+def count_triangles(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, n_tri) — per-node triangle participation counts over the
+    UNDIRECTED simple graph underlying `edges` (direction and multiplicity
+    dropped, self-loops ignored); only nodes in >= 1 triangle appear.
+
+    The MapReduce-era wedge-check algorithm (Suri & Vassilvitskii 2011,
+    "Counting Triangles and the Curse of the Last Reducer") with the
+    degree-based orientation that tames that curse: orient every undirected
+    edge from the endpoint that is SMALLER under the total order
+    (degree, id) to the larger. The oriented out-degree of every vertex —
+    hub or not — is O(sqrt(|E|)), so wedge enumeration per vertex is
+    bounded even on Zipf-skewed graphs, where the naive lowest-id
+    orientation hands one reducer the whole hub neighborhood. Each triangle
+    is counted exactly once: the orientation is acyclic, and the wedge is
+    anchored at the triangle's unique source-of-both vertex.
+
+    Scale shape: degree join + orientation are O(|E|); the wedge self-join
+    shuffles oriented edges on the anchor u once; the closing join shuffles
+    wedge pairs against oriented edges on (v, w) — O(#wedges), the
+    algorithm's intrinsic cost, bounded by the orientation. No driver-side
+    data, no cartesian, no per-row Python.
+    """
+    s, d = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.where(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+        .localCheckpoint()  # degree + both orientation references reuse it
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select("b"))
+        .groupBy("node")
+        .agg(F.count("*").alias("dg"))
+    )
+    with_deg = (
+        und.join(deg.withColumnRenamed("node", "a").withColumnRenamed("dg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("dg", "db"), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).localCheckpoint()  # wedge join + closing join both reuse it
+    l, r = oriented.alias("l"), oriented.alias("r")
+    wedges = l.join(r, "u").where(
+        (F.col("l.dv") < F.col("r.dv"))
+        | ((F.col("l.dv") == F.col("r.dv")) & (F.col("l.v") < F.col("r.v")))
+    ).select("u", F.col("l.v").alias("v"), F.col("r.v").alias("w"))
+    tris = wedges.join(
+        oriented.select(F.col("u").alias("v"), F.col("v").alias("w")),
+        ["v", "w"],
+    )
+    return (
+        tris.select(
+            F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )

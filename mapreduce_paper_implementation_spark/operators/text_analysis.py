@@ -225,3 +225,90 @@ def crossdoc_repeated_grams(
             .alias("repeated_frac"),
         )
     )
+
+
+def scrub_repeated_substrings(
+    docs: "DataFrame",
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """REMOVE cross-document duplicated substrings: delete every token
+    position covered by any k-gram that occurs in >= 2 distinct docs — the
+    surgical half of the exact-substring dedup family (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" ExactSubstr:
+    cut the duplicated span, keep the rest of the doc), where
+    crossdoc_repeated_grams only SCORES the duplication.
+
+    A token at position p is covered iff some repeated gram STARTS in
+    [p-k+1, p] — computed as a sliding window MAX of the start flag over
+    ROWS k-1 PRECEDING, so span union costs one per-doc window pass, never
+    an interval self-join.
+
+    Spark shape: one posexplode + the gram_positions forward window
+    (doc-partition sort #1), the corpus-wide repeated-gram set by
+    partial-aggregated distinct-doc count on the 64-bit gram hash (gram
+    text never shuffles), a hash join of positions against that set on gh,
+    then the coverage window + kept-token reassembly riding the same
+    doc-partition sort (#2). Three shuffles total (doc, gh, doc) at any
+    scale; the scrubbed text is reassembled per doc and emitted as md5 so
+    the manifest value-checks content without hauling megabytes.
+
+    Returns (id, n_tokens, n_removed, scrubbed_md5), one row per doc with
+    >= 1 token; scrubbed_md5 is md5 of the space-joined kept tokens (md5('')
+    when everything was removed).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    wf = Window.partitionBy("id").orderBy("pos").rowsBetween(Window.currentRow, k - 1)
+    # gh is NULL at tail positions (< k tokens remain): they can start no
+    # gram, so they take no flag — but they can still be COVERED below.
+    grams = toks.select(
+        "id",
+        "pos",
+        "tok",
+        F.when(
+            F.count("tok").over(wf) == k,
+            F.xxhash64(F.concat_ws(" ", F.collect_list("tok").over(wf))),
+        ).alias("gh"),
+    )
+    repeated = (
+        grams.where(F.col("gh").isNotNull())
+        .select("gh", "id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count("*").alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("gh", F.lit(1).alias("_r"))
+    )
+    flagged = grams.join(repeated, "gh", "left").select(
+        "id", "pos", "tok", F.coalesce("_r", F.lit(0)).alias("flag")
+    )
+    wb = Window.partitionBy("id").orderBy("pos").rowsBetween(-(k - 1), Window.currentRow)
+    covered = flagged.withColumn("covered", F.max("flag").over(wb))
+    return (
+        covered.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("covered").cast("long").alias("n_removed"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("covered") == 0,
+                                    F.struct("pos", "tok"),
+                                )
+                            )
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("scrubbed_md5"),
+        )
+    )

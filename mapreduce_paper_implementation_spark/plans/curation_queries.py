@@ -1,7 +1,9 @@
-"""Corpus-curation queries Q79-Q82 — the second tranche of training-data
+"""Corpus-curation queries Q79+ — the second tranche of training-data
 pipeline surface beyond plans/pipeline_queries.py: PII redaction audit,
 mergeable histogram quantiles (q37's bounded-memory scale path), context-
-window document chunking, and bigram collocation mining.
+window document chunking, bigram collocation mining, embedding outlier
+audit, funnel attribution, retention cohorts, and exact substring-run
+scrubbing.
 
 Same contract as plans/queries.py (SURVEY.md §2D determinism rules): every
 query is (spark, sf_dir) -> DataFrame with a DuckDB oracle string; inexact
@@ -622,4 +624,137 @@ def q85_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q86 exact substring-run scrubbing — the REMOVAL half of the exact-substring
+# dedup family (Lee et al. 2021 ExactSubstr: cut the duplicated span, keep
+# the rest of the doc). q75 SCORES cross-doc duplication; this edits it out:
+# every token position covered by any 10-gram occurring in >= 2 distinct docs
+# is deleted, and the surviving text is value-checked by md5.
+#
+# Span union is a sliding window MAX of the gram-start flag over ROWS k-1
+# PRECEDING — one per-doc window pass, never an interval self-join. The
+# oracle joins on gram TEXT while Spark joins on the 64-bit xxhash64 (q75
+# convention): a hash collision would scrub an extra span and hash-mismatch,
+# so the oracle also audits hash safety.
+#
+# Scale shape: three shuffles at any corpus size — doc partition (gram
+# window), gram hash (repeated-set build + position flag join), doc
+# partition again (coverage window + reassembly). Only 64-bit hashes and
+# token strings shuffle; scrubbed content leaves the operator as md5.
+# ---------------------------------------------------------------------------
+
+_Q86_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens('text')} AS tk FROM documents
+),
+pos AS (
+  SELECT doc_id, tk, len(tk) AS n, unnest(range(1, len(tk) + 1)) AS p FROM toks
+),
+g AS (
+  SELECT doc_id, p, tk[p] AS tok,
+         CASE WHEN p + 9 <= n
+              THEN array_to_string(list_slice(tk, p, p + 9), ' ') END AS gram
+  FROM pos
+),
+rep AS (
+  SELECT gram FROM (
+    SELECT gram, COUNT(DISTINCT doc_id) AS nd
+    FROM g WHERE gram IS NOT NULL GROUP BY 1
+  ) WHERE nd >= 2
+),
+f AS (
+  SELECT g.doc_id, g.p, g.tok,
+         CASE WHEN r.gram IS NOT NULL THEN 1 ELSE 0 END AS flag
+  FROM g LEFT JOIN rep r ON r.gram = g.gram
+),
+cov AS (
+  SELECT doc_id, p, tok,
+         MAX(flag) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS covered
+  FROM f
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(covered) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(CASE WHEN covered = 0 THEN tok END, ' ' ORDER BY p), ''))
+         AS scrubbed_md5
+FROM cov GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q87 triangle counting — per-node triangle participation over the q66/q74
+# link graph (user_id -> props.k, undirected simple graph), the third
+# classic graph workload after reverse-links and PageRank. Local clustering
+# signals (spam/community detection in web-graph curation) start here.
+#
+# Spark side uses the Suri & Vassilvitskii (2011) MapReduce formulation
+# with DEGREE-based orientation: every undirected edge points from its
+# (degree, id)-smaller endpoint, bounding every vertex's oriented
+# out-degree at O(sqrt(|E|)) — the "curse of the last reducer" fix, so the
+# wedge join stays balanced on Zipf-skewed hub graphs where a lowest-id
+# orientation melts one task. The oracle proves the orientation-invariance
+# of the count with the naive x<y<z three-way join (triangles are counted
+# once under EITHER total order, so a Spark orientation bug — double count,
+# dropped wedge, cyclic orientation — hash-mismatches).
+#
+# Scale shape: degree join O(|E|); wedge self-join shuffles oriented edges
+# on the anchor once; closing join shuffles wedges on (v, w) — O(#wedges),
+# the intrinsic cost, bounded by the orientation. No cartesian, no driver
+# data, no Python in the loop.
+# ---------------------------------------------------------------------------
+
+_Q87_ORACLE = """
+WITH edges AS (
+  SELECT DISTINCT user_id AS src, CAST(props->>'k' AS BIGINT) AS dst
+  FROM events WHERE props->>'k' IS NOT NULL
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+GROUP BY node
+ORDER BY node
+"""
+
+
+@query("q87_triangle_count", _Q87_ORACLE)
+def q87_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.graph import count_triangles
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    return count_triangles(edges).orderBy("node")
+
+
+@query("q86_substring_scrub", _Q86_ORACLE)
+def q86_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.text_analysis import (
+        scrub_repeated_substrings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        scrub_repeated_substrings(docs, k=10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     )

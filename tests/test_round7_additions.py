@@ -147,6 +147,65 @@ def test_q85_cohort_min_rides_the_window_not_a_join(spark, sf_dir):
     assert "Join" not in plan
 
 
+def test_q86_scrub_consistent_with_q75_scores(spark, sf_dir):
+    # differential against the detection operator: a doc removes tokens iff
+    # q75 scored it as containing repeated grams, and every removal is
+    # bounded by the span arithmetic (each repeated gram start covers at
+    # most k tokens).
+    from mapreduce_paper_implementation_spark.operators.text_analysis import (
+        crossdoc_repeated_grams,
+        scrub_repeated_substrings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = {
+        r["id"]: r["n_repeated"]
+        for r in crossdoc_repeated_grams(docs, k=10).collect()
+    }
+    for r in scrub_repeated_substrings(docs, k=10).collect():
+        n_rep = scores.get(r["id"], 0)
+        if n_rep == 0:
+            assert r["n_removed"] == 0, r
+        else:
+            assert 0 < r["n_removed"] <= min(r["n_tokens"], 10 * n_rep), (r, n_rep)
+
+
+def test_q86_three_shuffles_no_cartesian(spark, sf_dir):
+    # doc window, gram-hash repeated-set + flag join, doc window again: the
+    # shuffle count must stay at 3 and the flag join must never be a
+    # nested loop (a non-equi regression would be quadratic in positions).
+    plan = _plan(spark, sf_dir, "q86_substring_scrub")
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_count_triangles_known_graphs(spark):
+    # K4: 4 triangles, every node in 3. Plus a pendant edge (4-5): no new
+    # triangles. Direction/multiplicity/self-loops must all be ignored.
+    from mapreduce_paper_implementation_spark.operators.graph import count_triangles
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]  # both dirs
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (5, 4), (2, 2)], ["src", "dst"]
+    )
+    got = {r["node"]: r["n_tri"] for r in count_triangles(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_q87_no_cartesian_and_conserved_total(spark, sf_dir):
+    # wedge + closing joins must be equi-joins (a cartesian here is the
+    # classic quadratic regression); per-node credits must sum to exactly
+    # 3x the triangle total (every triangle credits its 3 vertices).
+    from mapreduce_paper_implementation_spark.plans.queries import QUERIES
+
+    plan = _plan(spark, sf_dir, "q87_triangle_count")
+    assert "CartesianProduct" not in plan
+    df = QUERIES["q87_triangle_count"](spark, sf_dir)
+    total = df.agg(F.sum("n_tri")).collect()[0][0]
+    assert total % 3 == 0 and total > 0
+
+
 def test_streaming_histogram_maintenance_equals_batch(spark, sf_dir, tmp_path):
     """foreachBatch histogram maintenance (streaming/rollup.py:
     histogram_maintainer): stream the events fixture through the maintainer
