@@ -19,10 +19,11 @@ and partitionings); q75 is cross-document boilerplate detection (repeated
 10-gram fraction); q76 materializes the q57 mixture as a deterministic
 weighted sample; q77 is the keyed MERGE upsert (full-outer + presence-flag
 arbitration, tombstone deletes); q78 is canonical-document selection
-(argmax-quality per near-dup cluster); q79-q85 are the curation tranche in
+(argmax-quality per near-dup cluster); q79-q87 are the curation tranche in
 ``plans/curation_queries.py`` (PII scrub audit, mergeable histogram
 quantiles, context-window chunking, bigram collocations, embedding
-outliers, funnel attribution, retention cohorts). All queries are DuckDB-oracle-backed — including q34,
+outliers, funnel attribution, retention cohorts, exact substring-run
+scrubbing, degree-oriented triangle counting). All queries are DuckDB-oracle-backed — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design).
 """

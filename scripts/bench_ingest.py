@@ -66,12 +66,28 @@ def run(spark, ds_dir: str, n_batches: int, compact_every: int) -> dict:
     from mapreduce_paper_implementation_spark.streaming.gram_index import (
         GramIndexMaintainer,
     )
+    from mapreduce_paper_implementation_spark.streaming.tri_index import (
+        TriangleMaintainer,
+    )
 
     docs = load_table(spark, ds_dir, "documents")
     emb = load_table(spark, ds_dir, "embeddings")
     # seen-keys ingest: exact content-digest membership per batch (the
     # "have we crawled this exact document before" check)
     hashed = docs.select("doc_id", F.md5("text").alias("content_hash"))
+    # triangle ingest: the q87 link graph (user_id -> props.k) from the
+    # BASE events fixture, arriving in event_id slices — the maintainer's
+    # flat-cost claim is against ITS OWN growing edge history, so the
+    # absolute corpus factor doesn't matter, only that batches are equal.
+    tri_edges = (
+        load_table(spark, os.path.join(REPO, "..", "testdata", "sf0.1"), "events")
+        .select(
+            "event_id",
+            F.col("user_id").alias("src"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
     docs.limit(5).collect()  # untimed session warmup
 
     out: dict[str, dict] = {}
@@ -86,6 +102,7 @@ def run(spark, ds_dir: str, n_batches: int, compact_every: int) -> dict:
             "doc_id",
             lambda df: df.where("seen").count(),
         ),
+        ("tri_index", lambda s: TriangleMaintainer(spark, s), tri_edges, "event_id", None),
     ):
         state = tempfile.mkdtemp(prefix=f"ingest_{name}_")
         m = make(state)
