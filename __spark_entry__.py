@@ -23,7 +23,11 @@ arbitration, tombstone deletes); q78 is canonical-document selection
 ``plans/curation_queries.py`` (PII scrub audit, mergeable histogram
 quantiles, context-window chunking, bigram collocations, embedding
 outliers, funnel attribution, retention cohorts, exact substring-run
-scrubbing, degree-oriented triangle counting). All queries are DuckDB-oracle-backed — including q34,
+scrubbing, degree-oriented triangle counting); q88-q93 extend it with the
+behavioral/warehouse tranche (Markov event transitions — streaming twin in
+``streaming/transitions.py`` —, lexical entropy/TTR quality stats, SCD
+type-2 change history, NTILE value deciles, k-anonymity QI audit,
+per-source KL length-distribution drift). All queries are DuckDB-oracle-backed — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design).
 """

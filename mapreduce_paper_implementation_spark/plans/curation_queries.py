@@ -758,3 +758,374 @@ def q86_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q88 event-transition matrix — per-user Markov transitions between event
+# types (lead over the per-user timeline), aggregated to the global
+# (from, to) count matrix with row-normalized probabilities. The behavioral
+# twin of q82's token bigrams: session-modeling / anomaly-scoring pipelines
+# start from exactly this matrix.
+#
+# Scale shape: one shuffle on user_id for the lead window (rides the same
+# partitioning every per-user query uses), then a partial-agg count on the
+# (from, to) pair — the matrix is O(|event_types|^2) regardless of corpus
+# size, so the row-normalizing window runs on a trivially small frame.
+# prob is an exact BIGINT/BIGINT division cast through DOUBLE on both
+# engines (identical operands -> identical IEEE result).
+# ---------------------------------------------------------------------------
+
+_Q88_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
+  FROM events
+),
+t AS (
+  SELECT event_type, next_type, COUNT(*) AS n
+  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, next_type,
+       CAST(n AS BIGINT) AS n_transitions,
+       ROUND(CAST(n AS DOUBLE) /
+             CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS prob
+FROM t
+ORDER BY event_type, next_type
+"""
+
+
+@query("q88_event_transitions", _Q88_ORACLE)
+def q88_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    t = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n_transitions"))
+    )
+    row_total = F.sum("n_transitions").over(Window.partitionBy("event_type"))
+    return (
+        t.withColumn(
+            "prob",
+            F.round(
+                F.col("n_transitions").cast("double") / row_total.cast("double"), 6
+            ),
+        )
+        .orderBy("event_type", "next_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q89 lexical statistics — per-document type-token ratio and token-level
+# Shannon entropy, the two standard lexical-diversity signals a quality
+# filter adds on top of q24's surface ratios (low-entropy docs are
+# keyboard-mash / template spam even when their stopword ratios look fine).
+#
+# Entropy uses the shuffle-friendly decomposition
+#   H = ln(n) - (1/n) * sum(c * ln c)
+# so the per-(doc, token) counts aggregate straight to per-doc sums —
+# two partial-agg shuffles (doc_id+token hash, then doc_id), no
+# collect_list of the token multiset. ln(1) = 0 exactly, so singleton
+# tokens contribute nothing and the float sum runs over few terms;
+# ROUND(,4) absorbs addition-order rounding, while ttr is a single exact
+# BIGINT/BIGINT division (ROUND(,6) bit-identical on both engines).
+# ---------------------------------------------------------------------------
+
+_Q89_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents
+),
+c AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+),
+d AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS sclnc
+  FROM c GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_types,
+       ROUND(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+       ROUND(ln(CAST(n_tokens AS DOUBLE))
+             - sclnc / CAST(n_tokens AS DOUBLE), 4) AS entropy
+FROM d
+ORDER BY doc_id
+"""
+
+
+@query("q89_lexical_stats", _Q89_ORACLE)
+def q89_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # explode(split) keeps tokenization inside whole-stage codegen (the
+    # q01 pattern); HOF map-accumulators would be CodegenFallback.
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", "[^A-Za-z]+")).alias("tok")
+    ).where(F.col("tok") != "")
+    c = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    d = c.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "sclnc"
+        ),
+    )
+    n = F.col("n_tokens").cast("double")
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types").cast("double") / n, 6).alias("ttr"),
+        F.round(F.log(n) - F.col("sclnc") / n, 4).alias("entropy"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q90 SCD type-2 history — collapse each customer's order-priority timeline
+# into validity intervals [valid_from, valid_to) with an is_current flag:
+# the slowly-changing-dimension build every warehouse runs nightly, and the
+# batch complement of q77's keyed MERGE (q77 keeps latest-wins state; q90
+# keeps full change history).
+#
+# Run detection is the standard gaps-and-islands pair: LAG to flag changes,
+# running SUM to number runs — both ride ONE shuffle on o_custkey (the
+# second window reuses the first's partitioning; only the tiny runs frame
+# re-sorts). Interval bounds are epoch micros (q84 convention,
+# timezone-free BIGINTs on both engines).
+# ---------------------------------------------------------------------------
+
+_Q90_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS d_us, o_orderpriority,
+         LAG(o_orderpriority) OVER (
+           PARTITION BY o_custkey
+           ORDER BY epoch_us(o_orderdate), o_orderkey) AS prev_p
+  FROM orders
+),
+r AS (
+  SELECT o_custkey, d_us, o_orderpriority,
+         SUM(CASE WHEN prev_p IS NULL OR prev_p <> o_orderpriority
+                  THEN 1 ELSE 0 END) OVER (
+           PARTITION BY o_custkey ORDER BY d_us, o_orderkey) AS run_id
+  FROM o
+),
+runs AS (
+  SELECT o_custkey AS custkey, CAST(run_id AS BIGINT) AS version,
+         o_orderpriority AS priority,
+         MIN(d_us) AS valid_from_us,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM r GROUP BY 1, 2, 3
+)
+SELECT custkey, version, priority, valid_from_us,
+       LEAD(valid_from_us) OVER (
+         PARTITION BY custkey ORDER BY version) AS valid_to_us,
+       n_orders,
+       LEAD(valid_from_us) OVER (
+         PARTITION BY custkey ORDER BY version) IS NULL AS is_current
+FROM runs
+ORDER BY custkey, version
+"""
+
+
+@query("q90_scd2_history", _Q90_ORACLE)
+def q90_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_micros("o_orderdate").alias("d_us"),
+        "o_orderpriority",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d_us", "o_orderkey")
+    changed = (
+        F.lag("o_orderpriority").over(w).isNull()
+        | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority"))
+    ).cast("long")
+    runs = (
+        o.withColumn("run_id", F.sum(changed).over(w))
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("run_id").cast("long").alias("version"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.min("d_us").alias("valid_from_us"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+    wv = Window.partitionBy("custkey").orderBy("version")
+    valid_to = F.lead("valid_from_us").over(wv)
+    return runs.select(
+        "custkey",
+        "version",
+        "priority",
+        "valid_from_us",
+        valid_to.alias("valid_to_us"),
+        "n_orders",
+        valid_to.isNull().alias("is_current"),
+    ).orderBy("custkey", "version")
+
+
+# ---------------------------------------------------------------------------
+# Q91 value deciles — NTILE(10) over each event type's value distribution,
+# reduced to per-decile count/min/max: the equi-depth histogram feeding
+# outlier fences and quantile-bucketed feature engineering. The exact-rank
+# complement of q80's mergeable-histogram APPROX quantiles.
+#
+# NTILE is SQL-standard deterministic given a total order — the ORDER BY
+# carries event_id as tiebreak so equal values land identically on both
+# engines. Scale shape: the window is one shuffle on event_type; skew note
+# inline. min/max of stored doubles are exact (no float arithmetic).
+# ---------------------------------------------------------------------------
+
+_Q91_ORACLE = """
+WITH t AS (
+  SELECT event_type, value,
+         NTILE(10) OVER (
+           PARTITION BY event_type ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT event_type, CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM t GROUP BY 1, 2
+ORDER BY event_type, decile
+"""
+
+
+@query("q91_value_deciles", _Q91_ORACLE)
+def q91_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB a single-partition-per-event-type NTILE would bottleneck on
+    the largest type; the scale path is approx quantile cutpoints (q80's
+    mergeable histogram) + a map-side bucket assignment. This query is the
+    exact-rank truth oracle at test scale (5 event types x O(rows/5))."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    t = events.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
+    return (
+        t.groupBy("event_type", F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q92 k-anonymity audit — generalize events to the quasi-identifier
+# (user bucket-of-10, event type, hour-of-day) and flag QI groups below
+# k=5 members: the suppression pass a privacy-preserving release runs
+# before publishing behavioral data (Sweeney 2002), and the structured-data
+# sibling of q79's free-text PII scrub.
+#
+# Scale shape: map-only generalization (integer div + epoch arithmetic,
+# codegen'd) followed by one partial-agg count on the QI — the output is
+# bounded by the QI domain (buckets x types x 24), not corpus size.
+# ---------------------------------------------------------------------------
+
+_DAY_US_ = 86_400 * 1_000_000
+_HOUR_US = 3600 * 1_000_000
+
+_Q92_ORACLE = f"""
+WITH q AS (
+  SELECT CAST((user_id // 10) * 10 AS BIGINT) AS user_bucket,
+         event_type,
+         CAST(epoch_us(ts) % {_DAY_US_} // {_HOUR_US} AS BIGINT) AS hour_of_day
+  FROM events
+)
+SELECT user_bucket, event_type, hour_of_day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       COUNT(*) >= 5 AS kept
+FROM q GROUP BY 1, 2, 3
+ORDER BY user_bucket, event_type, hour_of_day
+"""
+
+
+@query("q92_k_anonymity", _Q92_ORACLE)
+def q92_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    q = events.select(
+        (F.expr("user_id div 10") * 10).cast("long").alias("user_bucket"),
+        "event_type",
+        F.expr(f"unix_micros(ts) % {_DAY_US_} div {_HOUR_US}")
+        .cast("long")
+        .alias("hour_of_day"),
+    )
+    return (
+        q.groupBy("user_bucket", "event_type", "hour_of_day")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("kept", F.col("n") >= 5)
+        .orderBy("user_bucket", "event_type", "hour_of_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q93 source drift (KL divergence) — per-source KL divergence of the
+# doc-length distribution (50-char bins) against the whole-corpus
+# distribution: the distribution-shift monitor a data pipeline runs per
+# ingest source to catch a crawler gone wrong before it poisons the mix
+# (the drift complement of q57's mixture shares).
+#
+# Every source bin exists in the corpus distribution by construction
+# (corpus = union of sources), so ln(p/q) never sees q=0. Scale shape: one
+# partial-agg shuffle on (source, bin); the bin-marginal and grand total
+# are O(bins) and O(1) frames joined by BROADCAST — history-size
+# independent. ROUND(,4) absorbs float addition order in the final sum.
+# ---------------------------------------------------------------------------
+
+_Q93_ORACLE = """
+WITH sc AS (
+  SELECT source, (n_chars // 50) * 50 AS bin, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2
+),
+st AS (SELECT source, SUM(c) AS tot FROM sc GROUP BY 1),
+cc AS (SELECT bin, SUM(c) AS cq FROM sc GROUP BY 1),
+g  AS (SELECT SUM(c) AS gt FROM sc)
+SELECT sc.source,
+       CAST(st.tot AS BIGINT) AS n_docs,
+       ROUND(SUM((CAST(sc.c AS DOUBLE) / CAST(st.tot AS DOUBLE))
+             * ln((CAST(sc.c AS DOUBLE) / CAST(st.tot AS DOUBLE))
+                 / (CAST(cc.cq AS DOUBLE) / CAST(g.gt AS DOUBLE)))), 4)
+         AS kl_vs_corpus
+FROM sc
+JOIN st USING (source)
+JOIN cc USING (bin)
+CROSS JOIN g
+GROUP BY sc.source, st.tot
+ORDER BY sc.source
+"""
+
+
+@query("q93_source_drift_kl", _Q93_ORACLE)
+def q93_source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sc = docs.groupBy(
+        "source", (F.expr("n_chars div 50") * 50).alias("bin")
+    ).agg(F.count("*").alias("c"))
+    sc = sc.persist()
+    st = sc.groupBy("source").agg(F.sum("c").alias("tot"))
+    cc = sc.groupBy("bin").agg(F.sum("c").alias("cq"))
+    g = sc.agg(F.sum("c").alias("gt"))
+    p = F.col("c").cast("double") / F.col("tot").cast("double")
+    qd = F.col("cq").cast("double") / F.col("gt").cast("double")
+    return (
+        sc.join(F.broadcast(st), "source")
+        .join(F.broadcast(cc), "bin")
+        .crossJoin(F.broadcast(g))
+        .groupBy("source", "tot")
+        .agg(F.round(F.sum(p * F.log(p / qd)), 4).alias("kl_vs_corpus"))
+        .select(
+            "source",
+            F.col("tot").cast("long").alias("n_docs"),
+            "kl_vs_corpus",
+        )
+        .orderBy("source")
+    )

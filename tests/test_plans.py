@@ -314,3 +314,37 @@ def test_q78_canonical_docs_no_cartesian(spark, sf_dir):
     assert plan.count("SortAggregate") >= 2
     assert "Window" not in plan  # argmax via max(struct), not row_number
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q88_transitions_single_user_shuffle_then_tiny_window(spark, sf_dir):
+    # the lead window shuffles once on user_id; the row-normalizing window
+    # runs on the O(|types|^2) matrix, and nothing goes cartesian
+    plan = _plan(spark, sf_dir, "q88_event_transitions")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_q90_scd2_windows_share_one_custkey_shuffle(spark, sf_dir):
+    # lag + running-sum windows share the o_custkey partitioning: exactly
+    # one exchange on the raw orders (the runs frame re-aggregates after)
+    plan = _plan(spark, sf_dir, "q90_scd2_history")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 1
+
+
+def test_q92_k_anonymity_map_only_until_final_agg(spark, sf_dir):
+    # generalization is codegen'd projection; the only exchanges are the
+    # QI-group partial/final agg and the output sort
+    plan = _plan(spark, sf_dir, "q92_k_anonymity")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # hash agg + rangepartitioning sort
+
+
+def test_q93_kl_marginals_broadcast(spark, sf_dir):
+    # bin marginal and grand total are O(bins)/O(1) frames: they must
+    # broadcast against the (source, bin) counts, never shuffle-join them
+    plan = _plan(spark, sf_dir, "q93_source_drift_kl")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # single-row grand total
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
