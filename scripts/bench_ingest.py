@@ -66,6 +66,9 @@ def run(spark, ds_dir: str, n_batches: int, compact_every: int) -> dict:
     from mapreduce_paper_implementation_spark.streaming.gram_index import (
         GramIndexMaintainer,
     )
+    from mapreduce_paper_implementation_spark.streaming.transitions import (
+        TransitionMaintainer,
+    )
     from mapreduce_paper_implementation_spark.streaming.tri_index import (
         TriangleMaintainer,
     )
@@ -88,6 +91,16 @@ def run(spark, ds_dir: str, n_batches: int, compact_every: int) -> dict:
         )
         .where(F.col("dst").isNotNull())
     )
+    # transition ingest: the q88 event stream in TIME-ORDERED slices (the
+    # maintainer's segment-monoid merge requires per-user batch ordering, so
+    # slice by contiguous event_id range, not modulo interleave).
+    base_events = load_table(
+        spark, os.path.join(REPO, "..", "testdata", "sf0.1"), "events"
+    )
+    n_ev = base_events.agg(F.max("event_id")).collect()[0][0] + 1
+    trans_events = base_events.withColumn(
+        "slice_id", F.expr(f"event_id * {n_batches} div {n_ev}")
+    )
     docs.limit(5).collect()  # untimed session warmup
 
     out: dict[str, dict] = {}
@@ -103,6 +116,15 @@ def run(spark, ds_dir: str, n_batches: int, compact_every: int) -> dict:
             lambda df: df.where("seen").count(),
         ),
         ("tri_index", lambda s: TriangleMaintainer(spark, s), tri_edges, "event_id", None),
+        # slice_id is already in [0, n_batches): the modulo predicate is an
+        # identity match, preserving the time-ordered contract
+        (
+            "transitions",
+            lambda s: TransitionMaintainer(spark, s),
+            trans_events,
+            "slice_id",
+            lambda _res: 0,  # update() returns None (rollup convention)
+        ),
     ):
         state = tempfile.mkdtemp(prefix=f"ingest_{name}_")
         m = make(state)
