@@ -27,7 +27,10 @@ scrubbing, degree-oriented triangle counting); q88-q93 extend it with the
 behavioral/warehouse tranche (Markov event transitions — streaming twin in
 ``streaming/transitions.py`` —, lexical entropy/TTR quality stats, SCD
 type-2 change history, NTILE value deciles, k-anonymity QI audit,
-per-source KL length-distribution drift). All queries are DuckDB-oracle-backed — including q34,
+per-source KL length-distribution drift); q94-q97 add item-item
+co-occurrence cosine neighborhoods, median/MAD robust outliers, sliding
+7-day distinct users (contribution expansion), and degree assortativity.
+All queries are DuckDB-oracle-backed — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design).
 """

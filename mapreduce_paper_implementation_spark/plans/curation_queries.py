@@ -1129,3 +1129,324 @@ def q93_source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q94 item co-occurrence similarity — item-item cosine over the user-item
+# interaction matrix (items = props.k), top-5 neighbors per item: the
+# classic collaborative-filtering neighborhood build, and the
+# interaction-graph sibling of q72's embedding-space neighbors.
+#
+# cosine(i,j) = |users(i) ∩ users(j)| / sqrt(|users(i)|·|users(j)|) — all
+# exact BIGINT counts until one final double conversion, so ROUND(,6) is
+# bit-identical on both engines; ranking orders by the ROUNDED value with
+# an id tiebreak (total order).
+#
+# Scale shape: the distinct user-item frame shuffles once on user_id, the
+# co-occurrence self-join reuses that partitioning, and the pair aggregate
+# shuffles O(Σ_u activity(u)²) pairs — bounded by capping per-user activity
+# (production caps hyperactive users; the fixture's are bounded by the item
+# domain). Item marginals are O(|items|) and BROADCAST onto the pairs.
+# ---------------------------------------------------------------------------
+
+_Q94_ORACLE = """
+WITH ui AS (
+  SELECT DISTINCT user_id, CAST(props->>'k' AS BIGINT) AS item
+  FROM events WHERE props->>'k' IS NOT NULL
+),
+deg AS (SELECT item, COUNT(*) AS n FROM ui GROUP BY 1),
+co AS (
+  SELECT a.item AS i, b.item AS j, COUNT(*) AS c
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2
+),
+directed AS (
+  SELECT i AS item, j AS other, c FROM co
+  UNION ALL
+  SELECT j, i, c FROM co
+),
+scored AS (
+  SELECT d.item, d.other, CAST(d.c AS BIGINT) AS co_count,
+         ROUND(CAST(d.c AS DOUBLE)
+               / sqrt(CAST(di.n * dj.n AS DOUBLE)), 6) AS cosine
+  FROM directed d
+  JOIN deg di ON di.item = d.item
+  JOIN deg dj ON dj.item = d.other
+  WHERE d.c >= 2
+)
+SELECT item, other, co_count, cosine, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY item ORDER BY cosine DESC, other) AS rnk
+  FROM scored
+)
+WHERE rnk <= 5
+ORDER BY item, rnk
+"""
+
+
+@query("q94_item_cooccurrence", _Q94_ORACLE)
+def q94_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ui = (
+        events.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
+    deg = ui.groupBy("item").agg(F.count("*").alias("n"))
+    a, b = ui.alias("a"), ui.alias("b")
+    co = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .agg(F.count("*").alias("c"))
+    )
+    directed = co.select(
+        F.col("i").alias("item"), F.col("j").alias("other"), "c"
+    ).unionByName(co.select(F.col("j").alias("item"), F.col("i").alias("other"), "c"))
+    di = deg.select(F.col("item"), F.col("n").alias("ni"))
+    dj = deg.select(F.col("item").alias("other"), F.col("n").alias("nj"))
+    scored = (
+        directed.where(F.col("c") >= 2)
+        .join(F.broadcast(di), "item")
+        .join(F.broadcast(dj), "other")
+        .select(
+            "item",
+            "other",
+            F.col("c").cast("long").alias("co_count"),
+            F.round(
+                F.col("c").cast("double")
+                / F.sqrt((F.col("ni") * F.col("nj")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.col("cosine").desc(), F.col("other"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .orderBy("item", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q95 robust outliers (median/MAD) — per event_type median, median absolute
+# deviation, and the count beyond the 3σ-equivalent robust fence
+# (3 × 1.4826 × MAD): the outlier detector q39's mean/stddev z-score family
+# breaks on (a single extreme value inflates the stddev and hides itself;
+# the median/MAD fence is 50%-breakdown robust — Hampel's estimator).
+#
+# Exact interpolated medians (percentile / quantile_cont with identical
+# even-count averaging), two aggregate passes: per-type median (O(types)
+# frame BROADCAST back onto events), then MAD + fence count. Every
+# comparison operates on bit-identical doubles (same stored values, same
+# arithmetic), so the flag set cannot drift between engines.
+# ---------------------------------------------------------------------------
+
+_Q95_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, med, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY 1, 2
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(m.med, 6) AS median_value,
+       ROUND(m.mad, 6) AS mad,
+       CAST(SUM(CASE WHEN d.adev > 3 * CAST(1.4826 AS DOUBLE) * m.mad
+                     THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+GROUP BY d.event_type, m.med, m.mad
+ORDER BY d.event_type
+"""
+
+
+@query("q95_robust_outliers", _Q95_ORACLE)
+def q95_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), ["event_type", "med"])
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("long")
+            ).cast("long").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("med", 6).alias("median_value"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q96 sliding-window distinct users — trailing-7-day distinct user count per
+# day: the DAU/WAU-style engagement series. COUNT(DISTINCT) over a SLIDING
+# range is not window-expressible in either engine; the scalable form is the
+# CONTRIBUTION EXPANSION: each distinct (user, day) contributes to the 7
+# windows ending on days d..d+6, then one count-distinct per target day.
+# Bounded ×7 blowup of the already-deduplicated (user, day) frame — never a
+# per-day rescan of history, never a range self-join.
+#
+# Scale shape: dedup shuffle on (user, day), explode map-side, one final
+# partial-agg count-distinct on target_day. Max-day bound via single-row
+# broadcast.
+# ---------------------------------------------------------------------------
+
+_Q96_ORACLE = f"""
+WITH du AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US_} AS day_num FROM events
+),
+mx AS (SELECT MAX(day_num) AS max_day FROM du),
+contrib AS (
+  SELECT user_id, unnest(range(day_num, day_num + 7)) AS target_day FROM du
+)
+SELECT c.target_day,
+       CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS users_7d
+FROM contrib c CROSS JOIN mx
+WHERE c.target_day <= mx.max_day
+GROUP BY c.target_day
+ORDER BY c.target_day
+"""
+
+
+@query("q96_sliding_distinct_users", _Q96_ORACLE)
+def q96_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        "user_id", F.expr(f"unix_micros(ts) div {_DAY_US_}").alias("day_num")
+    ).distinct()
+    mx = du.agg(F.max("day_num").alias("max_day"))
+    contrib = du.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day_num"), F.col("day_num") + 6)).alias(
+            "target_day"
+        ),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(mx))
+        .where(F.col("target_day") <= F.col("max_day"))
+        .groupBy("target_day")
+        .agg(F.count_distinct("user_id").cast("long").alias("users_7d"))
+        .orderBy("target_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q97 degree assortativity — Pearson correlation of endpoint degrees over
+# the q87 link graph's edges (Newman 2002): do hubs link to hubs (r > 0,
+# social) or to leaves (r < 0, web/biological)? The one-number structural
+# summary that decides which graph-partitioning strategy survives at scale,
+# completing the graph family (q66 reverse links, q74 PageRank, q41/q87
+# components/triangles).
+#
+# Every moment (Σx, Σy, Σxy, Σx², Σy², M) is an exact BIGINT sum over the
+# both-orientations directed edge list; r converts the exact integer
+# numerator/denominator factors to double at the SAME points on both
+# engines, so ROUND(,6) is bit-identical. Degrees stay < 2^16 and edge
+# counts < 2^32 at every replay factor, so 64-bit products cannot overflow
+# (production would lift to DECIMAL(38,0)).
+#
+# Scale shape: degree build = one partial-agg count on node; degree join
+# broadcasts the O(|V|) degree table onto edges twice; final moment
+# aggregate is a single-row reduce. No cartesian, no iteration.
+# ---------------------------------------------------------------------------
+
+_Q97_ORACLE = """
+WITH edges AS (
+  SELECT DISTINCT user_id AS src, CAST(props->>'k' AS BIGINT) AS dst
+  FROM events WHERE props->>'k' IS NOT NULL
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+directed AS (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+),
+deg AS (SELECT u AS node, COUNT(*) AS d FROM directed GROUP BY 1),
+xy AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM directed e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+m AS (
+  SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sx2, SUM(y * y) AS sy2
+  FROM xy
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+       ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(m * sx2 - sx * sx AS DOUBLE)
+                    * CAST(m * sy2 - sy * sy AS DOUBLE)), 6) AS assortativity
+FROM m
+"""
+
+
+@query("q97_degree_assortativity", _Q97_ORACLE)
+def q97_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    edges = (
+        events.select(
+            F.col("user_id").alias("src"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("dst"),
+        )
+        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    directed = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = directed.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("y"))
+    xy = directed.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    m = xy.agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    counts = edges.agg(
+        F.count("*").cast("long").alias("n_edges"),
+    ).crossJoin(deg.agg(F.count("*").cast("long").alias("n_nodes")))
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    d1 = (F.col("m") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+    d2 = (F.col("m") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double")
+    return m.crossJoin(F.broadcast(counts)).select(
+        "n_nodes",
+        "n_edges",
+        F.round(num / F.sqrt(d1 * d2), 6).alias("assortativity"),
+    )

@@ -348,3 +348,40 @@ def test_q93_kl_marginals_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # single-row grand total
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q94_cooccurrence_marginals_broadcast_no_cartesian(spark, sf_dir):
+    # item marginals are O(|items|): broadcast onto the pair frame; the
+    # user-keyed self-join must stay an equi-join (the a.item < b.item
+    # predicate is a post-join filter, never a nested loop)
+    plan = _plan(spark, sf_dir, "q94_item_cooccurrence")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q95_median_frames_broadcast(spark, sf_dir):
+    # the O(types) median/MAD frames broadcast back onto events — the fact
+    # table is never shuffled for the join
+    plan = _plan(spark, sf_dir, "q95_robust_outliers")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q96_contribution_expansion_no_range_self_join(spark, sf_dir):
+    # the sliding window is the x7 explode, NOT a day-range self-join:
+    # the only join is the single-row max-day broadcast
+    plan = _plan(spark, sf_dir, "q96_sliding_distinct_users")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # single-row max-day
+    assert "Generate explode" in plan
+
+
+def test_q97_assortativity_degree_broadcast_single_row_reduce(spark, sf_dir):
+    # degree table broadcasts twice onto the edge list; moment aggregate is
+    # a single-row reduce joined by single-row broadcasts only
+    plan = _plan(spark, sf_dir, "q97_degree_assortativity")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2

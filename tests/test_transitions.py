@@ -138,3 +138,31 @@ def test_single_event_users_bridge_batches(spark, tmp_path):
         ("click", "purchase", 1, 1.0),
         ("view", "click", 1, 1.0),
     ]
+
+
+def test_vacuum_policy_on_transition_maintainer(spark, sf_dir, tmp_path):
+    """TransitionMaintainer inherits the versioned-state vacuum: under a
+    vacuum_keep=1 policy only the committed version survives each batch,
+    and the served matrix still equals the full-history q88 computation
+    (vacuum drops superseded versions, never folded history)."""
+    import os
+
+    from mapreduce_paper_implementation_spark.streaming.policy import (
+        MaintainedIngest,
+        MaintenancePolicy,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    batches = _time_batches(events, 3)
+    state = str(tmp_path / "trans")
+    m = MaintainedIngest(
+        TransitionMaintainer(spark, state), MaintenancePolicy(vacuum_keep=1)
+    )
+    for i, b in enumerate(batches):
+        m.update(b, i)
+    versions = sorted(d for d in os.listdir(state) if d.startswith("v"))
+    assert versions == ["v0000000002"]
+    assert [e.action for e in m.events] == ["vacuum"] * 2
+    assert _rows(m.maintainer.transitions()) == _rows(
+        QUERIES["q88_event_transitions"](spark, sf_dir)
+    )
