@@ -137,7 +137,11 @@ def run(spark, ds_dir: str, n_batches: int, compact_every: int) -> dict:
             pair_total += metric(res) if metric else res.count()
             times.append(round(time.perf_counter() - t0, 2))
             if compact_every and (bid + 1) % compact_every == 0:
-                m.compact()
+                # chain maintainers fold deltas; versioned maintainers have
+                # no chain — their "compaction" is dropping superseded
+                # versions (vacuum), the analogous disk-bound operation
+                maint = getattr(m, "compact", None) or getattr(m, "vacuum")
+                maint()
             release_persisted()
             spark.catalog.clearCache()
         shutil.rmtree(state, ignore_errors=True)
