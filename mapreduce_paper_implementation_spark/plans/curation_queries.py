@@ -1450,3 +1450,183 @@ def q97_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_edges",
         F.round(num / F.sqrt(d1 * d2), 6).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q98 snapshot diff (CDC) — classify every key across two table snapshots as
+# INSERT / DELETE / UPDATE / SAME: the change-data-capture detection pass
+# that FEEDS q77's MERGE (q77 applies a known changeset; q98 derives one
+# from snapshots) and q90's SCD2 build. The "new" snapshot is planted
+# deterministically from the base customer table — deletes at k%11=0,
+# balance updates at k%7=0, inserts offset past max(c_custkey) (the ADVICE
+# r06 rule: derive offsets from the data so no scale factor collides).
+#
+# Scale shape: one full-outer sort-merge join on the key — the intrinsic
+# cost of snapshot comparison; column comparison is codegen'd; at 100 TB
+# both snapshots bucket by key and the join is exchange-free
+# (tests/test_plans.py pins the q77 bucketed-target demo for this layout).
+# ---------------------------------------------------------------------------
+
+_Q98_ORACLE = """
+WITH mx AS (SELECT MAX(c_custkey) AS mk FROM customer),
+new_snap AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0
+              THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 11 <> 0
+  UNION ALL
+  SELECT mx.mk + c_custkey, c_acctbal, c_mktsegment
+  FROM customer CROSS JOIN mx WHERE c_custkey % 13 = 3
+),
+old_snap AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer)
+SELECT COALESCE(o.c_custkey, n.c_custkey) AS custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'INSERT'
+            WHEN n.c_custkey IS NULL THEN 'DELETE'
+            WHEN o.c_acctbal <> n.c_acctbal
+                 OR o.c_mktsegment <> n.c_mktsegment THEN 'UPDATE'
+            ELSE 'SAME' END AS change_type,
+       o.c_acctbal AS old_acctbal,
+       n.c_acctbal AS new_acctbal
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.c_custkey = n.c_custkey
+WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+   OR o.c_acctbal <> n.c_acctbal OR o.c_mktsegment <> n.c_mktsegment
+ORDER BY custkey
+"""
+
+
+@query("q98_snapshot_diff", _Q98_ORACLE)
+def q98_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    mx = cust.agg(F.max("c_custkey").alias("mk"))
+    new_snap = (
+        cust.where(F.col("c_custkey") % 11 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 13 == 3)
+            .crossJoin(F.broadcast(mx))
+            .select(
+                (F.col("mk") + F.col("c_custkey")).alias("c_custkey"),
+                "c_acctbal",
+                "c_mktsegment",
+            )
+        )
+    )
+    o, n = cust.alias("o"), new_snap.alias("n")
+    joined = o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer")
+    differs = (
+        F.col("o.c_custkey").isNull()
+        | F.col("n.c_custkey").isNull()
+        | (F.col("o.c_acctbal") != F.col("n.c_acctbal"))
+        | (F.col("o.c_mktsegment") != F.col("n.c_mktsegment"))
+    )
+    return (
+        joined.where(differs)
+        .select(
+            F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey")).alias("custkey"),
+            F.when(F.col("o.c_custkey").isNull(), "INSERT")
+            .when(F.col("n.c_custkey").isNull(), "DELETE")
+            .otherwise("UPDATE")
+            .alias("change_type"),
+            F.col("o.c_acctbal").alias("old_acctbal"),
+            F.col("n.c_acctbal").alias("new_acctbal"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q99 calendar-spine gap fill + LOCF — daily revenue per event_type over a
+# COMPLETE day spine (min..max day x types), missing days filled by
+# last-observation-carried-forward: the time-series regularization every
+# monitoring/forecasting consumer needs before resampling (the batch
+# complement of the streaming watermark windows, and the missing piece
+# between q61's sparse rollup and a dense series).
+#
+# Revenue sums in DECIMAL(18,4) (the fixture's 2-decimal doubles are
+# exactly representable), converted once to DOUBLE — deterministic at any
+# partitioning (q07/q22 convention). LOCF = last_value IGNORE NULLS over
+# (type, day) — identical SQL-standard semantics on both engines.
+#
+# Scale shape: the spine is |days| x |types| rows (generated, never a
+# history rescan); the daily aggregate partial-aggregates; the fill window
+# shuffles the O(spine) frame once on event_type. The spine join broadcasts
+# the aggregate ONLY when small — at 100 TB of event history the daily
+# aggregate is still O(days x types), so it stays broadcastable.
+# ---------------------------------------------------------------------------
+
+_Q99_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US_} AS day_num,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT MIN(day_num) AS lo, MAX(day_num) AS hi FROM daily
+),
+spine AS (
+  SELECT t.event_type, d.day_num
+  FROM (SELECT DISTINCT event_type FROM daily) t
+  CROSS JOIN (SELECT unnest(range((SELECT lo FROM bounds),
+                                  (SELECT hi FROM bounds) + 1)) AS day_num) d
+)
+SELECT s.event_type, s.day_num,
+       COALESCE(d.revenue,
+                last_value(d.revenue IGNORE NULLS) OVER (
+                  PARTITION BY s.event_type ORDER BY s.day_num
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         AS revenue,
+       d.revenue IS NULL AS filled
+FROM spine s LEFT JOIN daily d
+  ON d.event_type = s.event_type AND d.day_num = s.day_num
+ORDER BY s.event_type, s.day_num
+"""
+
+
+@query("q99_gap_fill_locf", _Q99_ORACLE)
+def q99_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "event_type", F.expr(f"unix_micros(ts) div {_DAY_US_}").alias("day_num")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    daily = daily.persist()
+    bounds = daily.agg(F.min("day_num").alias("lo"), F.max("day_num").alias("hi"))
+    types = daily.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day_num"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(F.broadcast(daily), ["event_type", "day_num"], "left")
+        .select(
+            "event_type",
+            "day_num",
+            F.coalesce(
+                F.col("revenue"), F.last("revenue", ignorenulls=True).over(w)
+            ).alias("revenue"),
+            F.col("revenue").isNull().alias("filled"),
+        )
+        .orderBy("event_type", "day_num")
+    )

@@ -170,3 +170,102 @@ def maintain_rollup(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def qi_counts_maintainer(
+    spark: SparkSession, state_dir: str
+) -> RollupMaintainer:
+    """Streaming twin of q92's k-anonymity audit: maintains the
+    quasi-identifier group counts (user bucket-of-10, event_type,
+    hour-of-day) -> n from per-batch deltas. Counts are purely additive, so
+    the generic versioned RollupMaintainer applies unchanged; state size is
+    bounded by the QI domain (buckets x types x 24), never stream volume.
+    Serving side: `k_anonymity_view(maintainer.current_state(), k)` flags
+    suppressible groups without touching raw history — and a group that was
+    below k yesterday can flip to kept as deltas accumulate, which a
+    per-batch-only audit would miss."""
+    from pyspark.sql import functions as F
+
+    day_us = 86_400 * 1_000_000
+    hour_us = 3600 * 1_000_000
+
+    def state_fn(delta: DataFrame) -> DataFrame:
+        return (
+            delta.select(
+                (F.expr("user_id div 10") * 10).cast("long").alias("user_bucket"),
+                "event_type",
+                F.expr(f"unix_micros(ts) % {day_us} div {hour_us}")
+                .cast("long")
+                .alias("hour_of_day"),
+            )
+            .groupBy("user_bucket", "event_type", "hour_of_day")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    def merge_fn(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.unionByName(b)
+            .groupBy("user_bucket", "event_type", "hour_of_day")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+
+    return RollupMaintainer(spark, state_dir, state_fn=state_fn, merge_fn=merge_fn)
+
+
+def k_anonymity_view(state: DataFrame, k: int = 5) -> DataFrame:
+    """q92's output shape over maintained QI state."""
+    from pyspark.sql import functions as F
+
+    return (
+        state.withColumn("kept", F.col("n") >= k)
+        .orderBy("user_bucket", "event_type", "hour_of_day")
+    )
+
+
+def source_bins_maintainer(
+    spark: SparkSession, state_dir: str, bin_chars: int = 50
+) -> RollupMaintainer:
+    """Streaming twin of q93's source-drift monitor: maintains the
+    (source, length-bin) -> c counts from per-batch document deltas
+    (additive, O(sources x bins) state). Serving side:
+    `kl_from_bins(maintainer.current_state())` recomputes the per-source KL
+    divergence against the corpus marginal from the state alone — the drift
+    dashboard updates per ingest without re-reading any document."""
+    from pyspark.sql import functions as F
+
+    def state_fn(delta: DataFrame) -> DataFrame:
+        return (
+            delta.groupBy(
+                "source", (F.expr(f"n_chars div {bin_chars}") * bin_chars).alias("bin")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
+    def merge_fn(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.unionByName(b).groupBy("source", "bin").agg(F.sum("c").cast("long").alias("c"))
+        )
+
+    return RollupMaintainer(spark, state_dir, state_fn=state_fn, merge_fn=merge_fn)
+
+
+def kl_from_bins(state: DataFrame) -> DataFrame:
+    """q93's output shape (source, n_docs, kl_vs_corpus) from maintained
+    (source, bin, c) state — identical IEEE expression order as the batch
+    query, so the maintained drift equals the one-shot computation exactly."""
+    from pyspark.sql import functions as F
+
+    st = state.groupBy("source").agg(F.sum("c").alias("tot"))
+    cc = state.groupBy("bin").agg(F.sum("c").alias("cq"))
+    g = state.agg(F.sum("c").alias("gt"))
+    p = F.col("c").cast("double") / F.col("tot").cast("double")
+    qd = F.col("cq").cast("double") / F.col("gt").cast("double")
+    return (
+        state.join(F.broadcast(st), "source")
+        .join(F.broadcast(cc), "bin")
+        .crossJoin(F.broadcast(g))
+        .groupBy("source", "tot")
+        .agg(F.round(F.sum(p * F.log(p / qd)), 4).alias("kl_vs_corpus"))
+        .select("source", F.col("tot").cast("long").alias("n_docs"), "kl_vs_corpus")
+        .orderBy("source")
+    )

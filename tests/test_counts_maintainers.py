@@ -1,0 +1,79 @@
+"""Differential gates for the additive-count maintainers in
+streaming/rollup.py: qi_counts_maintainer (q92's streaming twin) and
+source_bins_maintainer (q93's). After every batch the served view must
+equal the batch query over everything ingested so far; replays are no-ops.
+Both reuse the RollupMaintainer versioned exactly-once machinery — these
+tests pin the state_fn/merge_fn algebra, not the (already-tested)
+pointer discipline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_paper_implementation_spark.plans.queries import QUERIES
+from mapreduce_paper_implementation_spark.sources.tables import load_table
+from mapreduce_paper_implementation_spark.streaming.rollup import (
+    k_anonymity_view,
+    kl_from_bins,
+    qi_counts_maintainer,
+    source_bins_maintainer,
+)
+
+
+def test_qi_counts_match_q92_after_each_batch(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    m = qi_counts_maintainer(spark, str(tmp_path / "qi"))
+    n_batches = 3
+    seen = None
+    for bid in range(n_batches):
+        b = events.where(F.col("event_id") % n_batches == bid)
+        m.update(b, bid)
+        seen = b if seen is None else seen.unionByName(b)
+        got = sorted(map(tuple, k_anonymity_view(m.current_state()).collect()))
+        # q92's pipeline over the ingested prefix
+        exp = sorted(
+            map(
+                tuple,
+                seen.select(
+                    (F.expr("user_id div 10") * 10).cast("long").alias("user_bucket"),
+                    "event_type",
+                    F.expr(
+                        f"unix_micros(ts) % {86400 * 10**6} div {3600 * 10**6}"
+                    )
+                    .cast("long")
+                    .alias("hour_of_day"),
+                )
+                .groupBy("user_bucket", "event_type", "hour_of_day")
+                .agg(F.count("*").cast("long").alias("n"))
+                .withColumn("kept", F.col("n") >= 5)
+                .collect(),
+            )
+        )
+        assert got == exp, f"batch {bid}"
+    # full ingest equals the manifest query itself
+    final = sorted(map(tuple, k_anonymity_view(m.current_state()).collect()))
+    q92 = sorted(map(tuple, QUERIES["q92_k_anonymity"](spark, sf_dir).collect()))
+    assert final == q92
+    # a group below k in batch 0 alone must flip to kept once history accrues
+    b0_only = qi_counts_maintainer(spark, str(tmp_path / "qi0"))
+    b0_only.update(events.where(F.col("event_id") % n_batches == 0), 0)
+    kept_b0 = {
+        t[:3]
+        for t in map(tuple, k_anonymity_view(b0_only.current_state()).collect())
+        if t[4]
+    }
+    kept_all = {t[:3] for t in final if t[4]}
+    assert kept_b0 < kept_all  # strictly more groups cross k with history
+
+
+def test_source_bins_match_q93_and_replay_noop(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    m = source_bins_maintainer(spark, str(tmp_path / "bins"))
+    n_batches = 3
+    for bid in range(n_batches):
+        m.update(docs.where(F.col("doc_id") % n_batches == bid), bid)
+    got = sorted(map(tuple, kl_from_bins(m.current_state()).collect()))
+    q93 = sorted(map(tuple, QUERIES["q93_source_drift_kl"](spark, sf_dir).collect()))
+    assert got == q93
+    m.update(docs.where(F.col("doc_id") % n_batches == 1), 1)  # replay
+    assert sorted(map(tuple, kl_from_bins(m.current_state()).collect())) == q93

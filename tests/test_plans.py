@@ -385,3 +385,22 @@ def test_q97_assortativity_degree_broadcast_single_row_reduce(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q97_degree_assortativity")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q98_snapshot_diff_full_outer_no_cartesian(spark, sf_dir):
+    # snapshot comparison is ONE full-outer equi-join on the key; the only
+    # nested-loop is the single-row max-key broadcast for insert offsets
+    plan = _plan(spark, sf_dir, "q98_snapshot_diff")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_q99_gap_fill_spine_generated_daily_broadcast(spark, sf_dir):
+    # the day spine is GENERATED (explode of sequence), never a history
+    # rescan; the O(days x types) daily aggregate broadcasts onto it
+    plan = _plan(spark, sf_dir, "q99_gap_fill_locf")
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
