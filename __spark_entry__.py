@@ -31,7 +31,8 @@ per-source KL length-distribution drift); q94-q97 add item-item
 co-occurrence cosine neighborhoods, median/MAD robust outliers, sliding
 7-day distinct users (contribution expansion), and degree assortativity;
 q98 is CDC snapshot diff (full-outer change classification), q99 is
-calendar-spine gap fill with LOCF.
+calendar-spine gap fill with LOCF, q100 is blocked-Levenshtein typo
+near-dup, q101 is largest-remainder click attribution in exact cents.
 All queries are DuckDB-oracle-backed — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design).

@@ -1630,3 +1630,193 @@ def q99_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day_num")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q100 blocked Levenshtein typo pairs — CHARACTER-level near-dup, completing
+# the dedup ladder (exact q14, token-shingle q18/q20, bit-signature q19,
+# embedding q21/q72): detect planted single-character corruptions via
+# prefix blocking + edit distance <= 2. The classic record-linkage /
+# OCR-noise dedup pass.
+#
+# Variants are planted deterministically (every 17th doc, one char at
+# 1-based position 17 + doc_id%20 replaced by 'Z' — beyond the 16-char
+# block so every planted pair shares its block; ids offset past
+# max(doc_id), the ADVICE r06 rule). The block is TWO leading words
+# (the fixture vocabulary is ~31 tokens, so an 8-char single-word block
+# degenerates to O(n^2/31) pairs at scale; 16 chars squares the block
+# count — pick block length against corpus prefix entropy, same
+# hot-bucket cap discipline as q18). Candidate pruning: same 16-char block
+# AND |len difference| <= 2 — both SEMANTICS-PRESERVING for distance <= 2
+# (an edit script of length d changes length by <= d and production
+# blocking accepts prefix misses as recall trade — documented, the planted
+# truth never misses). Both engines run the identical classic Levenshtein.
+#
+# Scale shape: one shuffle on the block key; within-block pairing is
+# bounded by block cardinality (Zipf text prefixes -> monitor hot blocks,
+# same cap discipline as q18's banded buckets); the length prefilter is
+# codegen'd and kills most candidates before the O(len^2) distance. At
+# 100 TB use Spark's bounded levenshtein(l, r, threshold) — same
+# accept set at threshold 2, early-exit cost.
+# ---------------------------------------------------------------------------
+
+_Q100_ORACLE = """
+WITH mx AS (SELECT MAX(doc_id) AS mk FROM documents),
+variants AS (
+  SELECT d.doc_id + mx.mk + 1 AS doc_id,
+         substr(d.text, 1, 16 + d.doc_id % 20) || 'Z'
+           || substr(d.text, 18 + d.doc_id % 20) AS text
+  FROM documents d CROSS JOIN mx WHERE d.doc_id % 17 = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM variants
+),
+blocked AS (
+  SELECT doc_id, text, substr(text, 1, 16) AS blk, len(text) AS n FROM corpus
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM blocked a JOIN blocked b
+  ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE abs(a.n - b.n) <= 2 AND levenshtein(a.text, b.text) <= 2
+ORDER BY id_a, id_b
+"""
+
+
+@query("q100_typo_pairs", _Q100_ORACLE)
+def q100_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id").alias("mk"))
+    variants = (
+        docs.where(F.col("doc_id") % 17 == 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("doc_id") + F.col("mk") + 1).alias("doc_id"),
+            F.expr(
+                "substr(text, 1, 16 + doc_id % 20) || 'Z' "
+                "|| substr(text, 18 + doc_id % 20)"
+            ).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(variants)
+    blocked = corpus.select(
+        "doc_id",
+        "text",
+        F.substring("text", 1, 16).alias("blk"),
+        F.length("text").alias("n"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(F.abs(F.col("a.n") - F.col("b.n")) <= 2)
+        .where(F.levenshtein(F.col("a.text"), F.col("b.text")) <= 2)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.text"), F.col("b.text"))
+            .cast("long")
+            .alias("dist"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q101 largest-remainder click attribution — split each purchase's value
+# across the user's clicks in the preceding 4 h, in EXACT INTEGER CENTS:
+# share = cents div n per click, remainder cents distributed one each to
+# the earliest clicks (the largest-remainder / Hamilton method). Revenue
+# attribution without a single float: the per-day attributed totals are
+# exact BIGINTs, associative at any partitioning — where a naive
+# value/n double split loses cents to rounding and sum order.
+#
+# Scale shape: the purchase-click pairing is the q60-style interval
+# EQUI-join on user_id with the window predicate as a post-filter (never a
+# nested loop); per-purchase click ranking rides one window over the
+# matched pairs; the day rollup partial-aggregates. Purchases with no
+# in-window click report unattributed cents (conservation law: attributed
+# + unattributed = total purchase cents — pinned by the oracle's algebra).
+# ---------------------------------------------------------------------------
+
+_Q101_ORACLE = f"""
+WITH p AS (
+  SELECT event_id AS pid, user_id, epoch_us(ts) AS pt,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS cid, user_id, epoch_us(ts) AS ct
+  FROM events WHERE event_type = 'click'
+),
+matched AS (
+  SELECT p.pid, p.cents, c.cid, c.ct
+  FROM p JOIN c ON c.user_id = p.user_id
+  WHERE c.ct < p.pt AND c.ct >= p.pt - {_H4_US}
+),
+ranked AS (
+  SELECT pid, cents, cid, ct,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ct, cid) AS rk,
+         COUNT(*) OVER (PARTITION BY pid) AS n
+  FROM matched
+),
+shares AS (
+  SELECT cid, ct,
+         cents // n + CASE WHEN rk <= cents % n THEN 1 ELSE 0 END AS share
+  FROM ranked
+)
+SELECT ct // {_DAY_US_} AS day_num,
+       CAST(COUNT(*) AS BIGINT) AS n_attributed_clicks,
+       CAST(SUM(share) AS BIGINT) AS attributed_cents
+FROM shares
+GROUP BY day_num
+ORDER BY day_num
+"""
+
+
+@query("q101_click_attribution", _Q101_ORACLE)
+def q101_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.unix_micros("ts").alias("pt"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        "user_id",
+        F.unix_micros("ts").alias("ct"),
+    )
+    matched = p.join(c, "user_id").where(
+        (F.col("ct") < F.col("pt")) & (F.col("ct") >= F.col("pt") - _H4_US)
+    )
+    wp = Window.partitionBy("pid")
+    ranked = matched.select(
+        "pid",
+        "cents",
+        "cid",
+        "ct",
+        F.row_number().over(wp.orderBy("ct", "cid")).alias("rk"),
+        F.count("*").over(wp).alias("n"),
+    )
+    shares = ranked.select(
+        "cid",
+        "ct",
+        (
+            F.expr("cents div n")
+            + F.when(F.col("rk") <= F.col("cents") % F.col("n"), 1).otherwise(0)
+        ).alias("share"),
+    )
+    return (
+        shares.groupBy(F.expr(f"ct div {_DAY_US_}").alias("day_num"))
+        .agg(
+            F.count("*").cast("long").alias("n_attributed_clicks"),
+            F.sum("share").cast("long").alias("attributed_cents"),
+        )
+        .orderBy("day_num")
+    )

@@ -404,3 +404,24 @@ def test_q99_gap_fill_spine_generated_daily_broadcast(spark, sf_dir):
     assert "Generate explode" in plan
     assert plan.count("BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
+
+
+def test_q100_typo_pairs_block_equi_join(spark, sf_dir):
+    # candidate pairing is an EQUI-join on the 16-char block key (plus the
+    # single-row max-id broadcast for variant offsets) — never a corpus
+    # cross product; the length prefilter and distance bound are post-join
+    # filters on the blocked candidates only
+    plan = _plan(spark, sf_dir, "q100_typo_pairs")
+    assert "CartesianProduct" not in plan
+    # the max-id single-row broadcast appears on BOTH sides of the self-join
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "levenshtein" in plan
+
+
+def test_q101_attribution_interval_equi_join(spark, sf_dir):
+    # purchase-click pairing is the q60-style equi-join on user_id with the
+    # 4h window as a post-filter — no nested loop, no cartesian
+    plan = _plan(spark, sf_dir, "q101_click_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
