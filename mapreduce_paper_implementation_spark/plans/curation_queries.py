@@ -1655,9 +1655,9 @@ def q99_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape: one shuffle on the block key; within-block pairing is
 # bounded by block cardinality (Zipf text prefixes -> monitor hot blocks,
 # same cap discipline as q18's banded buckets); the length prefilter is
-# codegen'd and kills most candidates before the O(len^2) distance. At
-# 100 TB use Spark's bounded levenshtein(l, r, threshold) — same
-# accept set at threshold 2, early-exit cost.
+# codegen'd and kills most candidates before the distance; the distance
+# itself is Spark's BOUNDED levenshtein(l, r, threshold=2) — identical
+# accept set, O(threshold x len) banded cost instead of the full matrix.
 # ---------------------------------------------------------------------------
 
 _Q100_ORACLE = """
@@ -1706,6 +1706,11 @@ def q100_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 16).alias("blk"),
         F.length("text").alias("n"),
     )
+    # NEVER broadcast a corpus-sized self-join side: at 50k docs the
+    # auto-broadcast BHJ measured 10x slower than the shuffle join (full
+    # texts serialized to every task), and at 100 TB it would OOM outright.
+    # The shuffle-hash hint keeps both sides partitioned on the block key.
+    blocked = blocked.hint("shuffle_hash")
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(
@@ -1714,13 +1719,35 @@ def q100_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .where(F.abs(F.col("a.n") - F.col("b.n")) <= 2)
-        .where(F.levenshtein(F.col("a.text"), F.col("b.text")) <= 2)
+        # PUSHDOWN BARRIER: without it Catalyst folds the distance predicate
+        # INTO the join condition — where conjunct splitting re-evaluates
+        # levenshtein once per conjunct (no CSE) on every raw bucket match,
+        # self-matches and both orientations included, and condition
+        # reordering runs it BEFORE the cheap length filter. Measured 5 s
+        # vs 0.5 s at sf0.1 for identical results; at scale it multiplies
+        # the only expensive expression by the raw block collision count.
+        # A plain added column is NOT a barrier (the filter alias-
+        # substitutes straight through), so dist is entangled with a
+        # nondeterministic-but-constant guard (monotonic ids are always
+        # >= 0): a filter referencing a nondeterministic projection cannot
+        # be pushed below it. The distance itself is Spark's BOUNDED
+        # levenshtein(l, r, threshold=2): identical accept set (returns -1
+        # past the threshold), O(threshold x len) banded cost.
+        .withColumn("__rid", F.monotonically_increasing_id())
+        .withColumn(
+            "dist",
+            F.when(
+                F.col("__rid") >= 0,
+                F.levenshtein(F.col("a.text"), F.col("b.text"), 2),
+            )
+            .otherwise(-1)
+            .cast("long"),
+        )
+        .where((F.col("dist") >= 0) & (F.col("dist") <= 2))
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.levenshtein(F.col("a.text"), F.col("b.text"))
-            .cast("long")
-            .alias("dist"),
+            "dist",
         )
         .orderBy("id_a", "id_b")
     )

@@ -416,6 +416,9 @@ def test_q100_typo_pairs_block_equi_join(spark, sf_dir):
     # the max-id single-row broadcast appears on BOTH sides of the self-join
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "levenshtein" in plan
+    # the corpus-sized self-join must be a SHUFFLE join, never a broadcast
+    # of full texts (measured 10x slower at 50k docs; OOM at scale)
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
 
 
 def test_q101_attribution_interval_equi_join(spark, sf_dir):
