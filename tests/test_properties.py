@@ -428,3 +428,61 @@ def test_pagerank_matches_python_for_any_graph(spark, edges, iters):
         for r in pagerank(df, iters=iters, scale=10**6).collect()
     }
     assert got == _py_pagerank(edges, iters=iters)
+
+
+# ---------------------------------------------------------------------------
+# Segment-monoid maintainers: for ANY time-ordered batch split, folding the
+# batches must equal the one-shot batch computation. Hypothesis drives the
+# split boundaries (including empty batches and degenerate single-batch
+# splits) against a pure-Python replay of the transition semantics.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(cuts=st.lists(st.integers(min_value=1, max_value=59), max_size=3, unique=True))
+def test_transition_maintainer_any_split_matches_python(spark, tmp_path_factory, cuts):
+    """60 synthetic events, 4 users, split at arbitrary timeline cuts (empty
+    batches allowed): maintained matrix == pure-Python per-user bigram count."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_paper_implementation_spark.streaming.transitions import (
+        TransitionMaintainer,
+    )
+
+    types = ["view", "click", "purchase", "error"]
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", i % 4, types[(i * 7 + i // 4) % 4], 0.0, "{}")
+        for i in range(60)
+    ]
+    events = (
+        spark.createDataFrame(
+            rows, ["event_id", "ts_s", "user_id", "event_type", "value", "props"]
+        )
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+    )
+    bounds = sorted(cuts) + [60]
+    m = TransitionMaintainer(
+        spark, str(tmp_path_factory.mktemp("trans_prop"))
+    )
+    lo = 0
+    for bid, hi in enumerate(bounds):
+        m.update(
+            events.where((F.col("event_id") >= lo) & (F.col("event_id") < hi)), bid
+        )
+        lo = hi
+    got = {
+        (r["event_type"], r["next_type"]): r["n_transitions"]
+        for r in (m.transitions() or events.limit(0)).collect()
+    }
+    # pure-Python truth: per-user timeline bigrams
+    per_user: dict[int, list[str]] = {}
+    for i in range(60):
+        per_user.setdefault(i % 4, []).append(types[(i * 7 + i // 4) % 4])
+    want: dict[tuple[str, str], int] = {}
+    for seq in per_user.values():
+        for a, b in itertools.pairwise(seq):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
