@@ -32,7 +32,11 @@ co-occurrence cosine neighborhoods, median/MAD robust outliers, sliding
 7-day distinct users (contribution expansion), and degree assortativity;
 q98 is CDC snapshot diff (full-outer change classification), q99 is
 calendar-spine gap fill with LOCF, q100 is blocked-Levenshtein typo
-near-dup, q101 is largest-remainder click attribution in exact cents.
+near-dup, q101 is largest-remainder click attribution in exact cents;
+q102-q104 add frontier BFS reachability (recursive-CTE oracle),
+per-source adaptive quality thresholds (exact histogram quantile, no
+per-doc sort), and a hash-bucketed A/B test readout with a pooled
+two-proportion z statistic.
 All queries are DuckDB-oracle-backed — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design).

@@ -255,3 +255,66 @@ def count_triangles(
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("n_tri"))
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """(node, hop) — minimum number of directed edges from any seed, for
+    every node reachable within `max_hops`. Seeds themselves are hop 0.
+
+    Frontier-based BFS expressed as DataFrame joins (the Pregel traversal
+    pattern, like connected_components above but level-synchronous):
+
+        frontier_0 = seeds
+        frontier_{k+1} = neighbors(frontier_k) - visited
+
+    Scale notes (same discipline as pagerank/connected_components):
+    - each round shuffles O(|frontier| x avg-degree) then distincts — the
+      frontier, not the full vertex set, so late rounds on a high-diameter
+      graph cost only what the wave touches;
+    - the anti-join against `visited` keeps the frontier minimal (a node is
+      expanded exactly once — without it a dense graph re-expands the same
+      nodes every round and work grows geometrically);
+    - `localCheckpoint` per round truncates lineage (plan-compile time,
+      not data, is what kills unbounded iteration);
+    - early exit on an empty frontier is a scalar `count()` per round.
+
+    Reference analog: iterative jobs are out of scope for the one-shot
+    MapReduce runtime (/root/reference/mr-main/mr/coordinator.go runs a
+    single map/reduce barrier); this is the multi-job chaining pattern the
+    paper's §3.5 "iterates until convergence" discussion sketches.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .where(F.col("d").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    visited = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("hop"))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(
+            nxt.select("node", F.lit(k).cast("long").alias("hop"))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited

@@ -25,6 +25,7 @@ from mapreduce_paper_implementation_spark.operators.text_analysis import (
     PII_PATTERNS,
     pii_count,
     scrub_pii,
+    sql_stop_ratio,
     sql_tokens,
 )
 from mapreduce_paper_implementation_spark.plans.queries import query
@@ -1846,4 +1847,254 @@ def q101_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("share").cast("long").alias("attributed_cents"),
         )
         .orderBy("day_num")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q102 BFS reachability — minimum hop distance from a seed cohort over the
+# directed interaction graph (user_id -> props.k, the same canonical edge
+# set as q74 pagerank / q87 triangles / q41-family CC).
+#
+# The level-synchronous frontier traversal (operators/graph.py:bfs_hops):
+# each round expands only the NEW wave (anti-join against visited), so a
+# round's shuffle is O(|frontier| x avg-degree), not O(|V|) — at 100 TB a
+# 6-hop neighborhood query touches the neighborhood, not the graph. The
+# DuckDB twin is the textbook WITH RECURSIVE bounded-path formulation with
+# MIN(hop) — exponentially worse asymptotics (it enumerates paths), which
+# is exactly why the frontier algorithm is the engine's shape and the CTE
+# is only the truth oracle.
+#
+# Reference analog: multi-job chaining beyond the single map/reduce barrier
+# (/root/reference/mr-main/mr/coordinator.go), as for q74/q41.
+# ---------------------------------------------------------------------------
+
+_Q102_ORACLE = """
+WITH RECURSIVE
+e AS (
+  SELECT DISTINCT user_id AS s, CAST(props->>'k' AS BIGINT) AS d
+  FROM events WHERE props->>'k' IS NOT NULL
+),
+seeds AS (
+  SELECT DISTINCT user_id AS node FROM events
+  WHERE event_type = 'signup' AND user_id % 17 = 0
+),
+hops(node, hop) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.d, hops.hop + 1 FROM hops JOIN e ON e.s = hops.node
+  WHERE hops.hop < 4
+)
+SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
+FROM hops GROUP BY node ORDER BY node
+"""
+
+
+@query("q102_bfs_reachability", _Q102_ORACLE)
+def q102_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.graph import bfs_hops
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    seeds = (
+        ev.where((F.col("event_type") == "signup") & (F.col("user_id") % 17 == 0))
+        .select(F.col("user_id").alias("node"))
+        .distinct()
+    )
+    return bfs_hops(edges, seeds, max_hops=4).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Q103 adaptive quality threshold — drop each source's bottom quartile by
+# quality score, where the cut is EXACT and computed without sorting docs.
+#
+# Real curation pipelines threshold per-source (a p25 cut on web-crawl text
+# is a different absolute score than on curated reference text). The naive
+# exact formulation is a per-source row_number over the full corpus — a
+# per-source global sort, exactly what dies at 100 TB. The engine's shape
+# instead exploits that scores are bounded-precision (round 6 => at most
+# 1e6+1 distinct values): aggregate a (source, score) histogram (one
+# map-side-combinable shuffle, output rows bounded by #sources x 1e6
+# REGARDLESS of corpus size), take the running-count threshold on the tiny
+# histogram, broadcast the per-source cuts back, and filter map-only.
+# Same trick as q80's mergeable histogram quantiles, specialized to an
+# exact selection rule:
+#     n_drop = n // 4;  t = smallest score with cum-count >= n_drop + 1;
+#     keep docs with score >= t  (boundary ties all kept — deterministic,
+#     no interpolation, so no float-ulp divergence between engines).
+# ---------------------------------------------------------------------------
+
+_Q103_SCORE_SQL = f"""CAST(CAST(ROUND(
+  0.4 * LEAST(len({sql_tokens('text')}) / 50.0, 1.0)
+  + 0.3 * (CASE WHEN n_chars > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / n_chars ELSE 0.0 END)
+  + 0.3 * LEAST({sql_stop_ratio('text')} * 5, 1.0)
+, 6) AS DECIMAL(9,6)) AS DOUBLE)"""
+
+_Q103_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source, {_Q103_SCORE_SQL} AS q FROM documents
+),
+hist AS (SELECT source, q, COUNT(*) AS c FROM scored GROUP BY source, q),
+cnt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY source),
+cum AS (
+  SELECT source, q, SUM(c) OVER (PARTITION BY source ORDER BY q) AS cum
+  FROM hist
+),
+thr AS (
+  SELECT cum.source, MIN(q) AS threshold, MAX(n) AS n
+  FROM cum JOIN cnt ON cum.source = cnt.source
+  WHERE cum >= n // 4 + 1
+  GROUP BY cum.source
+)
+SELECT s.source,
+       t.threshold AS threshold,
+       t.n AS n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(ROUND(AVG(s.q), 4) AS DOUBLE) AS avg_kept
+FROM scored s JOIN thr t ON s.source = t.source AND s.q >= t.threshold
+GROUP BY s.source, t.threshold, t.n
+ORDER BY s.source
+"""
+
+
+@query("q103_adaptive_quality", _Q103_ORACLE)
+def q103_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.text_analysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(quality_score("text", "n_chars"), 6)
+        .cast("decimal(9,6)")
+        .cast("double")
+        .alias("q"),
+    )
+    hist = scored.groupBy("source", "q").agg(F.count("*").alias("c"))
+    cnt = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    w = Window.partitionBy("source").orderBy("q").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select("source", "q", F.sum("c").over(w).alias("cum"))
+    thr = (
+        cum.join(F.broadcast(cnt), "source")
+        .where(F.col("cum") >= F.expr("n div 4") + 1)
+        .groupBy("source")
+        .agg(F.min("q").alias("threshold"), F.max("n").alias("n_total"))
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .where(F.col("q") >= F.col("threshold"))
+        .groupBy("source", "threshold", "n_total")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.round(F.avg("q"), 4).alias("avg_kept"),
+        )
+        .select("source", "threshold", "n_total", "n_kept", "avg_kept")
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q104 A/B test readout — deterministic hash bucketing into variants, per-
+# variant conversion, and the pooled two-proportion z statistic.
+#
+# Assignment is a pure function of user_id (Knuth multiplicative hash mod
+# 100 < 50), so it is reproducible across engines, runs, and re-ingests —
+# no RNG, the same discipline as q71's md5-rank sampling. Conversion is
+# "purchases are >= 20% of the user's events" (5 * purchases >= n_events,
+# exact integer math): a SHARE threshold, not an absolute count, so the
+# converter population stays mixed at every gen_scale factor of the
+# manifest replay — an absolute threshold ("has a purchase") saturates to
+# all-1 as per-user event counts grow (at sf0.01 literally every user has
+# a purchase, making pooled variance 0 and z undefined). The degenerate
+# all/none case is still guarded to NULL in both engines.
+#
+# Scale shape: one map-side-combinable groupBy(user_id) to collapse the
+# event log to per-user flags, then a global conditional aggregate to a
+# SINGLE row (two-stage partial agg — no data ever concentrates on one
+# executor until the four running counters do). The z arithmetic is a
+# scalar projection on that row. At 100 TB of events this is the minimal
+# two-shuffle plan, and the first shuffle's width is #users, not #events.
+#
+# Float discipline (SURVEY §2D): rates and z are computed with textually
+# identical operation order in both engines from exact BIGINT counters,
+# rounded at the end (6 / 4 dp).
+# ---------------------------------------------------------------------------
+
+_Q104_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN 5 * SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= COUNT(*) THEN 1 ELSE 0 END AS conv,
+         CASE WHEN (user_id * 2654435761) % 100 < 50 THEN 1 ELSE 0 END AS is_a
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(SUM(is_a) AS BIGINT) AS n_a,
+         CAST(SUM(is_a * conv) AS BIGINT) AS conv_a,
+         CAST(SUM(1 - is_a) AS BIGINT) AS n_b,
+         CAST(SUM((1 - is_a) * conv) AS BIGINT) AS conv_b
+  FROM u
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       CAST(ROUND(conv_a / CAST(n_a AS DOUBLE), 6) AS DOUBLE) AS rate_a,
+       CAST(ROUND(conv_b / CAST(n_b AS DOUBLE), 6) AS DOUBLE) AS rate_b,
+       CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN NULL
+       ELSE CAST(ROUND(
+         (conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+         / sqrt(
+             ((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+             * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+             * (1.0 / n_a + 1.0 / n_b)
+           )
+       , 4) AS DOUBLE) END AS z_score
+FROM s
+"""
+
+
+@query("q104_ab_test", _Q104_ORACLE)
+def q104_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            5 * F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= F.count("*"),
+            1,
+        )
+        .otherwise(0)
+        .alias("conv")
+    )
+    is_a = F.when((F.col("user_id") * F.lit(2654435761)) % 100 < 50, 1).otherwise(0)
+    s = u.select(is_a.alias("is_a"), "conv").agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        F.sum(F.col("is_a") * F.col("conv")).cast("long").alias("conv_a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("n_b"),
+        F.sum((1 - F.col("is_a")) * F.col("conv")).cast("long").alias("conv_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ra = F.col("conv_a") / na
+    rb = F.col("conv_b") / nb
+    p = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b")).cast(
+        "double"
+    )
+    z = (ra - rb) / F.sqrt(
+        p
+        * (F.lit(1.0) - p)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    nc = F.col("conv_a") + F.col("conv_b")
+    z_guarded = F.when(
+        (nc == 0) | (nc == F.col("n_a") + F.col("n_b")), F.lit(None).cast("double")
+    ).otherwise(F.round(z, 4))
+    return s.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        z_guarded.alias("z_score"),
     )
