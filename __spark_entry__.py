@@ -36,7 +36,10 @@ near-dup, q101 is largest-remainder click attribution in exact cents;
 q102-q104 add frontier BFS reachability (recursive-CTE oracle),
 per-source adaptive quality thresholds (exact histogram quantile, no
 per-doc sort), and a hash-bucketed A/B test readout with a pooled
-two-proportion z statistic.
+two-proportion z statistic; q105-q107 add n-gram containment dedup
+(the asymmetric overlap-coefficient rung of the dedup ladder),
+transition-model perplexity scoring (the KenLM-perplexity-filter
+analog), and a Benford first-digit ingest audit.
 All queries are DuckDB-oracle-backed — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design).

@@ -418,6 +418,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """EXACT n-gram CONTAINMENT join (overlap coefficient): pairs where the
+    smaller shingle set is mostly inside the other — inter/min(|A|,|B|) >=
+    threshold. The ASYMMETRIC dedup signal Jaccard misses: a short doc
+    fully quoted inside a long one has tiny Jaccard (union is dominated by
+    the long doc) but containment ~1.0; corpus curation drops the contained
+    doc (SlimPajama-style), keeping the superset.
+
+    Same inverted-index skeleton and hot-shingle max_df cut as
+    ngram_jaccard_pairs above (shared scale analysis: only docs sharing a
+    shingle meet, AQE skew split on the shingle join, hot-set anti-join
+    broadcast) — only the score changes: inter / least(n_a, n_b), decimal-
+    exact at 6dp before the threshold so both engines cut identically.
+
+    Returns (id_a, id_b, containment DOUBLE), id_a < id_b.
+    """
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+
+    sh = docs.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    inv = scoped_persist(sh.select("id", F.explode("shingles").alias("shingle")))
+    sizes = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
+    if max_df is not None:
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        inv = inv.join(F.broadcast(hot), "shingle", "anti")
+    l, r = inv.alias("l"), inv.alias("r")
+    co = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        co.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter") / F.least("n_a", "n_b"), 6)
+            .cast("decimal(9,6)")
+            .alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+        .withColumn("containment", F.col("containment").cast("double"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def md5_h64(c: Column | str) -> Column:
     """64-bit token hash derived from md5 (LongType). Bits [16i, 16i+16) come
     from hex chars [4i, 4i+4) of the md5 digest, so bit j of the result is

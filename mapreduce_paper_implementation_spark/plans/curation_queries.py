@@ -2098,3 +2098,228 @@ def q104_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rb, 6).alias("rate_b"),
         z_guarded.alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q105 n-gram containment dedup — the ASYMMETRIC rung of the dedup ladder
+# (exact q14 / Jaccard q20 / MinHash q18 / SimHash q19 / embedding q21,q72 /
+# typo q100): overlap coefficient inter/min(|A|,|B|) catches a short doc
+# quoted wholesale inside a long one, which Jaccard structurally misses
+# (the union is dominated by the long doc). Curation drops the CONTAINED
+# doc and keeps the superset (SlimPajama-style).
+#
+# Engine shape: operators/dedup.py:ngram_containment_pairs — the shared
+# inverted-index skeleton (explode distinct shingles, hot-shingle max_df
+# anti-join broadcast, shingle equi-self-join with id_a < id_b, partial-agg
+# co-counts); only the score differs from q20. Oracle mirrors the max_df
+# cut verbatim so the gate stays exact.
+# ---------------------------------------------------------------------------
+
+_Q105_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(
+    list_transform(
+      range(1, greatest(len({sql_tokens('text')}) - 1, 1)),
+      i -> array_to_string(list_slice({sql_tokens('text')}, i, i + 2), ' ')
+    )) AS shingles
+  FROM documents
+  WHERE len({sql_tokens('text')}) >= 3
+),
+inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inv AS (
+  SELECT * FROM inv0
+  WHERE shingle NOT IN (
+    SELECT shingle FROM inv0 GROUP BY shingle HAVING COUNT(*) > {{max_df}}
+  )
+),
+co AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
+  FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(CAST(ROUND(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 6) AS DECIMAL(9,6)) AS DOUBLE) AS containment
+FROM co
+JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON sa.doc_id = id_a
+JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON sb.doc_id = id_b
+WHERE CAST(ROUND(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 6) AS DECIMAL(9,6)) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@query(
+    "q105_containment_neardup",
+    _Q105_ORACLE.replace("{max_df}", "1000"),
+)
+def q105_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    return ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q106 transition-model perplexity scoring — per-user average negative log
+# likelihood of the observed event bigrams under the GLOBAL q88 transition
+# model. The structured-data analog of KenLM perplexity filtering (the
+# canonical LLM-corpus quality gate): users whose behavior the corpus-wide
+# Markov model finds surprising surface at the top.
+#
+# Scale shape: the q88 window forms per-user bigrams (one user_id shuffle),
+# partial-agg to per-(user, bigram) counts, then the model — O(#types^2)
+# rows — BROADCASTS onto them (never a shuffle by bigram of the big side),
+# and a final per-user partial agg: sum(n*ln p)/sum(n). Every p is observed
+# (the model is fitted on the same events), so ln never sees 0.
+#
+# Float discipline: p = n/row_total is an identical double division in both
+# engines; ln agrees to 1 ulp (libm vs java.lang.Math) and each user sums
+# <= #types^2 = 25 grouped terms, so ROUND(,4) absorbs order + ulp noise.
+# ---------------------------------------------------------------------------
+
+_Q106_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
+  FROM events
+),
+b AS (
+  SELECT user_id, event_type, next_type, COUNT(*) AS n
+  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT event_type, next_type,
+         CAST(SUM(n) AS DOUBLE)
+         / CAST(SUM(SUM(n)) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+  FROM b GROUP BY event_type, next_type
+)
+SELECT b.user_id,
+       CAST(SUM(b.n) AS BIGINT) AS n_transitions,
+       CAST(ROUND(-SUM(b.n * ln(m.p)) / SUM(b.n), 4) AS DOUBLE) AS avg_nll
+FROM b JOIN m ON b.event_type = m.event_type AND b.next_type = m.next_type
+GROUP BY b.user_id
+ORDER BY b.user_id
+"""
+
+
+@query("q106_transition_perplexity", _Q106_ORACLE)
+def q106_transition_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    b = (
+        ev.select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+        .where(F.col("next_type").isNotNull())
+        .groupBy("user_id", "event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+
+    # b feeds both the model fit and the scoring join — persist so the
+    # user_id window shuffle runs once.
+    b = scoped_persist(b)
+    m = b.groupBy("event_type", "next_type").agg(F.sum("n").alias("tn"))
+    m = m.select(
+        "event_type",
+        "next_type",
+        (
+            F.col("tn").cast("double")
+            / F.sum("tn").over(Window.partitionBy("event_type")).cast("double")
+        ).alias("p"),
+    )
+    return (
+        b.join(F.broadcast(m), ["event_type", "next_type"])
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_transitions"),
+            F.round(-F.sum(F.col("n") * F.log("p")) / F.sum("n"), 4).alias("avg_nll"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q107 Benford first-digit audit — data-quality forensics: the leading
+# significant digit of event values per event_type vs the Benford
+# expectation log10(1+1/d), with a per-type chi-square statistic. Fabricated
+# or unit-mangled feeds jump out; a standard ingest-monitoring pass next to
+# q93's KL drift.
+#
+# Digit extraction is EXACT cross-engine: integer cents (round(value*100))
+# rendered as VARCHAR, first character — never floor(v/10^floor(log10 v)),
+# whose log10 can land an ulp under an integer in one libm and not the
+# other, flipping the digit for values at powers of ten. Integer-to-string
+# is identical everywhere.
+#
+# Scale shape: map-only digit projection, one (type, digit) partial agg
+# (output bounded: 9 rows per type), chi-square via a window over those 9
+# rows. The expected-frequency constants fold identically (CAST literals to
+# DOUBLE — DuckDB parses bare decimals as DECIMAL).
+# ---------------------------------------------------------------------------
+
+_Q107_ORACLE = """
+WITH d AS (
+  SELECT event_type,
+         CAST(substr(CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM events
+  WHERE CAST(ROUND(value * 100) AS BIGINT) > 0
+),
+c AS (
+  SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM d GROUP BY event_type, digit
+),
+t AS (
+  SELECT event_type, digit, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n,
+         CAST(log10(1.0 + 1.0 / digit) AS DOUBLE) AS exp_freq
+  FROM c
+)
+SELECT event_type, digit, cnt,
+       CAST(ROUND(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) AS obs_freq,
+       CAST(ROUND(exp_freq, 6) AS DOUBLE) AS benford_freq,
+       CAST(ROUND(SUM(
+         (CAST(cnt AS DOUBLE) - CAST(n AS DOUBLE) * exp_freq)
+         * (CAST(cnt AS DOUBLE) - CAST(n AS DOUBLE) * exp_freq)
+         / (CAST(n AS DOUBLE) * exp_freq)
+       ) OVER (PARTITION BY event_type), 4) AS DOUBLE) AS chi2
+FROM t
+ORDER BY event_type, digit
+"""
+
+
+@query("q107_benford_audit", _Q107_ORACLE)
+def q107_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = ev.select(
+        "event_type",
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"),
+    ).where(cents > 0)
+    c = d.groupBy("event_type", "digit").agg(F.count("*").cast("long").alias("cnt"))
+    wt = Window.partitionBy("event_type")
+    n = F.sum("cnt").over(wt)
+    exp_freq = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    t = c.select(
+        "event_type",
+        "digit",
+        "cnt",
+        n.alias("n"),
+        exp_freq.alias("exp_freq"),
+    )
+    dev = F.col("cnt").cast("double") - F.col("n").cast("double") * F.col("exp_freq")
+    chi2 = F.sum(dev * dev / (F.col("n").cast("double") * F.col("exp_freq"))).over(wt)
+    return (
+        t.select(
+            "event_type",
+            "digit",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n").cast("double"), 6).alias(
+                "obs_freq"
+            ),
+            F.round("exp_freq", 6).alias("benford_freq"),
+            F.round(chi2, 4).alias("chi2"),
+        )
+        .orderBy("event_type", "digit")
+    )

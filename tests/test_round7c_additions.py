@@ -79,3 +79,62 @@ def test_q104_rates_well_formed(spark, sf_dir):
     # share-threshold conversion keeps both populations mixed at this sf,
     # so the pooled-variance guard must NOT have fired.
     assert row["z_score"] is not None
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    # a short doc quoted wholesale inside a long one: containment 1.0 but
+    # Jaccard far below any dedup threshold — the asymmetric signal q105
+    # exists for.
+    from mapreduce_paper_implementation_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    long_doc = filler + " " + short + " " + " ".join(f"z{i} q{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_doc)], "doc_id long, text string"
+    )
+    cont = ngram_containment_pairs(docs, threshold=0.5).collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []
+
+
+def test_q105_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q105_containment_neardup")
+    assert "CartesianProduct" not in plan
+
+
+def test_q106_model_joins_broadcast(spark, sf_dir):
+    # the O(#types^2) transition model must broadcast onto the per-user
+    # bigram counts — never reshuffle the big side by bigram.
+    plan = _plan(spark, sf_dir, "q106_transition_perplexity")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q106_every_user_scored_and_positive(spark, sf_dir):
+    rows = QUERIES["q106_transition_perplexity"](spark, sf_dir).collect()
+    assert all(r["avg_nll"] > 0 for r in rows)
+    # ln(p) of an observed transition is finite — no nulls/NaN ever.
+    assert all(r["avg_nll"] == r["avg_nll"] for r in rows)
+
+
+def test_q107_frequencies_form_a_distribution(spark, sf_dir):
+    import collections
+
+    rows = QUERIES["q107_benford_audit"](spark, sf_dir).collect()
+    by_type = collections.defaultdict(float)
+    for r in rows:
+        assert 1 <= r["digit"] <= 9
+        by_type[r["event_type"]] += r["obs_freq"]
+        assert r["chi2"] >= 0
+    for tot in by_type.values():
+        assert abs(tot - 1.0) < 1e-4
+
+
+def test_q107_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q107_benford_audit")
+    assert "Join" not in plan
