@@ -269,3 +269,219 @@ def kl_from_bins(state: DataFrame) -> DataFrame:
         .select("source", F.col("tot").cast("long").alias("n_docs"), "kl_vs_corpus")
         .orderBy("source")
     )
+
+
+def quality_hist_maintainer(spark: SparkSession, state_dir: str) -> RollupMaintainer:
+    """Streaming twin of q103's adaptive quality threshold: maintains the
+    (source, rounded-6 quality score) -> c histogram from per-batch document
+    deltas. Scores are bounded-precision, so the state is bounded by
+    #sources x 1e6+1 REGARDLESS of ingest volume — the same property the
+    batch query exploits to avoid a per-doc sort. Counts are additive, so
+    the generic versioned RollupMaintainer applies unchanged. Serving side:
+    `adaptive_threshold_view(maintainer.current_state())` re-derives the
+    exact per-source bottom-quartile cut from the histogram alone — and a
+    cut moves as ingest shifts a source's score distribution, which a
+    per-batch-only filter would never revisit."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_paper_implementation_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    def state_fn(delta: DataFrame) -> DataFrame:
+        return (
+            delta.select(
+                "source",
+                F.round(quality_score("text", "n_chars"), 6)
+                .cast("decimal(9,6)")
+                .cast("double")
+                .alias("q"),
+            )
+            .groupBy("source", "q")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
+    def merge_fn(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.unionByName(b).groupBy("source", "q").agg(F.sum("c").cast("long").alias("c"))
+        )
+
+    return RollupMaintainer(spark, state_dir, state_fn=state_fn, merge_fn=merge_fn)
+
+
+def adaptive_threshold_view(state: DataFrame) -> DataFrame:
+    """q103's output shape (source, threshold, n_total, n_kept, avg_kept)
+    from maintained (source, q, c) state. The selection rule is the batch
+    query's verbatim — t = min q with running count >= n//4 + 1 — and
+    n_kept / avg_kept come from the kept histogram mass (sum(q*c)/sum(c)
+    equals the batch per-doc mean to well under the ROUND(,4) grain: q is
+    already rounded to 6dp, so grouping identical values changes only
+    float addition order)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cnt = state.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    w = Window.partitionBy("source").orderBy("q").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = state.select("source", "q", "c", F.sum("c").over(w).alias("cum"))
+    thr = (
+        cum.join(F.broadcast(cnt), "source")
+        .where(F.col("cum") >= F.expr("n div 4") + 1)
+        .groupBy("source")
+        .agg(F.min("q").alias("threshold"), F.max("n").alias("n_total"))
+    )
+    return (
+        state.join(F.broadcast(thr), "source")
+        .where(F.col("q") >= F.col("threshold"))
+        .groupBy("source", "threshold", "n_total")
+        .agg(
+            F.sum("c").cast("long").alias("n_kept"),
+            F.round(
+                F.sum(F.col("q") * F.col("c").cast("double")) / F.sum("c").cast("double"),
+                4,
+            ).alias("avg_kept"),
+        )
+        .select("source", "threshold", "n_total", "n_kept", "avg_kept")
+        .orderBy("source")
+    )
+
+
+def ab_counters_maintainer(spark: SparkSession, state_dir: str) -> RollupMaintainer:
+    """Streaming twin of q104's A/B readout: maintains per-user
+    (n_events, n_purchases) counters from event deltas — O(#users) state,
+    purely additive. The per-user counters, not the four variant totals,
+    are the state: conversion is a RATIO threshold (purchase share >= 20%),
+    so a new batch can flip a user's conversion either way — variant totals
+    are not a monoid, the user counters are. Serving side:
+    `ab_test_view(maintainer.current_state())` re-derives assignment,
+    conversion, and the pooled z from state alone."""
+    from pyspark.sql import functions as F
+
+    def state_fn(delta: DataFrame) -> DataFrame:
+        return delta.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchases"),
+        )
+
+    def merge_fn(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.unionByName(b)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("n_purchases").cast("long").alias("n_purchases"),
+            )
+        )
+
+    return RollupMaintainer(spark, state_dir, state_fn=state_fn, merge_fn=merge_fn)
+
+
+def ab_test_view(state: DataFrame) -> DataFrame:
+    """q104's single-row output from maintained per-user counters —
+    identical integer algebra (share threshold, Knuth-hash assignment,
+    BIGINT counters) and identical float expression order for the rates
+    and pooled z, so the served readout equals the batch query exactly."""
+    from pyspark.sql import functions as F
+
+    u = state.select(
+        F.when(
+            (F.col("user_id") * F.lit(2654435761)) % 100 < 50, 1
+        ).otherwise(0).alias("is_a"),
+        F.when(5 * F.col("n_purchases") >= F.col("n_events"), 1)
+        .otherwise(0)
+        .alias("conv"),
+    )
+    s = u.agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        F.sum(F.col("is_a") * F.col("conv")).cast("long").alias("conv_a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("n_b"),
+        F.sum((1 - F.col("is_a")) * F.col("conv")).cast("long").alias("conv_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ra = F.col("conv_a") / na
+    rb = F.col("conv_b") / nb
+    p = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b")).cast(
+        "double"
+    )
+    z = (ra - rb) / F.sqrt(
+        p
+        * (F.lit(1.0) - p)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    nc = F.col("conv_a") + F.col("conv_b")
+    z_guarded = F.when(
+        (nc == 0) | (nc == F.col("n_a") + F.col("n_b")), F.lit(None).cast("double")
+    ).otherwise(F.round(z, 4))
+    return s.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        z_guarded.alias("z_score"),
+    )
+
+
+def digit_counts_maintainer(spark: SparkSession, state_dir: str) -> RollupMaintainer:
+    """Streaming twin of q107's Benford audit: maintains (event_type,
+    leading-digit) -> cnt from event deltas — additive, state bounded by
+    #types x 9. Serving side: `benford_view(maintainer.current_state())`
+    re-derives frequencies and the per-type chi-square; the forensic
+    readout updates per ingest batch without re-scanning value history."""
+    from pyspark.sql import functions as F
+
+    def state_fn(delta: DataFrame) -> DataFrame:
+        cents = F.round(F.col("value") * 100).cast("long")
+        return (
+            delta.select(
+                "event_type",
+                F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"),
+            )
+            .where(cents > 0)
+            .groupBy("event_type", "digit")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    def merge_fn(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.unionByName(b)
+            .groupBy("event_type", "digit")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+
+    return RollupMaintainer(spark, state_dir, state_fn=state_fn, merge_fn=merge_fn)
+
+
+def benford_view(state: DataFrame) -> DataFrame:
+    """q107's output shape from maintained (event_type, digit, cnt) state —
+    identical expression order to the batch query, so served == one-shot
+    bit-for-bit (the counts are exact; every float derives from them the
+    same way)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    wt = Window.partitionBy("event_type")
+    n = F.sum("cnt").over(wt)
+    exp_freq = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    t = state.select(
+        "event_type", "digit", "cnt", n.alias("n"), exp_freq.alias("exp_freq")
+    )
+    dev = F.col("cnt").cast("double") - F.col("n").cast("double") * F.col("exp_freq")
+    chi2 = F.sum(dev * dev / (F.col("n").cast("double") * F.col("exp_freq"))).over(wt)
+    return (
+        t.select(
+            "event_type",
+            "digit",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n").cast("double"), 6).alias(
+                "obs_freq"
+            ),
+            F.round("exp_freq", 6).alias("benford_freq"),
+            F.round(chi2, 4).alias("chi2"),
+        )
+        .orderBy("event_type", "digit")
+    )

@@ -77,3 +77,66 @@ def test_source_bins_match_q93_and_replay_noop(spark, sf_dir, tmp_path):
     assert got == q93
     m.update(docs.where(F.col("doc_id") % n_batches == 1), 1)  # replay
     assert sorted(map(tuple, kl_from_bins(m.current_state()).collect())) == q93
+
+
+def test_quality_hist_matches_q103_after_each_batch(spark, sf_dir, tmp_path):
+    from mapreduce_paper_implementation_spark.streaming.rollup import (
+        adaptive_threshold_view,
+        quality_hist_maintainer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = quality_hist_maintainer(spark, str(tmp_path / "qh"))
+    n_batches = 3
+    for bid in range(n_batches):
+        m.update(docs.where(F.col("doc_id") % n_batches == bid), bid)
+    got = sorted(map(tuple, adaptive_threshold_view(m.current_state()).collect()))
+    q103 = sorted(map(tuple, QUERIES["q103_adaptive_quality"](spark, sf_dir).collect()))
+    assert got == q103
+    # replay is a no-op under the versioned pointer discipline
+    m.update(docs.where(F.col("doc_id") % n_batches == 0), 0)
+    assert (
+        sorted(map(tuple, adaptive_threshold_view(m.current_state()).collect())) == q103
+    )
+
+
+def test_ab_counters_match_q104_and_ratio_flip(spark, sf_dir, tmp_path):
+    from mapreduce_paper_implementation_spark.streaming.rollup import (
+        ab_counters_maintainer,
+        ab_test_view,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    m = ab_counters_maintainer(spark, str(tmp_path / "ab"))
+    n_batches = 4
+    for bid in range(n_batches):
+        m.update(events.where(F.col("event_id") % n_batches == bid), bid)
+    got = ab_test_view(m.current_state()).collect()
+    q104 = QUERIES["q104_ab_test"](spark, sf_dir).collect()
+    assert list(map(tuple, got)) == list(map(tuple, q104))
+    # conversion is a ratio: a user's flag must be able to FLIP as history
+    # accrues — the per-user counters are the monoid, variant totals are
+    # not. Check at least one user converts on some prefix but not overall.
+    m1 = ab_counters_maintainer(spark, str(tmp_path / "ab1"))
+    m1.update(events.where(F.col("event_id") % n_batches == 0), 0)
+    conv = lambda st: {  # noqa: E731
+        r["user_id"]
+        for r in st.where(5 * F.col("n_purchases") >= F.col("n_events")).collect()
+    }
+    assert conv(m1.current_state()) != conv(m.current_state())
+
+
+def test_digit_counts_match_q107_bitwise(spark, sf_dir, tmp_path):
+    from mapreduce_paper_implementation_spark.streaming.rollup import (
+        benford_view,
+        digit_counts_maintainer,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    m = digit_counts_maintainer(spark, str(tmp_path / "bf"))
+    n_batches = 3
+    for bid in range(n_batches):
+        m.update(events.where(F.col("event_id") % n_batches == bid), bid)
+    got = sorted(map(tuple, benford_view(m.current_state()).collect()))
+    q107 = sorted(map(tuple, QUERIES["q107_benford_audit"](spark, sf_dir).collect()))
+    assert got == q107
