@@ -39,7 +39,10 @@ per-doc sort), and a hash-bucketed A/B test readout with a pooled
 two-proportion z statistic; q105-q107 add n-gram containment dedup
 (the asymmetric overlap-coefficient rung of the dedup ladder),
 transition-model perplexity scoring (the KenLM-perplexity-filter
-analog), and a Benford first-digit ingest audit.
+analog), and a Benford first-digit ingest audit; q108-q109 add
+trigram path mining (rank the bounded aggregate, never the stream)
+and the cross-source near-dup leakage matrix (pair set broadcasts,
+corpus map streams).
 All queries are DuckDB-oracle-backed — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design).

@@ -2323,3 +2323,138 @@ def q107_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q108 path mining — top event-type TRIGRAMS across user timelines, the
+# order-3 sibling of q88's bigram transition matrix (clickstream path
+# analysis: which 3-step journeys dominate). Two LEADs over the same
+# (user, time) window — one shuffle, window state O(2) per row — then a
+# partial-agg count into a domain bounded by #types^3 = 125 rows and a
+# single-partition top-10 rank over THAT (ranking the bounded aggregate,
+# never the event stream; the q13 discipline). Total order (n DESC, path)
+# makes the cut deterministic under ties.
+# ---------------------------------------------------------------------------
+
+_Q108_ORACLE = """
+WITH s AS (
+  SELECT event_type AS e1,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+t AS (
+  SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+  FROM s WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT e1, e2, e3, n, CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, e1, e2, e3) AS rk FROM t
+)
+WHERE rk <= 10
+ORDER BY rank
+"""
+
+
+@query("q108_top_paths", _Q108_ORACLE)
+def q108_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    t = (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .where(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("n").desc(), "e1", "e2", "e3")
+    )
+    return (
+        t.select("e1", "e2", "e3", "n", rk.cast("long").alias("rank"))
+        .where(F.col("rank") <= 10)
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q109 cross-source duplication matrix — near-dup pair counts by source
+# pair: WHERE duplicated content leaks between ingest feeds (the
+# source-level view of contamination; q55 is the doc-level eval-set gate).
+# Composition query: the q20 exact-Jaccard pair operator (threshold 0.5)
+# joined twice against the doc->source projection, aggregated into a
+# matrix bounded by #sources^2. Broadcast direction matters at 100 TB:
+# the doc->source map is O(corpus) — NEVER the broadcast side — while the
+# near-dup PAIR SET is bounded by the duplicate rate; so the pair set
+# broadcasts and the two-column corpus projection streams map-side
+# through both joins.
+# ---------------------------------------------------------------------------
+
+_Q109_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(
+    list_transform(
+      range(1, greatest(len({sql_tokens('text')}) - 1, 1)),
+      i -> array_to_string(list_slice({sql_tokens('text')}, i, i + 2), ' ')
+    )) AS shingles
+  FROM documents
+  WHERE len({sql_tokens('text')}) >= 3
+),
+inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inv AS (
+  SELECT * FROM inv0
+  WHERE shingle NOT IN (
+    SELECT shingle FROM inv0 GROUP BY shingle HAVING COUNT(*) > 1000
+  )
+),
+co AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
+  FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM co
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON sa.doc_id = id_a
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON sb.doc_id = id_b
+  WHERE CAST(ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS DECIMAL(9,6)) >= 0.5
+)
+SELECT LEAST(da.source, db.source) AS source_lo,
+       GREATEST(da.source, db.source) AS source_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs
+JOIN documents da ON da.doc_id = id_a
+JOIN documents db ON db.doc_id = id_b
+GROUP BY 1, 2
+ORDER BY source_lo, source_hi
+"""
+
+
+@query("q109_source_dup_matrix", _Q109_ORACLE)
+def q109_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    # corpus-sized map streams; bounded pair set broadcasts (twice)
+    half = src.join(
+        F.broadcast(pairs), src["doc_id"] == pairs["id_a"]
+    ).select(F.col("source").alias("sa"), "id_b")
+    full = src.join(
+        F.broadcast(half), src["doc_id"] == half["id_b"]
+    ).select("sa", F.col("source").alias("sb"))
+    return (
+        full.groupBy(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+        )
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("source_lo", "source_hi")
+    )

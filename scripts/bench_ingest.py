@@ -69,6 +69,11 @@ def run(spark, ds_dir: str, n_batches: int, compact_every: int) -> dict:
     from mapreduce_paper_implementation_spark.streaming.transitions import (
         TransitionMaintainer,
     )
+    from mapreduce_paper_implementation_spark.streaming.rollup import (
+        ab_counters_maintainer,
+        digit_counts_maintainer,
+        quality_hist_maintainer,
+    )
     from mapreduce_paper_implementation_spark.streaming.tri_index import (
         TriangleMaintainer,
     )
@@ -124,6 +129,30 @@ def run(spark, ds_dir: str, n_batches: int, compact_every: int) -> dict:
             trans_events,
             "slice_id",
             lambda _res: 0,  # update() returns None (rollup convention)
+        ),
+        # additive-count serving twins (q103/q104/q107): state bounded by
+        # the score/counter domain, merge cost = state + batch, no history
+        # re-read — slices are modulo (no ordering contract, pure monoids)
+        (
+            "quality_hist",
+            lambda s: quality_hist_maintainer(spark, s),
+            docs,
+            "doc_id",
+            lambda _res: 0,
+        ),
+        (
+            "ab_counters",
+            lambda s: ab_counters_maintainer(spark, s),
+            base_events,
+            "event_id",
+            lambda _res: 0,
+        ),
+        (
+            "digit_counts",
+            lambda s: digit_counts_maintainer(spark, s),
+            base_events,
+            "event_id",
+            lambda _res: 0,
         ),
     ):
         state = tempfile.mkdtemp(prefix=f"ingest_{name}_")

@@ -486,3 +486,50 @@ def test_transition_maintainer_any_split_matches_python(spark, tmp_path_factory,
         for a, b in itertools.pairwise(seq):
             want[(a, b)] = want.get((a, b), 0) + 1
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops vs pure-Python BFS on arbitrary small digraphs: hop minimality,
+# bound truncation, multi-seed min, cycle termination, self-loops.
+# ---------------------------------------------------------------------------
+
+
+def _py_bfs(edges: list[tuple[int, int]], seeds: list[int], max_hops: int):
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+    dist = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    return dist
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=25
+    ),
+    seeds=st.lists(st.integers(0, 9), min_size=1, max_size=3, unique=True),
+    max_hops=st.integers(1, 4),
+)
+def test_bfs_hops_matches_python(spark, edges, seeds, max_hops):
+    from mapreduce_paper_implementation_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame(edges or [(99, 99)], "src long, dst long")
+    if not edges:
+        e = e.where("src < 0")  # genuinely empty edge set, schema intact
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    got = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(e, s, max_hops=max_hops).collect()
+    }
+    assert got == _py_bfs(edges, seeds, max_hops)

@@ -1,7 +1,9 @@
-"""Round-7 third tranche (q102-q104): bfs_hops unit semantics + plan shapes.
-Oracle hash-matching is covered by the parameterized
-tests/test_queries.py::test_query_matches_oracle (all three register DuckDB
-oracles — q102's is the WITH RECURSIVE bounded-path truth formulation)."""
+"""Round-7 third tranche (q102-q109): bfs_hops unit semantics + plan shapes
+for the new curation queries. Oracle hash-matching is covered by the
+parameterized tests/test_queries.py::test_query_matches_oracle (all register
+DuckDB oracles — q102's is the WITH RECURSIVE bounded-path truth
+formulation); bfs_hops is additionally property-tested against pure-Python
+BFS in tests/test_properties.py."""
 
 from __future__ import annotations
 
@@ -138,3 +140,20 @@ def test_q107_frequencies_form_a_distribution(spark, sf_dir):
 def test_q107_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q107_benford_audit")
     assert "Join" not in plan
+
+
+def test_q108_ranks_the_bounded_aggregate(spark, sf_dir):
+    # the top-10 window must rank the <=125-row trigram aggregate, never
+    # the event stream: partial agg before the single-partition window,
+    # and no join anywhere.
+    plan = _plan(spark, sf_dir, "q108_top_paths")
+    assert "partial" in plan.lower()
+    assert "Join" not in plan
+
+
+def test_q109_broadcasts_pairs_not_corpus(spark, sf_dir):
+    # the corpus-sized doc->source projection must stream; the bounded
+    # near-dup pair set is the broadcast side (both hops).
+    plan = _plan(spark, sf_dir, "q109_source_dup_matrix")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
