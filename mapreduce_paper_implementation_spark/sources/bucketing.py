@@ -17,7 +17,25 @@ ours is persistent and reusable across queries.
 
 from __future__ import annotations
 
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def drop_bucketed(spark: SparkSession, table: str) -> None:
+    """Drop a managed bucketed table AND its warehouse directory.
+
+    `DROP TABLE IF EXISTS` alone is not idempotent across metastore
+    lifetimes: if a previous process died between `saveAsTable` and its
+    cleanup, a fresh Derby metastore no longer knows the table, the DROP
+    no-ops, and the orphaned `spark-warehouse/<table>/` directory makes
+    every later `saveAsTable` fail with LOCATION_ALREADY_EXISTS. Removing
+    the location explicitly makes create-after-crash safe.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
 
 
 def write_bucketed(

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_paper_implementation_spark.sources.bucketing import (
     bucketed_join,
+    drop_bucketed,
     write_bucketed,
 )
 from mapreduce_paper_implementation_spark.sources.tables import load_table
@@ -15,8 +16,11 @@ from mapreduce_paper_implementation_spark.sources.tables import load_table
 
 @pytest.fixture(scope="module")
 def bucketed_tables(spark, sf_dir):
-    # warehouse dir is a static conf (default ./spark-warehouse, gitignored);
-    # managed-table DROP below removes the files.
+    # pre-clean BEFORE the writes: an orphaned warehouse directory from a
+    # crashed prior run fails saveAsTable with LOCATION_ALREADY_EXISTS
+    # (fresh metastore's DROP can't see it — see drop_bucketed docstring).
+    drop_bucketed(spark, "orders_b")
+    drop_bucketed(spark, "lineitem_b")
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     write_bucketed(orders, "orders_b", "o_orderkey", 8, sort_col="o_orderkey")
@@ -28,8 +32,8 @@ def bucketed_tables(spark, sf_dir):
         sort_col="o_orderkey",
     )
     yield "orders_b", "lineitem_b"
-    spark.sql("DROP TABLE IF EXISTS orders_b")
-    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    drop_bucketed(spark, "orders_b")
+    drop_bucketed(spark, "lineitem_b")
 
 
 def test_bucketed_join_no_exchange(spark, sf_dir, bucketed_tables):

@@ -273,10 +273,15 @@ def test_merge_bucketed_target_has_no_target_side_exchange(spark):
     # buckets in place — ONLY the (small) source delta shuffles. Exactly one
     # Exchange in the bucketed plan vs two when the target is unbucketed.
     from mapreduce_paper_implementation_spark.operators.merge import merge_upsert
-    from mapreduce_paper_implementation_spark.sources.bucketing import write_bucketed
+    from mapreduce_paper_implementation_spark.sources.bucketing import (
+        drop_bucketed,
+        write_bucketed,
+    )
 
-    # warehouse dir is a static conf (default ./spark-warehouse, gitignored);
-    # the managed-table DROP below removes the files.
+    # pre-clean BEFORE the write: a prior run that died mid-test leaves an
+    # orphaned warehouse directory a fresh metastore's DROP can't remove,
+    # and saveAsTable then fails with LOCATION_ALREADY_EXISTS.
+    drop_bucketed(spark, "merge_tgt_bucketed")
     target = spark.range(0, 10000).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("v")
     )
@@ -299,7 +304,7 @@ def test_merge_bucketed_target_has_no_target_side_exchange(spark):
             map(tuple, baseline.collect())
         )
     finally:
-        spark.sql("DROP TABLE IF EXISTS merge_tgt_bucketed")
+        drop_bucketed(spark, "merge_tgt_bucketed")
 
 
 def test_q78_canonical_docs_no_cartesian(spark, sf_dir):
