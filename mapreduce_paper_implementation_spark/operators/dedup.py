@@ -341,30 +341,29 @@ def probe_neardup_index(
 DEFAULT_MAX_SHINGLE_DF = 1000
 
 
-def ngram_jaccard_pairs(
+def _ngram_cooccurrence(
     docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    shingle_n: int = 3,
-    threshold: float = 0.1,
-    max_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    max_df: int | None,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard similarity join: pairs sharing >=1 shingle,
-    scored inter/(|A|+|B|-inter), filtered >= threshold.
-
-    Inverted-index formulation: explode distinct shingles, self-join on the
-    shingle, count co-occurrences per pair. Only docs sharing a shingle ever
-    meet — never a full cross join. At 100 TB the shingle join inherits AQE
-    skew splitting, and `max_df` caps hot shingles: a shingle appearing in
-    more than max_df docs is dropped from the index (one boilerplate shingle
+    """Shared inverted-index skeleton for the exact n-gram similarity joins
+    (ngram_jaccard_pairs / ngram_containment_pairs): explode distinct
+    shingles, self-join on the shingle, count co-occurrences per ordered
+    pair, attach both set sizes. Only docs sharing a shingle ever meet —
+    never a full cross join. At 100 TB the shingle join inherits AQE skew
+    splitting, and `max_df` caps hot shingles: a shingle appearing in more
+    than max_df docs is dropped from the index (one boilerplate shingle
     shared by k docs otherwise makes k^2 join rows). The cut slightly
     UNDER-counts intersections for pairs sharing hot shingles — acceptable
     for dedup (hot shingles carry no similarity signal), and mirrored
     verbatim in the oracle SQL so correctness stays exactly gated. Set
     max_df=None for the uncapped ground truth.
 
-    Returns (id_a, id_b, jaccard DOUBLE), id_a < id_b (decimal-exact score,
-    double final projection — see minhash_lsh_pairs).
+    Returns (id_a, id_b, inter, n_a, n_b), id_a < id_b — the score
+    projections live in the two public wrappers so a fix to this skeleton
+    reaches both (ADVICE r07: the two copies had started to drift).
     """
     sh = docs.select(
         F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
@@ -402,10 +401,27 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return co.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+    max_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join: pairs sharing >=1 shingle,
+    scored inter/(|A|+|B|-inter), filtered >= threshold. Skeleton (inverted
+    index, hot-shingle cut, scale analysis): _ngram_cooccurrence above.
+
+    Returns (id_a, id_b, jaccard DOUBLE), id_a < id_b (decimal-exact score,
+    double final projection — see minhash_lsh_pairs).
+    """
+    co = _ngram_cooccurrence(docs, id_col, text_col, shingle_n, max_df)
     return (
-        co.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
+        co.select(
             "id_a",
             "id_b",
             F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6)
@@ -433,45 +449,16 @@ def ngram_containment_pairs(
     the long doc) but containment ~1.0; corpus curation drops the contained
     doc (SlimPajama-style), keeping the superset.
 
-    Same inverted-index skeleton and hot-shingle max_df cut as
-    ngram_jaccard_pairs above (shared scale analysis: only docs sharing a
-    shingle meet, AQE skew split on the shingle join, hot-set anti-join
-    broadcast) — only the score changes: inter / least(n_a, n_b), decimal-
-    exact at 6dp before the threshold so both engines cut identically.
+    Skeleton (inverted index, hot-shingle cut, scale analysis):
+    _ngram_cooccurrence above — only the score differs: inter /
+    least(n_a, n_b), decimal-exact at 6dp before the threshold so both
+    engines cut identically.
 
     Returns (id_a, id_b, containment DOUBLE), id_a < id_b.
     """
-    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
-
-    sh = docs.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
-    ).where(F.size("shingles") > 0)
-    inv = scoped_persist(sh.select("id", F.explode("shingles").alias("shingle")))
-    sizes = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
-    if max_df is not None:
-        hot = (
-            inv.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .where(F.col("_df") > max_df)
-            .select("shingle")
-        )
-        inv = inv.join(F.broadcast(hot), "shingle", "anti")
-    l, r = inv.alias("l"), inv.alias("r")
-    co = (
-        l.join(
-            r,
-            (F.col("l.shingle") == F.col("r.shingle"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    co = _ngram_cooccurrence(docs, id_col, text_col, shingle_n, max_df)
     return (
-        co.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
+        co.select(
             "id_a",
             "id_b",
             F.round(F.col("inter") / F.least("n_a", "n_b"), 6)

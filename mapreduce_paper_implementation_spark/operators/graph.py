@@ -260,13 +260,18 @@ def count_triangles(
 def bfs_hops(
     edges: DataFrame,
     seeds: DataFrame,
-    max_hops: int,
+    max_hops: int | None = None,
     src_col: str = "src",
     dst_col: str = "dst",
     seed_col: str = "node",
 ) -> DataFrame:
     """(node, hop) — minimum number of directed edges from any seed, for
-    every node reachable within `max_hops`. Seeds themselves are hop 0.
+    every reachable node. Seeds themselves are hop 0.
+
+    Frontier exhaustion (an empty next wave) is the PRIMARY termination;
+    `max_hops` is an optional radius cap for neighborhood queries
+    (max_hops=None traverses to the full reachable set, e.g. a
+    high-diameter chain runs exactly diameter+1 rounds).
 
     Frontier-based BFS expressed as DataFrame joins (the Pregel traversal
     pattern, like connected_components above but level-synchronous):
@@ -281,15 +286,22 @@ def bfs_hops(
     - the anti-join against `visited` keeps the frontier minimal (a node is
       expanded exactly once — without it a dense graph re-expands the same
       nodes every round and work grows geometrically);
-    - `localCheckpoint` per round truncates lineage (plan-compile time,
-      not data, is what kills unbounded iteration);
-    - early exit on an empty frontier is a scalar `count()` per round.
+    - `localCheckpoint` per FRONTIER truncates lineage (plan-compile time,
+      not data, is what kills unbounded iteration). `visited` is a flat
+      union of those checkpointed, mutually DISJOINT frontiers — never
+      re-checkpointed per round, so executor storage holds each visited
+      node's block exactly once (a per-round visited checkpoint would
+      accumulate O(rounds x |visited|) superseded copies for the life of
+      the session);
+    - early exit on an empty frontier is a scalar isEmpty() per round.
 
     Reference analog: iterative jobs are out of scope for the one-shot
     MapReduce runtime (/root/reference/mr-main/mr/coordinator.go runs a
     single map/reduce barrier); this is the multi-job chaining pattern the
     paper's §3.5 "iterates until convergence" discussion sketches.
     """
+    import itertools
+
     e = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .where(F.col("d").isNotNull())
@@ -303,7 +315,8 @@ def bfs_hops(
         .localCheckpoint()
     )
     frontier = visited.select("node")
-    for k in range(1, max_hops + 1):
+    hops = itertools.count(1) if max_hops is None else range(1, max_hops + 1)
+    for k in hops:
         nxt = (
             frontier.join(e, frontier["node"] == e["s"])
             .select(F.col("d").alias("node"))
@@ -315,6 +328,6 @@ def bfs_hops(
             break
         visited = visited.union(
             nxt.select("node", F.lit(k).cast("long").alias("hop"))
-        ).localCheckpoint()
+        )
         frontier = nxt
     return visited

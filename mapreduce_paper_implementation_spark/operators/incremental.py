@@ -245,3 +245,107 @@ def quantiles_from_hist(
         )
     )
     return hit.join(tot.select(*group_cols, "n_bins"), list(group_cols))
+
+
+# ---------------------------------------------------------------------------
+# 4. histogram-bucketed tile assignment — q91's 100 TB path
+# ---------------------------------------------------------------------------
+#
+# Exact per-group NTILE(k) is a per-group global sort: at 100 TB the
+# largest group lands on one task and that task IS the job's wall-clock.
+# The scale path reuses the §3 histogram state: derive the k-1 exact tile
+# BOUNDARY BINS from the cumulative histogram (O(groups x bins) work),
+# broadcast the O(groups x (k-1)) cutpoint table, and assign each row its
+# tile with a map-side comparison against the cutpoints — no per-row sort,
+# no per-group concentration, one partial-agg shuffle for the histogram.
+#
+# Accuracy contract (the "within-bin tolerance" q91's docstring promises):
+# a row's histogram tile can differ from its exact NTILE tile ONLY when the
+# row's value bin straddles a tile boundary (ranks inside one bin are
+# indistinguishable without a sort). tests/test_operators.py gates exactly
+# that against the NTILE truth: per (group, bin), the assigned tile lies
+# within [min, max] of the exact tiles present in that bin — and bins
+# containing no boundary match exactly.
+
+
+def tile_cutpoints_from_hist(
+    hist: DataFrame,
+    group_cols: Sequence[str],
+    n_tiles: int = 10,
+) -> DataFrame:
+    """(group..., tile k, cut_bin) for k = 1..n_tiles-1: the bin containing
+    the EXACT NTILE boundary rank. SQL-standard NTILE gives the first
+    (n mod k) tiles ceil(n/k) rows and the rest floor(n/k), so tile k ends
+    at rank c_k = k*(n div n_tiles) + min(k, n mod n_tiles) — exact integer
+    arithmetic, same discipline as quantiles_from_hist's rank expressions."""
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(*group_cols).orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("cnt").over(win))
+    tot = hist.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    tgt = tot.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        (
+                            F.lit(k) * F.expr(f"n div {n_tiles}")
+                            + F.least(F.lit(k), F.col("n") % n_tiles)
+                        )
+                        .cast("long")
+                        .alias("t"),
+                    )
+                    for k in range(1, n_tiles)
+                ]
+            )
+        ).alias("kt"),
+    ).select(*group_cols, "kt.k", "kt.t")
+    return (
+        tgt.join(cum, list(group_cols))
+        .where(
+            (F.col("cum") - F.col("cnt") < F.col("t")) & (F.col("cum") >= F.col("t"))
+        )
+        .select(*group_cols, "k", F.col("bin").alias("cut_bin"))
+    )
+
+
+def tile_assign_via_hist(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    n_tiles: int = 10,
+    inv_width: int = 4,
+    hist: DataFrame | None = None,
+) -> DataFrame:
+    """df + a `tile` column (1..n_tiles): the map-side NTILE stand-in.
+
+    tile = 1 + #cutpoints whose boundary bin lies strictly BELOW the row's
+    bin — rows below every boundary bin are provably in tile 1, rows in a
+    boundary bin take the boundary's own tile (the within-bin ambiguity),
+    and a hot bin spanning several boundaries collapses those tiles into
+    the first (still within the bin-tolerance contract). The cutpoint
+    table is O(groups x (n_tiles-1)) and BROADCAST; assignment is one
+    array comparison per row over n_tiles-1 elements — no per-group sort
+    anywhere. Pass a pre-built/merged `hist` (hist_state/merge_hist_states)
+    to assign from maintained state instead of rescanning."""
+    if hist is None:
+        hist = hist_state(df, group_cols, value_col, inv_width)
+    cuts = (
+        tile_cutpoints_from_hist(hist, group_cols, n_tiles)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("cut_bin")).alias("cut_bins"))
+    )
+    b = F.floor(F.col(value_col) * inv_width).cast("long")
+    return (
+        df.join(F.broadcast(cuts), list(group_cols))
+        .withColumn(
+            "tile",
+            (
+                F.lit(1)
+                + F.size(F.filter("cut_bins", lambda c: c < b))
+            ).cast("long"),
+        )
+        .drop("cut_bins")
+    )

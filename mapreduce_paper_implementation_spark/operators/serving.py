@@ -1,0 +1,187 @@
+"""Shared final-projection logic for batch queries and their streaming
+serving twins.
+
+The streaming maintainers (streaming/rollup.py) each claim their served
+readout is bit-identical to the corresponding batch query (q93/q103/q104/
+q107). That guarantee is STRUCTURAL here, not by convention: the batch
+query and the serving view both call the single projection function below,
+so the two expression trees cannot drift apart (the same discipline q105
+established via ngram_containment_pairs).
+
+Every function takes the maintained-state shape — which is also an
+intermediate frame of the batch plan — and produces the final output
+columns with one fixed IEEE expression order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# A/B variant assignment (q104 + ab_test_view)
+#
+# Knuth multiplicative hash, overflow-safe: the id is reduced mod 2^31
+# BEFORE the multiply, so |residue * 2654435761| <= (2^31-1) * 2654435761
+# ≈ 5.7e18 < int64 max (9.22e18). Without the reduction, user_id >= ~3.5e9
+# silently wraps in Spark (non-ANSI) — a negative product makes `% 100`
+# negative and every overflowed user lands in variant A — while DuckDB
+# raises. Both engines' `%` is sign-of-dividend, so the reduced form is
+# reproducible cross-engine for ALL int64 ids, which is the point of a
+# deterministic assignment at 100 TB re-ingest scale.
+# ---------------------------------------------------------------------------
+
+SQL_IS_A = (
+    "CASE WHEN ((user_id % 2147483648) * 2654435761) % 100 < 50 "
+    "THEN 1 ELSE 0 END"
+)
+
+
+def variant_is_a(user_col: str = "user_id") -> Column:
+    """1 if the id hashes into variant A, else 0 — the Spark twin of
+    SQL_IS_A (textually identical arithmetic)."""
+    reduced = F.col(user_col) % F.lit(2147483648)
+    return F.when((reduced * F.lit(2654435761)) % 100 < 50, 1).otherwise(0)
+
+
+def ab_readout(u: DataFrame) -> DataFrame:
+    """From a per-user frame with (user_id, conv) — conv already the 0/1
+    conversion flag — to q104's single-row readout: BIGINT variant
+    counters, 6dp rates, and the pooled two-proportion z (4dp, NULL-guarded
+    when conversions are all or none)."""
+    s = u.select(variant_is_a("user_id").alias("is_a"), "conv").agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        F.sum(F.col("is_a") * F.col("conv")).cast("long").alias("conv_a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("n_b"),
+        F.sum((1 - F.col("is_a")) * F.col("conv")).cast("long").alias("conv_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ra = F.col("conv_a") / na
+    rb = F.col("conv_b") / nb
+    p = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b")).cast(
+        "double"
+    )
+    z = (ra - rb) / F.sqrt(
+        p
+        * (F.lit(1.0) - p)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    nc = F.col("conv_a") + F.col("conv_b")
+    z_guarded = F.when(
+        (nc == 0) | (nc == F.col("n_a") + F.col("n_b")), F.lit(None).cast("double")
+    ).otherwise(F.round(z, 4))
+    return s.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        z_guarded.alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KL drift readout (q93 + kl_from_bins)
+# ---------------------------------------------------------------------------
+
+
+def kl_readout(state: DataFrame) -> DataFrame:
+    """q93's output (source, n_docs, kl_vs_corpus) from a (source, bin, c)
+    count frame. The bin marginal and grand total are O(bins)/O(1) frames
+    BROADCAST onto the counts; ROUND(,4) absorbs float addition order."""
+    st = state.groupBy("source").agg(F.sum("c").alias("tot"))
+    cc = state.groupBy("bin").agg(F.sum("c").alias("cq"))
+    g = state.agg(F.sum("c").alias("gt"))
+    p = F.col("c").cast("double") / F.col("tot").cast("double")
+    qd = F.col("cq").cast("double") / F.col("gt").cast("double")
+    return (
+        state.join(F.broadcast(st), "source")
+        .join(F.broadcast(cc), "bin")
+        .crossJoin(F.broadcast(g))
+        .groupBy("source", "tot")
+        .agg(F.round(F.sum(p * F.log(p / qd)), 4).alias("kl_vs_corpus"))
+        .select("source", F.col("tot").cast("long").alias("n_docs"), "kl_vs_corpus")
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive quality threshold (q103 + adaptive_threshold_view)
+# ---------------------------------------------------------------------------
+
+
+def quartile_threshold(hist: DataFrame) -> DataFrame:
+    """The exact per-source bottom-quartile cut from a (source, q, c) score
+    histogram: t = smallest q with running count >= n//4 + 1 (boundary ties
+    all kept — no interpolation, no float-ulp divergence). Returns
+    (source, threshold, n_total). The window runs over the BOUNDED
+    histogram (#sources x 1e6+1 rows max), never per-doc."""
+    cnt = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    w = Window.partitionBy("source").orderBy("q").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select("source", "q", F.sum("c").over(w).alias("cum"))
+    return (
+        cum.join(F.broadcast(cnt), "source")
+        .where(F.col("cum") >= F.expr("n div 4") + 1)
+        .groupBy("source")
+        .agg(F.min("q").alias("threshold"), F.max("n").alias("n_total"))
+    )
+
+
+def adaptive_threshold_from_hist(state: DataFrame) -> DataFrame:
+    """q103's output shape (source, threshold, n_total, n_kept, avg_kept)
+    entirely from the (source, q, c) histogram: kept mass and its mean come
+    from sum(c) / sum(q*c)/sum(c) over kept bins — equal to the batch
+    per-doc mean well under the ROUND(,4) grain, since q is already rounded
+    to 6dp and grouping identical values changes only float addition
+    order."""
+    thr = quartile_threshold(state)
+    return (
+        state.join(F.broadcast(thr), "source")
+        .where(F.col("q") >= F.col("threshold"))
+        .groupBy("source", "threshold", "n_total")
+        .agg(
+            F.sum("c").cast("long").alias("n_kept"),
+            F.round(
+                F.sum(F.col("q") * F.col("c").cast("double"))
+                / F.sum("c").cast("double"),
+                4,
+            ).alias("avg_kept"),
+        )
+        .select("source", "threshold", "n_total", "n_kept", "avg_kept")
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit readout (q107 + benford_view)
+# ---------------------------------------------------------------------------
+
+
+def benford_readout(state: DataFrame) -> DataFrame:
+    """q107's output from a (event_type, digit, cnt) count frame: observed
+    vs Benford expected frequency and the per-type chi-square, via a window
+    over the bounded 9-rows-per-type aggregate."""
+    wt = Window.partitionBy("event_type")
+    n = F.sum("cnt").over(wt)
+    exp_freq = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    t = state.select(
+        "event_type", "digit", "cnt", n.alias("n"), exp_freq.alias("exp_freq")
+    )
+    dev = F.col("cnt").cast("double") - F.col("n").cast("double") * F.col("exp_freq")
+    chi2 = F.sum(dev * dev / (F.col("n").cast("double") * F.col("exp_freq"))).over(wt)
+    return (
+        t.select(
+            "event_type",
+            "digit",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n").cast("double"), 6).alias(
+                "obs_freq"
+            ),
+            F.round("exp_freq", 6).alias("benford_freq"),
+            F.round(chi2, 4).alias("chi2"),
+        )
+        .orderBy("event_type", "digit")
+    )

@@ -21,6 +21,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_paper_implementation_spark.functions.text import let, tokens
+from mapreduce_paper_implementation_spark.operators.serving import (
+    SQL_IS_A,
+    ab_readout,
+)
 from mapreduce_paper_implementation_spark.operators.text_analysis import (
     PII_PATTERNS,
     pii_count,
@@ -1003,9 +1007,13 @@ ORDER BY event_type, decile
 @query("q91_value_deciles", _Q91_ORACLE)
 def q91_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At 100 TB a single-partition-per-event-type NTILE would bottleneck on
-    the largest type; the scale path is approx quantile cutpoints (q80's
-    mergeable histogram) + a map-side bucket assignment. This query is the
-    exact-rank truth oracle at test scale (5 event types x O(rows/5))."""
+    the largest type; the scale path is IMPLEMENTED as
+    operators/incremental.py:tile_assign_via_hist (histogram cutpoints +
+    broadcast map-side bucket assignment, no per-group sort) and gated
+    against this exact-rank truth at sf0.1 in tests/test_operators.py::
+    test_tile_assign_via_hist_within_bin_of_exact_ntile (agreement exact
+    outside tile-boundary bins; within-bin tolerance documented there).
+    This query is the exact truth oracle (5 event types x O(rows/5))."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     t = events.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
@@ -1107,29 +1115,16 @@ ORDER BY sc.source
 
 @query("q93_source_drift_kl", _Q93_ORACLE)
 def q93_source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the KL tail is kl_readout (operators/serving.py) — the SAME function
+    # the streaming kl_from_bins view serves from maintained state, so
+    # batch == served structurally.
+    from mapreduce_paper_implementation_spark.operators.serving import kl_readout
+
     docs = load_table(spark, sf_dir, "documents")
     sc = docs.groupBy(
         "source", (F.expr("n_chars div 50") * 50).alias("bin")
     ).agg(F.count("*").alias("c"))
-    sc = sc.persist()
-    st = sc.groupBy("source").agg(F.sum("c").alias("tot"))
-    cc = sc.groupBy("bin").agg(F.sum("c").alias("cq"))
-    g = sc.agg(F.sum("c").alias("gt"))
-    p = F.col("c").cast("double") / F.col("tot").cast("double")
-    qd = F.col("cq").cast("double") / F.col("gt").cast("double")
-    return (
-        sc.join(F.broadcast(st), "source")
-        .join(F.broadcast(cc), "bin")
-        .crossJoin(F.broadcast(g))
-        .groupBy("source", "tot")
-        .agg(F.round(F.sum(p * F.log(p / qd)), 4).alias("kl_vs_corpus"))
-        .select(
-            "source",
-            F.col("tot").cast("long").alias("n_docs"),
-            "kl_vs_corpus",
-        )
-        .orderBy("source")
-    )
+    return kl_readout(sc.persist())
 
 
 # ---------------------------------------------------------------------------
@@ -1972,18 +1967,15 @@ def q103_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("q"),
     )
+    # the selection rule is quartile_threshold (operators/serving.py) —
+    # the SAME function the streaming adaptive_threshold_view serves from,
+    # so the cut logic cannot drift between batch and served.
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        quartile_threshold,
+    )
+
     hist = scored.groupBy("source", "q").agg(F.count("*").alias("c"))
-    cnt = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
-    w = Window.partitionBy("source").orderBy("q").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = hist.select("source", "q", F.sum("c").over(w).alias("cum"))
-    thr = (
-        cum.join(F.broadcast(cnt), "source")
-        .where(F.col("cum") >= F.expr("n div 4") + 1)
-        .groupBy("source")
-        .agg(F.min("q").alias("threshold"), F.max("n").alias("n_total"))
-    )
+    thr = quartile_threshold(hist)
     return (
         scored.join(F.broadcast(thr), "source")
         .where(F.col("q") >= F.col("threshold"))
@@ -2001,8 +1993,10 @@ def q103_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q104 A/B test readout — deterministic hash bucketing into variants, per-
 # variant conversion, and the pooled two-proportion z statistic.
 #
-# Assignment is a pure function of user_id (Knuth multiplicative hash mod
-# 100 < 50), so it is reproducible across engines, runs, and re-ingests —
+# Assignment is a pure function of user_id (overflow-safe Knuth
+# multiplicative hash, see operators/serving.py:SQL_IS_A — the id is
+# reduced mod 2^31 before the multiply so the product can never wrap
+# int64), so it is reproducible across engines, runs, and re-ingests —
 # no RNG, the same discipline as q71's md5-rank sampling. Conversion is
 # "purchases are >= 20% of the user's events" (5 * purchases >= n_events,
 # exact integer math): a SHARE threshold, not an absolute count, so the
@@ -2024,12 +2018,12 @@ def q103_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounded at the end (6 / 4 dp).
 # ---------------------------------------------------------------------------
 
-_Q104_ORACLE = """
+_Q104_ORACLE = f"""
 WITH u AS (
   SELECT user_id,
          CASE WHEN 5 * SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                    >= COUNT(*) THEN 1 ELSE 0 END AS conv,
-         CASE WHEN (user_id * 2654435761) % 100 < 50 THEN 1 ELSE 0 END AS is_a
+         {SQL_IS_A} AS is_a
   FROM events GROUP BY user_id
 ),
 s AS (
@@ -2057,6 +2051,9 @@ FROM s
 
 @query("q104_ab_test", _Q104_ORACLE)
 def q104_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # assignment + readout are ab_readout (operators/serving.py) — the
+    # SAME function the streaming ab_test_view serves from maintained
+    # per-user counters, so batch == served structurally.
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.when(
@@ -2067,37 +2064,7 @@ def q104_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("conv")
     )
-    is_a = F.when((F.col("user_id") * F.lit(2654435761)) % 100 < 50, 1).otherwise(0)
-    s = u.select(is_a.alias("is_a"), "conv").agg(
-        F.sum("is_a").cast("long").alias("n_a"),
-        F.sum(F.col("is_a") * F.col("conv")).cast("long").alias("conv_a"),
-        F.sum(1 - F.col("is_a")).cast("long").alias("n_b"),
-        F.sum((1 - F.col("is_a")) * F.col("conv")).cast("long").alias("conv_b"),
-    )
-    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
-    ra = F.col("conv_a") / na
-    rb = F.col("conv_b") / nb
-    p = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b")).cast(
-        "double"
-    )
-    z = (ra - rb) / F.sqrt(
-        p
-        * (F.lit(1.0) - p)
-        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
-    )
-    nc = F.col("conv_a") + F.col("conv_b")
-    z_guarded = F.when(
-        (nc == 0) | (nc == F.col("n_a") + F.col("n_b")), F.lit(None).cast("double")
-    ).otherwise(F.round(z, 4))
-    return s.select(
-        "n_a",
-        "conv_a",
-        "n_b",
-        "conv_b",
-        F.round(ra, 6).alias("rate_a"),
-        F.round(rb, 6).alias("rate_b"),
-        z_guarded.alias("z_score"),
-    )
+    return ab_readout(u)
 
 
 # ---------------------------------------------------------------------------
@@ -2291,6 +2258,13 @@ ORDER BY event_type, digit
 
 @query("q107_benford_audit", _Q107_ORACLE)
 def q107_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the chi-square tail is benford_readout (operators/serving.py) — the
+    # SAME function the streaming benford_view serves from maintained
+    # digit counts, so batch == served structurally.
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        benford_readout,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
     d = ev.select(
@@ -2298,31 +2272,7 @@ def q107_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"),
     ).where(cents > 0)
     c = d.groupBy("event_type", "digit").agg(F.count("*").cast("long").alias("cnt"))
-    wt = Window.partitionBy("event_type")
-    n = F.sum("cnt").over(wt)
-    exp_freq = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
-    t = c.select(
-        "event_type",
-        "digit",
-        "cnt",
-        n.alias("n"),
-        exp_freq.alias("exp_freq"),
-    )
-    dev = F.col("cnt").cast("double") - F.col("n").cast("double") * F.col("exp_freq")
-    chi2 = F.sum(dev * dev / (F.col("n").cast("double") * F.col("exp_freq"))).over(wt)
-    return (
-        t.select(
-            "event_type",
-            "digit",
-            "cnt",
-            F.round(F.col("cnt").cast("double") / F.col("n").cast("double"), 6).alias(
-                "obs_freq"
-            ),
-            F.round("exp_freq", 6).alias("benford_freq"),
-            F.round(chi2, 4).alias("chi2"),
-        )
-        .orderBy("event_type", "digit")
-    )
+    return benford_readout(c)
 
 
 # ---------------------------------------------------------------------------

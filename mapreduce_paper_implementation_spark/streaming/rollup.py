@@ -251,24 +251,12 @@ def source_bins_maintainer(
 
 def kl_from_bins(state: DataFrame) -> DataFrame:
     """q93's output shape (source, n_docs, kl_vs_corpus) from maintained
-    (source, bin, c) state — identical IEEE expression order as the batch
-    query, so the maintained drift equals the one-shot computation exactly."""
-    from pyspark.sql import functions as F
+    (source, bin, c) state — the batch query and this view call the SAME
+    kl_readout (operators/serving.py), so served == one-shot structurally,
+    not by convention."""
+    from mapreduce_paper_implementation_spark.operators.serving import kl_readout
 
-    st = state.groupBy("source").agg(F.sum("c").alias("tot"))
-    cc = state.groupBy("bin").agg(F.sum("c").alias("cq"))
-    g = state.agg(F.sum("c").alias("gt"))
-    p = F.col("c").cast("double") / F.col("tot").cast("double")
-    qd = F.col("cq").cast("double") / F.col("gt").cast("double")
-    return (
-        state.join(F.broadcast(st), "source")
-        .join(F.broadcast(cc), "bin")
-        .crossJoin(F.broadcast(g))
-        .groupBy("source", "tot")
-        .agg(F.round(F.sum(p * F.log(p / qd)), 4).alias("kl_vs_corpus"))
-        .select("source", F.col("tot").cast("long").alias("n_docs"), "kl_vs_corpus")
-        .orderBy("source")
-    )
+    return kl_readout(state)
 
 
 def quality_hist_maintainer(spark: SparkSession, state_dir: str) -> RollupMaintainer:
@@ -311,40 +299,16 @@ def quality_hist_maintainer(spark: SparkSession, state_dir: str) -> RollupMainta
 
 def adaptive_threshold_view(state: DataFrame) -> DataFrame:
     """q103's output shape (source, threshold, n_total, n_kept, avg_kept)
-    from maintained (source, q, c) state. The selection rule is the batch
-    query's verbatim — t = min q with running count >= n//4 + 1 — and
-    n_kept / avg_kept come from the kept histogram mass (sum(q*c)/sum(c)
-    equals the batch per-doc mean to well under the ROUND(,4) grain: q is
-    already rounded to 6dp, so grouping identical values changes only
-    float addition order)."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
+    from maintained (source, q, c) state. The selection rule is the SAME
+    quartile_threshold the batch query calls (operators/serving.py); the
+    kept mass/mean come from the histogram (see
+    adaptive_threshold_from_hist for the ROUND-grain equivalence
+    argument)."""
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        adaptive_threshold_from_hist,
+    )
 
-    cnt = state.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
-    w = Window.partitionBy("source").orderBy("q").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = state.select("source", "q", "c", F.sum("c").over(w).alias("cum"))
-    thr = (
-        cum.join(F.broadcast(cnt), "source")
-        .where(F.col("cum") >= F.expr("n div 4") + 1)
-        .groupBy("source")
-        .agg(F.min("q").alias("threshold"), F.max("n").alias("n_total"))
-    )
-    return (
-        state.join(F.broadcast(thr), "source")
-        .where(F.col("q") >= F.col("threshold"))
-        .groupBy("source", "threshold", "n_total")
-        .agg(
-            F.sum("c").cast("long").alias("n_kept"),
-            F.round(
-                F.sum(F.col("q") * F.col("c").cast("double")) / F.sum("c").cast("double"),
-                4,
-            ).alias("avg_kept"),
-        )
-        .select("source", "threshold", "n_total", "n_kept", "avg_kept")
-        .orderBy("source")
-    )
+    return adaptive_threshold_from_hist(state)
 
 
 def ab_counters_maintainer(spark: SparkSession, state_dir: str) -> RollupMaintainer:
@@ -380,50 +344,22 @@ def ab_counters_maintainer(spark: SparkSession, state_dir: str) -> RollupMaintai
 
 
 def ab_test_view(state: DataFrame) -> DataFrame:
-    """q104's single-row output from maintained per-user counters —
-    identical integer algebra (share threshold, Knuth-hash assignment,
-    BIGINT counters) and identical float expression order for the rates
-    and pooled z, so the served readout equals the batch query exactly."""
+    """q104's single-row output from maintained per-user counters: the
+    conversion flag is re-derived from the (n_events, n_purchases)
+    counters, then the SAME ab_readout the batch query calls
+    (operators/serving.py — Knuth-hash assignment, BIGINT counters,
+    pooled z) produces the readout, so served == batch structurally."""
     from pyspark.sql import functions as F
 
+    from mapreduce_paper_implementation_spark.operators.serving import ab_readout
+
     u = state.select(
-        F.when(
-            (F.col("user_id") * F.lit(2654435761)) % 100 < 50, 1
-        ).otherwise(0).alias("is_a"),
+        "user_id",
         F.when(5 * F.col("n_purchases") >= F.col("n_events"), 1)
         .otherwise(0)
         .alias("conv"),
     )
-    s = u.agg(
-        F.sum("is_a").cast("long").alias("n_a"),
-        F.sum(F.col("is_a") * F.col("conv")).cast("long").alias("conv_a"),
-        F.sum(1 - F.col("is_a")).cast("long").alias("n_b"),
-        F.sum((1 - F.col("is_a")) * F.col("conv")).cast("long").alias("conv_b"),
-    )
-    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
-    ra = F.col("conv_a") / na
-    rb = F.col("conv_b") / nb
-    p = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b")).cast(
-        "double"
-    )
-    z = (ra - rb) / F.sqrt(
-        p
-        * (F.lit(1.0) - p)
-        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
-    )
-    nc = F.col("conv_a") + F.col("conv_b")
-    z_guarded = F.when(
-        (nc == 0) | (nc == F.col("n_a") + F.col("n_b")), F.lit(None).cast("double")
-    ).otherwise(F.round(z, 4))
-    return s.select(
-        "n_a",
-        "conv_a",
-        "n_b",
-        "conv_b",
-        F.round(ra, 6).alias("rate_a"),
-        F.round(rb, 6).alias("rate_b"),
-        z_guarded.alias("z_score"),
-    )
+    return ab_readout(u)
 
 
 def digit_counts_maintainer(spark: SparkSession, state_dir: str) -> RollupMaintainer:
@@ -458,30 +394,9 @@ def digit_counts_maintainer(spark: SparkSession, state_dir: str) -> RollupMainta
 
 def benford_view(state: DataFrame) -> DataFrame:
     """q107's output shape from maintained (event_type, digit, cnt) state —
-    identical expression order to the batch query, so served == one-shot
-    bit-for-bit (the counts are exact; every float derives from them the
-    same way)."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
+    the batch query and this view call the SAME benford_readout
+    (operators/serving.py), so served == one-shot bit-for-bit (the counts
+    are exact; every float derives from them the same way)."""
+    from mapreduce_paper_implementation_spark.operators.serving import benford_readout
 
-    wt = Window.partitionBy("event_type")
-    n = F.sum("cnt").over(wt)
-    exp_freq = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
-    t = state.select(
-        "event_type", "digit", "cnt", n.alias("n"), exp_freq.alias("exp_freq")
-    )
-    dev = F.col("cnt").cast("double") - F.col("n").cast("double") * F.col("exp_freq")
-    chi2 = F.sum(dev * dev / (F.col("n").cast("double") * F.col("exp_freq"))).over(wt)
-    return (
-        t.select(
-            "event_type",
-            "digit",
-            "cnt",
-            F.round(F.col("cnt").cast("double") / F.col("n").cast("double"), 6).alias(
-                "obs_freq"
-            ),
-            F.round("exp_freq", 6).alias("benford_freq"),
-            F.round(chi2, 4).alias("chi2"),
-        )
-        .orderBy("event_type", "digit")
-    )
+    return benford_readout(state)

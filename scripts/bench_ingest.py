@@ -53,7 +53,20 @@ def _ratio(times: list[float]) -> float | None:
     return round(sum(late) / len(late) / (sum(early) / len(early)), 3)
 
 
-def run(spark, ds_dir: str, n_batches: int, compact_every: int) -> dict:
+def resolve_events_dir(out_dir: str, factor: float) -> str:
+    """Events source for the event-stream maintainers: the scaled
+    relational directory (gen_scale.generate_relational, e.g.
+    scale_data/sf1 at factor 10) when it exists, else the base sf0.1
+    fixture. ADVICE r07: previously hardcoded to sf0.1 regardless of
+    --factor; the chosen source is now recorded in the artifact metadata
+    so the ingest-cost rows say what they actually measured."""
+    scaled = os.path.join(out_dir, f"sf{0.1 * factor:g}")
+    if os.path.exists(os.path.join(scaled, "events.parquet")):
+        return scaled
+    return os.path.join(REPO, "..", "testdata", "sf0.1")
+
+
+def run(spark, ds_dir: str, events_dir: str, n_batches: int, compact_every: int) -> dict:
     from mapreduce_paper_implementation_spark.streaming.ann_index import (
         AnnIndexMaintainer,
     )
@@ -84,11 +97,12 @@ def run(spark, ds_dir: str, n_batches: int, compact_every: int) -> dict:
     # "have we crawled this exact document before" check)
     hashed = docs.select("doc_id", F.md5("text").alias("content_hash"))
     # triangle ingest: the q87 link graph (user_id -> props.k) from the
-    # BASE events fixture, arriving in event_id slices — the maintainer's
-    # flat-cost claim is against ITS OWN growing edge history, so the
-    # absolute corpus factor doesn't matter, only that batches are equal.
+    # events source (scaled relational dir when present — see
+    # resolve_events_dir), arriving in event_id slices — the maintainer's
+    # flat-cost claim is against ITS OWN growing edge history, so equal
+    # batches matter more than the absolute corpus factor.
     tri_edges = (
-        load_table(spark, os.path.join(REPO, "..", "testdata", "sf0.1"), "events")
+        load_table(spark, events_dir, "events")
         .select(
             "event_id",
             F.col("user_id").alias("src"),
@@ -99,9 +113,7 @@ def run(spark, ds_dir: str, n_batches: int, compact_every: int) -> dict:
     # transition ingest: the q88 event stream in TIME-ORDERED slices (the
     # maintainer's segment-monoid merge requires per-user batch ordering, so
     # slice by contiguous event_id range, not modulo interleave).
-    base_events = load_table(
-        spark, os.path.join(REPO, "..", "testdata", "sf0.1"), "events"
-    )
+    base_events = load_table(spark, events_dir, "events")
     n_ev = base_events.agg(F.max("event_id")).collect()[0][0] + 1
     trans_events = base_events.withColumn(
         "slice_id", F.expr(f"event_id * {n_batches} div {n_ev}")
@@ -195,14 +207,16 @@ def main() -> None:
     if not os.path.exists(os.path.join(ds_dir, "truth.json")):
         generate(args.factor, args.out_dir)
 
+    events_dir = resolve_events_dir(args.out_dir, args.factor)
     spark = get_spark("bench_ingest")
     result = {
         "metric": "maintainer_ingest_cost",
         "unit": "sec_per_batch",
         "factor": args.factor,
+        "events_source": os.path.normpath(events_dir),
         "n_batches": args.batches,
         "compact_every": args.compact_every,
-        "maintainers": run(spark, ds_dir, args.batches, args.compact_every),
+        "maintainers": run(spark, ds_dir, events_dir, args.batches, args.compact_every),
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)

@@ -721,3 +721,71 @@ def test_canonical_docs_with_materialized_clusters(spark, sf_dir):
     }
     got = {c: (cid, n) for c, cid, n, _ in inline}
     assert got == expected
+
+
+def test_tile_assign_via_hist_within_bin_of_exact_ntile(spark):
+    """q91's documented 100 TB path, gated against the exact NTILE truth at
+    sf0.1: histogram-cutpoint deciles (tile_assign_via_hist — map-side
+    bucketing, no per-group sort) may differ from exact NTILE(10) ONLY
+    inside a value bin that straddles a tile boundary. Gate: per
+    (event_type, bin), the assigned tile lies within [min, max] of the
+    exact tiles present in that bin — so boundary-free bins match exactly —
+    plus per-tile counts are within one bin's mass of n/10."""
+    from pyspark.sql import Window
+
+    from mapreduce_paper_implementation_spark.operators.incremental import (
+        tile_assign_via_hist,
+    )
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+    inv_width = 4
+    events = load_table(spark, "/root/testdata/sf0.1", "events").select(
+        "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    exact = events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(10).over(w).cast("long").alias("exact_tile"),
+    )
+    got = tile_assign_via_hist(
+        exact, ["event_type"], "value", n_tiles=10, inv_width=inv_width
+    )
+
+    b = F.floor(F.col("value") * inv_width).cast("long")
+    per_bin = got.groupBy("event_type", b.alias("bin")).agg(
+        F.min("exact_tile").alias("lo"),
+        F.max("exact_tile").alias("hi"),
+        F.min("tile").alias("t_lo"),
+        F.max("tile").alias("t_hi"),
+        F.count("*").alias("bin_n"),
+    )
+    # one tile per bin (assignment is a function of the bin), inside the
+    # exact range present in that bin
+    bad = per_bin.where(
+        (F.col("t_lo") != F.col("t_hi"))
+        | (F.col("t_lo") < F.col("lo"))
+        | (F.col("t_hi") > F.col("hi"))
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+    # boundary-free bins (exact lo == hi) must match the exact tile
+    mismatched_pure = per_bin.where(
+        (F.col("lo") == F.col("hi")) & (F.col("t_lo") != F.col("lo"))
+    )
+    assert mismatched_pure.count() == 0, mismatched_pure.limit(5).collect()
+    # equi-depth sanity: every tile's count within the largest straddling
+    # bin's mass of the ideal n/10
+    sizes = got.groupBy("event_type", "tile").agg(F.count("*").alias("n_t"))
+    tot = got.groupBy("event_type").agg(F.count("*").alias("n"))
+    max_bin = got.groupBy("event_type", b.alias("bin")).count().groupBy(
+        "event_type"
+    ).agg(F.max("count").alias("max_bin_n"))
+    off = (
+        sizes.join(tot, "event_type")
+        .join(max_bin, "event_type")
+        .where(
+            F.abs(F.col("n_t") - F.col("n") / 10.0) > F.col("max_bin_n")
+        )
+    )
+    assert off.count() == 0, off.limit(5).collect()

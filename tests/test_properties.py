@@ -533,3 +533,22 @@ def test_bfs_hops_matches_python(spark, edges, seeds, max_hops):
         for r in bfs_hops(e, s, max_hops=max_hops).collect()
     }
     assert got == _py_bfs(edges, seeds, max_hops)
+
+
+def test_bfs_hops_long_chain_bound_vs_exhaustion(spark):
+    """Planted 12-edge chain 0->1->...->12 from seed 0: with max_hops=5 the
+    HOP BOUND terminates (frontier still alive — exactly nodes 0..5 with
+    hop=index), while max_hops=None runs to frontier exhaustion and labels
+    the full chain in diameter+1 rounds."""
+    from mapreduce_paper_implementation_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    s = spark.createDataFrame([(0,)], "node long")
+    bounded = {
+        r["node"]: r["hop"] for r in bfs_hops(e, s, max_hops=5).collect()
+    }
+    assert bounded == {i: i for i in range(6)}
+    full = {r["node"]: r["hop"] for r in bfs_hops(e, s).collect()}
+    assert full == {i: i for i in range(13)}
