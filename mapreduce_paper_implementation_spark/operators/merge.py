@@ -167,3 +167,66 @@ def merge_upsert(
         ],
     )
     return merged.select(*target.columns)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    include_same: bool = False,
+) -> DataFrame:
+    """CDC detection — classify every key across two snapshots of a table
+    as INSERT / DELETE / UPDATE (/ SAME with ``include_same``): the
+    changeset DERIVATION pass whose output feeds merge_upsert above (which
+    APPLIES a known changeset) and the SCD2 history build.
+
+    Returns (keys..., change_type, old_<c>, new_<c> for each compared
+    column), keys coalesced across sides. ``compare_cols`` defaults to all
+    shared non-key columns; a row differing in any of them is an UPDATE
+    (NULL-safe: NULL vs value counts as a change, NULL vs NULL does not).
+
+    Scale shape: ONE full-outer join on the key — the intrinsic cost of
+    snapshot comparison; classification is a codegen'd CASE on two
+    presence flags. With both snapshots stored bucketed on the key
+    (sources/bucketing.py, plans/bucketed_catalog.py) the join reads
+    co-located buckets and the plan has no Exchange at all — pinned in
+    tests/test_plans.py. Used by q98 and its bucketed twin, so the two
+    cannot drift.
+    """
+    if not keys:
+        raise ValueError("snapshot_diff needs at least one key column")
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c not in keys and c in set(new.columns)
+        ]
+    o = old.select(
+        *keys,
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias(_TGT),
+    )
+    n = new.select(
+        *keys,
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias(_SRC),
+    )
+    joined = o.join(n, on=keys, how="full_outer")
+    old_present = F.col(_TGT).isNotNull()
+    new_present = F.col(_SRC).isNotNull()
+    # NULL-safe inequality: <=> is null-safe equality; negate it
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    out = joined.select(
+        *keys,
+        F.when(~old_present, "INSERT")
+        .when(~new_present, "DELETE")
+        .when(changed, "UPDATE")
+        .otherwise("SAME")
+        .alias("change_type"),
+        *[F.col(f"__o_{c}").alias(f"old_{c}") for c in compare_cols],
+        *[F.col(f"__n_{c}").alias(f"new_{c}") for c in compare_cols],
+    )
+    if not include_same:
+        out = out.where(F.col("change_type") != "SAME")
+    return out

@@ -1491,13 +1491,15 @@ ORDER BY custkey
 """
 
 
-@query("q98_snapshot_diff", _Q98_ORACLE)
-def q98_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_acctbal", "c_mktsegment"
-    )
+def plant_new_snapshot(cust: DataFrame) -> DataFrame:
+    """The q98 planted 'new' snapshot from a (c_custkey, c_acctbal,
+    c_mktsegment) frame: deletes at k%11=0, +100 balance updates at k%7=0,
+    inserts offset past max(c_custkey) (the ADVICE r06 rule: derive offsets
+    from the data so no scale factor collides). Shared by q98 and the
+    bucketed-catalog builder (plans/bucketed_catalog.py) so the planted
+    scenario cannot drift between them."""
     mx = cust.agg(F.max("c_custkey").alias("mk"))
-    new_snap = (
+    return (
         cust.where(F.col("c_custkey") % 11 != 0)
         .select(
             "c_custkey",
@@ -1518,27 +1520,30 @@ def q98_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    o, n = cust.alias("o"), new_snap.alias("n")
-    joined = o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer")
-    differs = (
-        F.col("o.c_custkey").isNull()
-        | F.col("n.c_custkey").isNull()
-        | (F.col("o.c_acctbal") != F.col("n.c_acctbal"))
-        | (F.col("o.c_mktsegment") != F.col("n.c_mktsegment"))
+
+
+def snapshot_diff_readout(old: DataFrame, new: DataFrame) -> DataFrame:
+    """q98's output shape from two (c_custkey, c_acctbal, c_mktsegment)
+    snapshots via the generic operators/merge.py:snapshot_diff — shared by
+    q98 (derived snapshots) and q98's bucketed twin (stored bucketed
+    snapshots, exchange-free join)."""
+    from mapreduce_paper_implementation_spark.operators.merge import snapshot_diff
+
+    d = snapshot_diff(old, new, ["c_custkey"], ["c_acctbal", "c_mktsegment"])
+    return d.select(
+        F.col("c_custkey").alias("custkey"),
+        "change_type",
+        F.col("old_c_acctbal").alias("old_acctbal"),
+        F.col("new_c_acctbal").alias("new_acctbal"),
+    ).orderBy("custkey")
+
+
+@query("q98_snapshot_diff", _Q98_ORACLE)
+def q98_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
     )
-    return (
-        joined.where(differs)
-        .select(
-            F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey")).alias("custkey"),
-            F.when(F.col("o.c_custkey").isNull(), "INSERT")
-            .when(F.col("n.c_custkey").isNull(), "DELETE")
-            .otherwise("UPDATE")
-            .alias("change_type"),
-            F.col("o.c_acctbal").alias("old_acctbal"),
-            F.col("n.c_acctbal").alias("new_acctbal"),
-        )
-        .orderBy("custkey")
-    )
+    return snapshot_diff_readout(cust, plant_new_snapshot(cust))
 
 
 # ---------------------------------------------------------------------------

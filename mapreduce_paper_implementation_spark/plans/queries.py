@@ -402,18 +402,29 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
-@query("q10_orders_by_segment", _Q10_ORACLE)
-def q10_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """customer is orders/10 rows (TPC-H ratio) — broadcast it so the fact
-    table never shuffles for the join; only the tiny post-agg exchange runs."""
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
+def orders_by_segment_shape(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """q10's join+agg shape over caller-supplied frames — shared by q10
+    (broadcast customer) and its bucketed-catalog twin
+    (plans/bucketed_catalog.py: both sides bucketed on custkey, zero join
+    exchange) so the two cannot drift."""
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("cnt"))
         .orderBy("c_mktsegment")
     )
+
+
+@query("q10_orders_by_segment", _Q10_ORACLE)
+def q10_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer is orders/10 rows (TPC-H ratio) — broadcast it so the fact
+    table never shuffles for the join; only the tiny post-agg exchange runs.
+    At 100 TB customer no longer broadcasts (1.5B rows at sf10k): the scale
+    layout is the custkey-bucketed catalog (plans/bucketed_catalog.py),
+    which runs this same shape with ZERO join exchanges."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders_by_segment_shape(orders, F.broadcast(customer))
 
 
 # ---------------------------------------------------------------------------
@@ -434,28 +445,25 @@ ORDER BY n_name
 """
 
 
-@query("q11_regional_revenue", _Q11_ORACLE)
-def q11_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join: region/nation are fixed-size (5/25 rows at ANY scale
-    factor) -> broadcast; the region filter prunes customers before the
-    fact joins; lineitem⋈orders is the only big shuffle (AQE may pick
-    broadcast at small sf). At 100 TB, bucketing lineitem+orders by orderkey
-    would remove that shuffle too (see sources/bucketing.py)."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
+def regional_revenue_shape(
+    c: DataFrame, o: DataFrame, li: DataFrame, n: DataFrame, r: DataFrame
+) -> DataFrame:
+    """q11's star-join shape over caller-supplied frames — shared by q11
+    (plain parquet scans) and its bucketed-catalog twin
+    (plans/bucketed_catalog.py: lineitem/orders bucketed on orderkey kill
+    the fact-fact exchange; customer bucketed on custkey kills its side of
+    the second join) so the two cannot drift. region/nation stay broadcast
+    at ANY scale (fixed 5/25 rows)."""
     asian_nations = n.join(
         F.broadcast(r.where(F.col("r_name") == "ASIA")),
-        n.n_regionkey == r.r_regionkey,
+        n["n_regionkey"] == r["r_regionkey"],
     ).select("n_nationkey", "n_name")
-    cust = c.join(F.broadcast(asian_nations), c.c_nationkey == F.col("n_nationkey")).select(
-        "c_custkey", "n_name"
-    )
+    cust = c.join(
+        F.broadcast(asian_nations), c["c_nationkey"] == F.col("n_nationkey")
+    ).select("c_custkey", "n_name")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(cust, o.o_custkey == cust.c_custkey)
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cust, o["o_custkey"] == cust["c_custkey"])
         .groupBy("n_name")
         .agg(
             F.sum(F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC)))
@@ -464,6 +472,23 @@ def q11_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
         .orderBy("n_name")
+    )
+
+
+@query("q11_regional_revenue", _Q11_ORACLE)
+def q11_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: region/nation are fixed-size (5/25 rows at ANY scale
+    factor) -> broadcast; the region filter prunes customers before the
+    fact joins; lineitem⋈orders is the only big shuffle (AQE may pick
+    broadcast at small sf). At 100 TB, bucketing lineitem+orders by
+    orderkey removes that shuffle too — implemented and plan-pinned in
+    plans/bucketed_catalog.py."""
+    return regional_revenue_shape(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
     )
 
 

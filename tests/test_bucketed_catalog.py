@@ -1,0 +1,120 @@
+"""Bucketed relational catalog (plans/bucketed_catalog.py): per-query
+Exchange-count drop pinned against the unbucketed twin, plus result
+equality — the layout changes the plan, never the answer.
+
+Broadcast is disabled around every plan here (except the explicit
+fixed-size nation/region hints, which survive the threshold): the point is
+the 100 TB shape, where no fact side broadcasts and the join shuffles are
+the dominant cost the bucketing removes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mapreduce_paper_implementation_spark.plans.bucketed_catalog import (
+    build_catalog,
+    q10_bucketed,
+    q11_bucketed,
+    q98_bucketed,
+)
+from mapreduce_paper_implementation_spark.plans.curation_queries import (
+    plant_new_snapshot,
+    q98_snapshot_diff,
+    snapshot_diff_readout,
+)
+from mapreduce_paper_implementation_spark.plans.queries import (
+    orders_by_segment_shape,
+    regional_revenue_shape,
+)
+from mapreduce_paper_implementation_spark.sources.bucketing import drop_bucketed
+from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+TABLES = [
+    "customer_bck",
+    "orders_bck",
+    "orders_bok",
+    "lineitem_bok",
+    "cust_snap_old",
+    "cust_snap_new",
+]
+
+
+@pytest.fixture(scope="module")
+def catalog(spark, sf_dir):
+    for t in TABLES:
+        drop_bucketed(spark, t)  # crash-leftover hygiene (see drop_bucketed)
+    build_catalog(spark, sf_dir, n_buckets=8, force=True)
+    yield
+    for t in TABLES:
+        drop_bucketed(spark, t)
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_q10_bucketed_join_is_exchange_free(spark, sf_dir, catalog, no_broadcast):
+    bucketed = q10_bucketed(spark)
+    plain = orders_by_segment_shape(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+    bp, pp = _plan(bucketed), _plan(plain)
+    # the join keys never appear as shuffle partitioning in the bucketed plan
+    assert "Exchange hashpartitioning(o_custkey" not in bp
+    assert "Exchange hashpartitioning(c_custkey" not in bp
+    # exactly the two join-side exchanges drop; agg + output sort remain
+    assert pp.count("Exchange") - bp.count("Exchange") == 2, (bp, pp)
+    assert _rows(bucketed) == _rows(plain)
+
+
+def test_q11_bucketed_fact_join_is_exchange_free(spark, sf_dir, catalog, no_broadcast):
+    bucketed = q11_bucketed(spark, sf_dir)
+    plain = regional_revenue_shape(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+    bp, pp = _plan(bucketed), _plan(plain)
+    # the fact-fact orderkey shuffle and customer's custkey shuffle are gone
+    assert "Exchange hashpartitioning(l_orderkey" not in bp
+    assert "Exchange hashpartitioning(o_orderkey" not in bp
+    assert "Exchange hashpartitioning(c_custkey" not in bp
+    # the one structurally unavoidable join exchange remains: the joined
+    # fact changes key from orderkey to custkey mid-plan
+    assert "Exchange hashpartitioning(o_custkey" in bp
+    assert pp.count("Exchange") - bp.count("Exchange") == 3, (bp, pp)
+    assert _rows(bucketed) == _rows(plain)
+
+
+def test_q98_bucketed_cdc_join_is_exchange_free(spark, sf_dir, catalog, no_broadcast):
+    bucketed = q98_bucketed(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    # the unbucketed twin over the SAME stored-snapshot semantics: derive
+    # new_snap inline (q98's registered form)
+    plain = snapshot_diff_readout(cust, plant_new_snapshot(cust))
+    bp, pp = _plan(bucketed), _plan(plain)
+    assert "Exchange hashpartitioning(c_custkey" not in bp
+    # the full-outer CDC join — the query's whole cost — runs on co-located
+    # buckets; only the output-order range exchange remains
+    assert bp.count("Exchange") == 1 and "rangepartitioning" in bp, bp
+    assert pp.count("Exchange") - bp.count("Exchange") >= 2, (bp, pp)
+    assert _rows(bucketed) == _rows(q98_snapshot_diff(spark, sf_dir))
