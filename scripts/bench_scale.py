@@ -56,6 +56,7 @@ from mapreduce_paper_implementation_spark.operators.dedup import (  # noqa: E402
     embedding_neardup_pairs_blocked,
     incremental_neardup,
     minhash_lsh_pairs,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     semantic_dedup_pairs,
 )
@@ -76,6 +77,7 @@ from mapreduce_paper_implementation_spark.sources.tables import load_table  # no
 
 J_THRESH = 0.8  # q18 / q70
 CLUSTER_THRESH = 0.5  # q20 / q41 on the synthetic corpus (see module docstring)
+CONT_THRESH = 0.5  # q105 (gen_scale gates sampled cross containment < 0.4)
 COS_THRESH = 0.85  # q21 on random-unit-vector corpus
 IVF_K = 3
 IVF_NPROBE = 4
@@ -150,7 +152,14 @@ def _make_timed(spark, repeat: int = 2):
     return _timed
 
 
-def run_factor(spark, factor: float, out_dir: str, seed: int, repeat: int = 2) -> dict:
+def run_factor(
+    spark,
+    factor: float,
+    out_dir: str,
+    seed: int,
+    repeat: int = 2,
+    only: set[str] | None = None,
+) -> dict:
     ds_dir = os.path.join(out_dir, f"x{factor:g}")
     if not os.path.exists(os.path.join(ds_dir, "truth.json")):
         generate(factor, out_dir, seed)
@@ -171,204 +180,238 @@ def run_factor(spark, factor: float, out_dir: str, seed: int, repeat: int = 2) -
     checks: dict[str, dict] = {}
     _timed = _make_timed(spark, repeat)
 
+    def want(name: str) -> bool:
+        return only is None or name in only
+
     def done(name, dt):
         wall[name] = round(dt, 2)
 
     # q18 — MinHash banding + exact verify
-    dt, rows = _timed(lambda: minhash_lsh_pairs(docs, threshold=J_THRESH).collect())
-    checks["q18_minhash"] = _pair_metrics(
-        [(r.id_a, r.id_b) for r in rows], doc_pairs, J_THRESH, eps
-    )
-    done("q18_minhash", dt)
+    if want("q18_minhash"):
+        dt, rows = _timed(lambda: minhash_lsh_pairs(docs, threshold=J_THRESH).collect())
+        checks["q18_minhash"] = _pair_metrics(
+            [(r.id_a, r.id_b) for r in rows], doc_pairs, J_THRESH, eps
+        )
+        done("q18_minhash", dt)
 
-    # q20 — exact inverted-index Jaccard (recall must be 1.0: exact operator)
-    dt, rows = _timed(
-        lambda: ngram_jaccard_pairs(docs, threshold=CLUSTER_THRESH).collect()
-    )
-    checks["q20_ngram"] = _pair_metrics(
-        [(r.id_a, r.id_b) for r in rows], doc_pairs, CLUSTER_THRESH, eps
-    )
-    done("q20_ngram", dt)
+    if want("q20_ngram"):
+        # q20 — exact inverted-index Jaccard (recall must be 1.0: exact operator)
+        dt, rows = _timed(
+            lambda: ngram_jaccard_pairs(docs, threshold=CLUSTER_THRESH).collect()
+        )
+        checks["q20_ngram"] = _pair_metrics(
+            [(r.id_a, r.id_b) for r in rows], doc_pairs, CLUSTER_THRESH, eps
+        )
+        done("q20_ngram", dt)
 
     # q41 — pair graph -> connected components vs planted clusters
-    dt, rows = _timed(
-        lambda: dedup_clusters(
-            ngram_jaccard_pairs(docs, threshold=CLUSTER_THRESH)
-        ).collect()
-    )
-    got = {frozenset(int(m) for m in r.members.split(",")) for r in rows}
-    want = _components(doc_pairs, CLUSTER_THRESH, eps)
-    # eps-band pairs can merge two wanted components or add a member; only
-    # count a mismatch when a wanted component is not a subset of some got
-    # component and vice versa modulo band pairs — with this corpus the band
-    # is almost always empty, so plain equality is the expected outcome.
-    checks["q41_clusters"] = {
-        "planted_components": len(want),
-        "got_components": len(got),
-        "exact_match": got == want,
-    }
-    done("q41_clusters", dt)
+    if want("q41_clusters"):
+        dt, rows = _timed(
+            lambda: dedup_clusters(
+                ngram_jaccard_pairs(docs, threshold=CLUSTER_THRESH)
+            ).collect()
+        )
+        got = {frozenset(int(m) for m in r.members.split(",")) for r in rows}
+        planted = _components(doc_pairs, CLUSTER_THRESH, eps)
+        # eps-band pairs can merge two wanted components or add a member; only
+        # count a mismatch when a wanted component is not a subset of some got
+        # component and vice versa modulo band pairs — with this corpus the band
+        # is almost always empty, so plain equality is the expected outcome.
+        checks["q41_clusters"] = {
+            "planted_components": len(planted),
+            "got_components": len(got),
+            "exact_match": got == planted,
+        }
+        done("q41_clusters", dt)
 
     # q70 — incremental delta-vs-corpus probe (odd ids = delta)
-    dt, rows = _timed(
-        lambda: incremental_neardup(
-            docs.where(F.col("doc_id") % 2 == 1),
-            docs.where(F.col("doc_id") % 2 == 0),
-            threshold=J_THRESH,
-        ).collect()
-    )
-    cross = [(a, b, s) for a, b, s in doc_pairs if (a + b) % 2 == 1]
-    checks["q70_incremental"] = _pair_metrics(
-        [(r.new_id, r.corpus_id) for r in rows], cross, J_THRESH, eps
-    )
-    done("q70_incremental", dt)
+    if want("q70_incremental"):
+        dt, rows = _timed(
+            lambda: incremental_neardup(
+                docs.where(F.col("doc_id") % 2 == 1),
+                docs.where(F.col("doc_id") % 2 == 0),
+                threshold=J_THRESH,
+            ).collect()
+        )
+        cross = [(a, b, s) for a, b, s in doc_pairs if (a + b) % 2 == 1]
+        checks["q70_incremental"] = _pair_metrics(
+            [(r.new_id, r.corpus_id) for r in rows], cross, J_THRESH, eps
+        )
+        done("q70_incremental", dt)
 
     # q21 — blocked-GEMM cosine near-dup
-    dt, rows = _timed(
-        lambda: embedding_neardup_pairs_blocked(emb, threshold=COS_THRESH).collect()
-    )
-    checks["q21_embedding"] = _pair_metrics(
-        [(r.id_a, r.id_b) for r in rows], vec_pairs, COS_THRESH, eps
-    )
-    done("q21_embedding", dt)
+    if want("q21_embedding"):
+        dt, rows = _timed(
+            lambda: embedding_neardup_pairs_blocked(emb, threshold=COS_THRESH).collect()
+        )
+        checks["q21_embedding"] = _pair_metrics(
+            [(r.id_a, r.id_b) for r in rows], vec_pairs, COS_THRESH, eps
+        )
+        done("q21_embedding", dt)
 
     # q72 — SemDeDup: within-k-means-cell cosine pairs. Recall < 1.0 is the
     # designed trade (a planted pair straddling a cell boundary is dropped);
     # report it rather than gate it. Extras must still be zero: within-cell
     # scoring is exact, so any pair it emits is a true >=threshold pair.
-    dt, rows = _timed(
-        lambda: semantic_dedup_pairs(emb, n_cells=16, threshold=COS_THRESH).collect()
-    )
-    m72 = _pair_metrics([(r.id_a, r.id_b) for r in rows], vec_pairs, COS_THRESH, eps)
-    checks["q72_semantic"] = m72
-    done("q72_semantic", dt)
+    if want("q72_semantic"):
+        dt, rows = _timed(
+            lambda: semantic_dedup_pairs(emb, n_cells=16, threshold=COS_THRESH).collect()
+        )
+        m72 = _pair_metrics([(r.id_a, r.id_b) for r in rows], vec_pairs, COS_THRESH, eps)
+        checks["q72_semantic"] = m72
+        done("q72_semantic", dt)
 
     # q29 — k-means-trained IVF build + probe; recall@k vs numpy brute force
-    def _q29():
-        cents = kmeans_fit(emb, k=IVF_CELLS, max_iter=2, tol=0.0)
-        return ivf_topk(
-            emb,
-            emb.where(F.col("vec_id") < 10),
-            k=IVF_K,
-            nprobe=IVF_NPROBE,
-            centroids=cents,
-        ).collect()
+    if want("q29_ivf"):
+        def _q29():
+            cents = kmeans_fit(emb, k=IVF_CELLS, max_iter=2, tol=0.0)
+            return ivf_topk(
+                emb,
+                emb.where(F.col("vec_id") < 10),
+                k=IVF_K,
+                nprobe=IVF_NPROBE,
+                centroids=cents,
+            ).collect()
 
-    dt, rows = _timed(_q29)
-    mat = np.vstack(
-        pq.read_table(os.path.join(ds_dir, "embeddings.parquet"))
-        .column("embedding")
-        .to_pylist()
-    ).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    sims = mat[:10] @ mat.T
-    np.fill_diagonal(sims[:, :10], -np.inf)
-    true_topk = {
-        p: set(np.argsort(-sims[p])[:IVF_K].tolist()) for p in range(10)
-    }
-    got_nbrs: dict[int, set] = {}
-    for r in rows:
-        got_nbrs.setdefault(r.probe_id, set()).add(r.neighbor_id)
-    hits = sum(len(got_nbrs.get(p, set()) & true_topk[p]) for p in range(10))
-    checks["q29_ivf"] = {
-        "recall_at_k": round(hits / (10 * IVF_K), 4),
-        "probes": 10,
-        "k": IVF_K,
-        "nprobe": IVF_NPROBE,
-        "n_cells": IVF_CELLS,
-    }
-    done("q29_ivf", dt)
+        dt, rows = _timed(_q29)
+        mat = np.vstack(
+            pq.read_table(os.path.join(ds_dir, "embeddings.parquet"))
+            .column("embedding")
+            .to_pylist()
+        ).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat[:10] @ mat.T
+        np.fill_diagonal(sims[:, :10], -np.inf)
+        true_topk = {
+            p: set(np.argsort(-sims[p])[:IVF_K].tolist()) for p in range(10)
+        }
+        got_nbrs: dict[int, set] = {}
+        for r in rows:
+            got_nbrs.setdefault(r.probe_id, set()).add(r.neighbor_id)
+        hits = sum(len(got_nbrs.get(p, set()) & true_topk[p]) for p in range(10))
+        checks["q29_ivf"] = {
+            "recall_at_k": round(hits / (10 * IVF_K), 4),
+            "probes": 10,
+            "k": IVF_K,
+            "nprobe": IVF_NPROBE,
+            "n_cells": IVF_CELLS,
+        }
+        done("q29_ivf", dt)
 
     # q73 — bloom-gated exact-digest membership (odd ids = delta). Cost must
     # scale with |delta| + the broadcast filter, never |history| re-joined;
     # exactness cross-checked against a plain membership join per factor.
-    hashed = docs.select("doc_id", F.md5("text").alias("content_hash"))
-    delta_h = hashed.where(F.col("doc_id") % 2 == 1)
-    hist_h = hashed.where(F.col("doc_id") % 2 == 0)
-    dt, n_seen = _timed(
-        lambda: seen_membership(delta_h, hist_h, ["content_hash"])
-        .where("seen")
-        .count()
-    )
-    plain = (
-        delta_h.join(
-            hist_h.select("content_hash").distinct(), "content_hash", "left_semi"
-        ).count()
-    )
-    checks["q73_membership"] = {
-        "seen_bloom": n_seen,
-        "seen_plain_join": plain,
-        "exact_match": n_seen == plain,
-    }
-    done("q73_membership", dt)
+    if want("q73_membership"):
+        hashed = docs.select("doc_id", F.md5("text").alias("content_hash"))
+        delta_h = hashed.where(F.col("doc_id") % 2 == 1)
+        hist_h = hashed.where(F.col("doc_id") % 2 == 0)
+        dt, n_seen = _timed(
+            lambda: seen_membership(delta_h, hist_h, ["content_hash"])
+            .where("seen")
+            .count()
+        )
+        plain = (
+            delta_h.join(
+                hist_h.select("content_hash").distinct(), "content_hash", "left_semi"
+            ).count()
+        )
+        checks["q73_membership"] = {
+            "seen_bloom": n_seen,
+            "seen_plain_join": plain,
+            "exact_match": n_seen == plain,
+        }
+        done("q73_membership", dt)
 
     # q74 — PageRank, 3 iterations over a synthetic 2-out-regular graph on
     # the doc ids (gen_scale has no link table; the graph size tracks the
     # corpus factor). Exact integer arithmetic means the mass invariant is
     # checkable: every node has out-edges, so total rank after any round is
     # scale minus only integer-floor dust.
-    n_docs = truth["n_docs"]
-    edges = docs.select(F.col("doc_id").alias("src")).select(
-        "src",
-        F.explode(
-            F.array(
-                (F.col("src") * 7919 + 13) % n_docs,
-                (F.col("src") * 104729 + 7) % n_docs,
-            )
-        ).alias("dst"),
-    )
-    dt, mass = _timed(
-        lambda: pagerank(edges, iters=3)
-        .agg(F.sum("rank_scaled").alias("m"))
-        .collect()[0]["m"]
-    )
-    checks["q74_pagerank"] = {
-        "rank_mass": int(mass),
-        "scale": 10**12,
-        "mass_conserved": 0.99 * 10**12 <= mass <= 10**12,
-    }
-    done("q74_pagerank", dt)
+    if want("q74_pagerank"):
+        n_docs = truth["n_docs"]
+        edges = docs.select(F.col("doc_id").alias("src")).select(
+            "src",
+            F.explode(
+                F.array(
+                    (F.col("src") * 7919 + 13) % n_docs,
+                    (F.col("src") * 104729 + 7) % n_docs,
+                )
+            ).alias("dst"),
+        )
+        dt, mass = _timed(
+            lambda: pagerank(edges, iters=3)
+            .agg(F.sum("rank_scaled").alias("m"))
+            .collect()[0]["m"]
+        )
+        checks["q74_pagerank"] = {
+            "rank_mass": int(mass),
+            "scale": 10**12,
+            "mass_conserved": 0.99 * 10**12 <= mass <= 10**12,
+        }
+        done("q74_pagerank", dt)
 
     # q75 — cross-doc repeated 10-grams. Exact Python replay at the
     # smallest factor (450k gram positions — cheap in-process); wall-clock
     # plus the repeated-position count at larger factors (the operator is
     # oracle-gated at driver SFs; here the question is the scaling shape of
     # the window + gram-hash shuffle).
-    dt, rows = _timed(lambda: crossdoc_repeated_grams(docs, k=10).collect())
-    if factor <= 1:
-        import re
+    if want("q75_boilerplate"):
+        dt, rows = _timed(lambda: crossdoc_repeated_grams(docs, k=10).collect())
+        if factor <= 1:
+            import re
 
-        tbl = pq.read_table(
-            os.path.join(ds_dir, "documents.parquet"), columns=["doc_id", "text"]
+            tbl = pq.read_table(
+                os.path.join(ds_dir, "documents.parquet"), columns=["doc_id", "text"]
+            )
+            gram_docs: dict[str, set] = {}
+            per_doc: dict[int, list] = {}
+            for did, text in zip(
+                tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+            ):
+                toks = [t for t in re.split(r"[^A-Za-z]+", text) if t]
+                grams = [" ".join(toks[i : i + 10]) for i in range(len(toks) - 9)]
+                if grams:
+                    per_doc[did] = grams
+                for g in set(grams):
+                    gram_docs.setdefault(g, set()).add(did)
+            rep = {g for g, ds_ in gram_docs.items() if len(ds_) >= 2}
+            expected = {
+                did: (len(gs), sum(1 for g in gs if g in rep))
+                for did, gs in per_doc.items()
+            }
+            got = {r.id: (r.n_grams, r.n_repeated) for r in rows}
+            checks["q75_boilerplate"] = {
+                "exact_match": got == expected,
+                "n_docs": len(expected),
+                "repeated_positions": sum(v[1] for v in expected.values()),
+            }
+        else:
+            checks["q75_boilerplate"] = {
+                "rows": len(rows),
+                "repeated_positions": int(sum(r.n_repeated for r in rows)),
+            }
+        done("q75_boilerplate", dt)
+
+    # q105 — exact n-gram containment (asymmetric rung; shares q20's
+    # inverted-index skeleton). Exact operator: recall must be 1.0 and
+    # extras 0 against the planted containment truth (truth.json
+    # doc_pairs_cont; gen_scale gates sampled cross-pair containment < 0.4,
+    # so the 0.5 threshold separates planted pairs exactly).
+    if want("q105_containment"):
+        dt, rows = _timed(
+            lambda: ngram_containment_pairs(docs, threshold=CONT_THRESH).collect()
         )
-        gram_docs: dict[str, set] = {}
-        per_doc: dict[int, list] = {}
-        for did, text in zip(
-            tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
-        ):
-            toks = [t for t in re.split(r"[^A-Za-z]+", text) if t]
-            grams = [" ".join(toks[i : i + 10]) for i in range(len(toks) - 9)]
-            if grams:
-                per_doc[did] = grams
-            for g in set(grams):
-                gram_docs.setdefault(g, set()).add(did)
-        rep = {g for g, ds_ in gram_docs.items() if len(ds_) >= 2}
-        want = {
-            did: (len(gs), sum(1 for g in gs if g in rep))
-            for did, gs in per_doc.items()
-        }
-        got = {r.id: (r.n_grams, r.n_repeated) for r in rows}
-        checks["q75_boilerplate"] = {
-            "exact_match": got == want,
-            "n_docs": len(want),
-            "repeated_positions": sum(v[1] for v in want.values()),
-        }
-    else:
-        checks["q75_boilerplate"] = {
-            "rows": len(rows),
-            "repeated_positions": int(sum(r.n_repeated for r in rows)),
-        }
-    done("q75_boilerplate", dt)
+        cont_pairs = [(a, b, c) for a, b, c in truth.get("doc_pairs_cont", [])]
+        if cont_pairs:
+            checks["q105_containment"] = _pair_metrics(
+                [(r.id_a, r.id_b) for r in rows], cont_pairs, CONT_THRESH, eps
+            )
+        else:
+            checks["q105_containment"] = {
+                "predicted": len(rows),
+                "note": "truth.json predates doc_pairs_cont — regenerate to gate recall",
+            }
+        done("q105_containment", dt)
 
     return {
         "n_docs": truth["n_docs"],
@@ -387,14 +430,28 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALE.json"))
     ap.add_argument("--seed", type=int, default=2026)
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated check-name subset (e.g. q18_minhash,q105_containment)",
+    )
+    ap.add_argument(
+        "--flag-threshold",
+        type=float,
+        default=1.3,
+        help="flag queries whose overall exponent meets this (r07 ask #3: 1.3 over log100)",
+    )
     args = ap.parse_args()
     factors = [float(x) for x in args.factors.split(",")]
+    only = set(args.queries.split(",")) if args.queries else None
 
     spark = get_spark("bench_scale")
     results: dict[str, dict] = {}
     for f_ in factors:
         t0 = time.perf_counter()
-        results[f"x{f_:g}"] = run_factor(spark, f_, args.out_dir, args.seed, args.repeat)
+        results[f"x{f_:g}"] = run_factor(
+            spark, f_, args.out_dir, args.seed, args.repeat, only
+        )
         print(
             f"# factor {f_:g} done in {time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
@@ -422,11 +479,16 @@ def main() -> None:
         "thresholds": {
             "jaccard": J_THRESH,
             "cluster": CLUSTER_THRESH,
+            "containment": CONT_THRESH,
             "cosine": COS_THRESH,
         },
         "factors": results,
         "scaling_exponent_overall": exp_overall,
         "scaling_exponent_last_step": exp_last,
+        "flag_threshold": args.flag_threshold,
+        "flagged": sorted(
+            q for q, e in exp_overall.items() if e >= args.flag_threshold
+        ),
         "q18_subquadratic": exp_overall.get("q18_minhash", 99) < 2.0,
     }
     with open(args.out, "w") as f:

@@ -91,6 +91,14 @@ def _jaccard(a: frozenset, b: frozenset) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+def _containment(a: frozenset, b: frozenset) -> float:
+    """Overlap coefficient inter/min(|A|,|B|) — mirrors
+    operators/dedup.py:ngram_containment_pairs (q105)."""
+    if not a or not b:
+        return 0.0
+    return len(a & b) / min(len(a), len(b))
+
+
 def _plan_clusters(
     rng: np.random.Generator, n_items: int, frac: float, min_sz: int, max_sz: int
 ) -> list[list[int]]:
@@ -147,14 +155,19 @@ def gen_documents(n_docs: int, seed: int):
         toks_cache[i] = toks
         texts[i] = " ".join(toks)
 
-    # exact ground truth for every within-cluster pair
+    # exact ground truth for every within-cluster pair (jaccard for
+    # q18/q20/q41/q70, containment for q105 — same pair set, two scores)
     doc_pairs = []
+    doc_pairs_cont = []
     sh_cache = {i: _shingles(toks_cache[i]) for c in clusters for i in c}
     for c in clusters:
         for x in range(len(c)):
             for y in range(x + 1, len(c)):
                 a, b = c[x], c[y]
                 doc_pairs.append((a, b, _jaccard(sh_cache[a], sh_cache[b])))
+                doc_pairs_cont.append(
+                    (a, b, _containment(sh_cache[a], sh_cache[b]))
+                )
 
     # sampled independence check: no unplanned near-dups lurking.
     # Skip only same-cluster pairs (those are the planted positives).
@@ -163,16 +176,23 @@ def gen_documents(n_docs: int, seed: int):
     ia = rng.integers(0, n_docs, size=n_chk)
     ib = rng.integers(0, n_docs, size=n_chk)
     worst = 0.0
+    worst_cont = 0.0
     for a, b in zip(ia, ib):
         a, b = int(a), int(b)
         if a == b or cluster_id.get(a, -1) == cluster_id.get(b, -2):
             continue
-        j = _jaccard(_shingles(toks_cache[a]), _shingles(toks_cache[b]))
-        worst = max(worst, j)
+        sa, sb = _shingles(toks_cache[a]), _shingles(toks_cache[b])
+        worst = max(worst, _jaccard(sa, sb))
+        worst_cont = max(worst_cont, _containment(sa, sb))
     if worst >= 0.1:
         raise AssertionError(
             f"cross-pair Jaccard sample hit {worst:.3f} — construction no longer "
             "guarantees planted pairs are the only positives"
+        )
+    if worst_cont >= 0.4:
+        raise AssertionError(
+            f"cross-pair containment sample hit {worst_cont:.3f} — the q105 "
+            "bench threshold (0.5) would no longer separate planted pairs"
         )
 
     table = pa.table(
@@ -184,7 +204,7 @@ def gen_documents(n_docs: int, seed: int):
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )
-    return table, clusters, doc_pairs, worst
+    return table, clusters, doc_pairs, doc_pairs_cont, worst, worst_cont
 
 
 def gen_embeddings(n_vecs: int, seed: int):
@@ -230,7 +250,9 @@ def generate(factor: float, out_dir: str, seed: int = 2026) -> str:
     ds_dir = os.path.join(out_dir, tag)
     os.makedirs(ds_dir, exist_ok=True)
 
-    docs_tbl, doc_clusters, doc_pairs, worst_cross = gen_documents(n_docs, seed)
+    docs_tbl, doc_clusters, doc_pairs, doc_pairs_cont, worst_cross, worst_cont = (
+        gen_documents(n_docs, seed)
+    )
     emb_tbl, vec_clusters, vec_pairs, _ = gen_embeddings(n_vecs, seed)
     pq.write_table(docs_tbl, os.path.join(ds_dir, "documents.parquet"))
     pq.write_table(emb_tbl, os.path.join(ds_dir, "embeddings.parquet"))
@@ -242,8 +264,10 @@ def generate(factor: float, out_dir: str, seed: int = 2026) -> str:
         "n_vecs": n_vecs,
         "eps": EPS,
         "worst_sampled_cross_jaccard": worst_cross,
+        "worst_sampled_cross_containment": worst_cont,
         "doc_clusters": doc_clusters,
         "doc_pairs": [[a, b, round(j, 8)] for a, b, j in doc_pairs],
+        "doc_pairs_cont": [[a, b, round(c, 8)] for a, b, c in doc_pairs_cont],
         "vec_clusters": vec_clusters,
         "vec_pairs": [[a, b, round(c, 8)] for a, b, c in vec_pairs],
     }
