@@ -1408,8 +1408,16 @@ FROM m
 
 @query("q97_degree_assortativity", _Q97_ORACLE)
 def q97_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The edge list feeds FOUR consumers (both orientations of `directed`,
+    # the degree build via it, and the n_edges count) and each would
+    # otherwise replay the events scan + get_json_object parse + distinct
+    # shuffle — measured 4x the standing wall-time before persisting
+    # (round-8 solo re-bench). Persist edges once; deg is O(|V|) and feeds
+    # three consumers (du, dv, n_nodes), persist it too.
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+
     events = load_table(spark, sf_dir, "events")
-    edges = (
+    edges = scoped_persist(
         events.select(
             F.col("user_id").alias("src"),
             F.get_json_object("props", "$.k").cast("bigint").alias("dst"),
@@ -1423,7 +1431,9 @@ def q97_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     directed = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    deg = directed.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    deg = scoped_persist(
+        directed.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("x"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("y"))
     xy = directed.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
