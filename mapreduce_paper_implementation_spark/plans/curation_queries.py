@@ -2423,3 +2423,190 @@ def q109_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_pairs"))
         .orderBy("source_lo", "source_hi")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q110 histogram-tile deciles — q91's 100 TB path AS A QUERY, oracle-gated:
+# the per-type equi-depth summary computed by tile_assign_via_hist
+# (operators/incremental.py §4) instead of NTILE. No per-group sort
+# anywhere: one (type, bin) partial-agg histogram, the nine exact NTILE
+# boundary ranks located on the bounded cumulative histogram, cutpoints
+# BROADCAST, tile = 1 + #cutpoints strictly below the row's bin — a
+# map-side projection. The oracle re-implements the identical cutpoint
+# algebra in SQL, so the gate is hash-exact (unlike the q91 differential,
+# which allows the documented within-bin tolerance vs TRUE NTILE — this
+# query pins the cutpoint semantics themselves cross-engine).
+#
+# Float discipline: bin = floor(value * 4) — one IEEE multiply + floor on
+# the same stored double in both engines; everything after is integer.
+# ---------------------------------------------------------------------------
+
+_Q110_ORACLE = """
+WITH h AS (
+  SELECT event_type, CAST(floor(value * 4) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+cum AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM h
+),
+tgt AS (
+  SELECT event_type, k, CAST(k * (n // 10) + LEAST(k, n % 10) AS BIGINT) AS t
+  FROM tot CROSS JOIN (SELECT unnest(range(1, 10)) AS k)
+),
+cuts AS (
+  SELECT g.event_type, g.k, c.bin AS cut_bin
+  FROM tgt g JOIN cum c ON g.event_type = c.event_type
+  WHERE c.cum - c.cnt < g.t AND c.cum >= g.t
+),
+assigned AS (
+  SELECT e.event_id, e.event_type, e.value,
+         CAST(1 + COUNT(c.k) AS BIGINT) AS tile
+  FROM events e
+  LEFT JOIN cuts c
+    ON c.event_type = e.event_type
+   AND c.cut_bin < CAST(floor(e.value * 4) AS BIGINT)
+  GROUP BY e.event_id, e.event_type, e.value
+)
+SELECT event_type, tile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM assigned GROUP BY 1, 2
+ORDER BY event_type, tile
+"""
+
+
+@query("q110_hist_tile_deciles", _Q110_ORACLE)
+def q110_hist_tile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.incremental import (
+        tile_assign_via_hist,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    )
+    assigned = tile_assign_via_hist(
+        events, ["event_type"], "value", n_tiles=10, inv_width=4
+    )
+    return (
+        assigned.groupBy("event_type", "tile")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type", "tile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q111 BM25 ranked retrieval — top-10 documents for a corpus-derived query
+# (the 5 mid-frequency terms ranked 10-14 by document frequency), scored
+# with Okapi BM25 (k1=1.2, b=0.75): the classic ranked-retrieval pass a
+# training-data pipeline runs to find documents relevant to a probe set,
+# completing the IR family (q48 term vectors, q49 TF-IDF, q16/q28/q29
+# embedding retrieval) with the lexical ranking standard.
+#
+# Scale shape: the (doc, term) tf table is ONE shuffle and is persisted
+# (it feeds tf itself, dl, df); corpus stats (N, sum dl) are a single-row
+# broadcast; the query-term set is O(5) and BROADCAST into a semi-join, so
+# scoring touches only postings of query terms (never the corpus); the
+# per-doc sum is a partial agg; top-10 = TakeOrdered over the rounded
+# score. The query-term pick ranks the BOUNDED term-df aggregate (q13
+# discipline: row_number over |vocab| rows, never the corpus).
+#
+# Float discipline: <= 5 ln-terms summed per doc then ROUND(,4) (SURVEY
+# §8.23); every constant CAST to DOUBLE in the oracle (DuckDB parses bare
+# decimals as DECIMAL); identical operation order in both engines; ranking
+# orders by the ROUNDED score with doc_id tiebreak (total order).
+# ---------------------------------------------------------------------------
+
+_Q111_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+  FROM dl
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+qterms AS (
+  SELECT term, df FROM (
+    SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS r FROM dfreq
+  ) WHERE r BETWEEN 10 AND 14
+),
+scored AS (
+  SELECT tf.doc_id,
+         ln(CAST(1.0 AS DOUBLE)
+            + (CAST(n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              / (CAST(q.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         / (CAST(tf.tf AS DOUBLE)
+            + CAST(1.2 AS DOUBLE)
+              * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE)
+                   * (CAST(dl.dl AS DOUBLE)
+                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+         AS contrib
+  FROM tf JOIN qterms q USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, CAST(ROUND(SUM(contrib), 4) AS DOUBLE) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
+@query("q111_bm25_topk", _Q111_ORACLE)
+def q111_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = scoped_persist(
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    w = Window.orderBy(F.col("df").desc(), "term")
+    qterms = (
+        dfreq.select("term", "df", F.row_number().over(w).alias("r"))
+        .where((F.col("r") >= 10) & (F.col("r") <= 14))
+        .select("term", "df")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / nd
+    idf = F.log(F.lit(1.0) + (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)))
+    contrib = (
+        idf
+        * (tfd * F.lit(2.2))
+        / (tfd + F.lit(1.2) * (F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * (dld / avgdl)))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
