@@ -156,6 +156,60 @@ def adaptive_threshold_from_hist(state: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BM25 ranked retrieval readout (q111 + bm25_view)
+# ---------------------------------------------------------------------------
+
+
+def bm25_readout(
+    tf: DataFrame, k1: float = 1.2, b: float = 0.75, top: int = 10
+) -> DataFrame:
+    """q111's output (doc_id, score) from a (doc_id, term, tf) postings
+    frame — which is also the streaming postings_maintainer's state shape,
+    so batch and served retrieval share this one expression tree.
+
+    Everything derives from the postings: dl = per-doc token count, corpus
+    stats (N, sum dl) a single-row broadcast, the query = the 5
+    mid-frequency terms (df ranks 10-14, total order by (df DESC, term) —
+    a row_number over the BOUNDED vocabulary aggregate, never the corpus),
+    Okapi BM25 summed per doc (<= 5 ln-terms, ROUND(,4)), top-`top` by the
+    rounded score with doc_id tiebreak."""
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w = Window.orderBy(F.col("df").desc(), "term")
+    qterms = (
+        dfreq.select("term", "df", F.row_number().over(w).alias("r"))
+        .where((F.col("r") >= 10) & (F.col("r") <= 14))
+        .select("term", "df")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / nd
+    idf = F.log(F.lit(1.0) + (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)))
+    contrib = (
+        idf
+        * (tfd * F.lit(k1 + 1.0))
+        / (tfd + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * (dld / avgdl)))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(top)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Benford first-digit readout (q107 + benford_view)
 # ---------------------------------------------------------------------------
 

@@ -2568,7 +2568,14 @@ LIMIT 10
 
 @query("q111_bm25_topk", _Q111_ORACLE)
 def q111_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the entire tail after postings construction is bm25_readout
+    # (operators/serving.py) — the SAME function the streaming
+    # postings_maintainer's bm25_view serves from maintained state, so
+    # batch == served structurally. (float note: Python 1.2+1.0 == 2.2
+    # exactly, so the k1+1 constant folds identically to the oracle's
+    # CAST(2.2 AS DOUBLE).)
     from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+    from mapreduce_paper_implementation_spark.operators.serving import bm25_readout
 
     docs = load_table(spark, sf_dir, "documents")
     tf = scoped_persist(
@@ -2576,37 +2583,4 @@ def q111_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    stats = dl.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("sum_dl"),
-    )
-    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    w = Window.orderBy(F.col("df").desc(), "term")
-    qterms = (
-        dfreq.select("term", "df", F.row_number().over(w).alias("r"))
-        .where((F.col("r") >= 10) & (F.col("r") <= 14))
-        .select("term", "df")
-    )
-    scored = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
-    nd = F.col("n_docs").cast("double")
-    dfd = F.col("df").cast("double")
-    tfd = F.col("tf").cast("double")
-    dld = F.col("dl").cast("double")
-    avgdl = F.col("sum_dl").cast("double") / nd
-    idf = F.log(F.lit(1.0) + (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)))
-    contrib = (
-        idf
-        * (tfd * F.lit(2.2))
-        / (tfd + F.lit(1.2) * (F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * (dld / avgdl)))
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(F.round(F.sum(contrib), 4).alias("score"))
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(10)
-    )
+    return bm25_readout(tf)

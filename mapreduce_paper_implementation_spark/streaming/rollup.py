@@ -362,6 +362,48 @@ def ab_test_view(state: DataFrame) -> DataFrame:
     return ab_readout(u)
 
 
+def postings_maintainer(spark: SparkSession, state_dir: str) -> RollupMaintainer:
+    """Streaming twin of q111's retrieval index: maintains the
+    (doc_id, term, tf) postings table from per-batch document deltas —
+    term frequencies are purely additive, so the generic versioned
+    RollupMaintainer applies unchanged (a re-crawled doc's counts merge;
+    replayed batches no-op via versioning). Everything BM25 needs — df,
+    per-doc length, corpus N and total length — DERIVES from the postings,
+    so the state is the one table real retrieval systems incrementally
+    maintain. Serving side: `bm25_view(maintainer.current_state())`
+    re-ranks from state alone — the corpus-derived query terms and the idf
+    weights shift as ingest changes document frequencies, which a
+    per-batch-only scorer would never revisit."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_paper_implementation_spark.functions.text import tokens
+
+    def state_fn(delta: DataFrame) -> DataFrame:
+        return (
+            delta.select("doc_id", F.explode(tokens("text")).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
+
+    def merge_fn(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.unionByName(b)
+            .groupBy("doc_id", "term")
+            .agg(F.sum("tf").cast("long").alias("tf"))
+        )
+
+    return RollupMaintainer(spark, state_dir, state_fn=state_fn, merge_fn=merge_fn)
+
+
+def bm25_view(state: DataFrame) -> DataFrame:
+    """q111's top-10 output from maintained (doc_id, term, tf) postings —
+    the batch query and this view call the SAME bm25_readout
+    (operators/serving.py), so served == one-shot structurally."""
+    from mapreduce_paper_implementation_spark.operators.serving import bm25_readout
+
+    return bm25_readout(state)
+
+
 def digit_counts_maintainer(spark: SparkSession, state_dir: str) -> RollupMaintainer:
     """Streaming twin of q107's Benford audit: maintains (event_type,
     leading-digit) -> cnt from event deltas — additive, state bounded by

@@ -85,6 +85,7 @@ def run(spark, ds_dir: str, events_dir: str, n_batches: int, compact_every: int)
     from mapreduce_paper_implementation_spark.streaming.rollup import (
         ab_counters_maintainer,
         digit_counts_maintainer,
+        postings_maintainer,
         quality_hist_maintainer,
     )
     from mapreduce_paper_implementation_spark.streaming.tri_index import (
@@ -148,6 +149,16 @@ def run(spark, ds_dir: str, events_dir: str, n_batches: int, compact_every: int)
         (
             "quality_hist",
             lambda s: quality_hist_maintainer(spark, s),
+            docs,
+            "doc_id",
+            lambda _res: 0,
+        ),
+        # q111's retrieval index: postings are additive, but the state is
+        # O(docs x distinct terms) — the largest maintained state here, so
+        # its flat-cost claim is the most load-bearing
+        (
+            "postings",
+            lambda s: postings_maintainer(spark, s),
             docs,
             "doc_id",
             lambda _res: 0,

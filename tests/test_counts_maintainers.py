@@ -140,3 +140,29 @@ def test_digit_counts_match_q107_bitwise(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, benford_view(m.current_state()).collect()))
     q107 = sorted(map(tuple, QUERIES["q107_benford_audit"](spark, sf_dir).collect()))
     assert got == q107
+
+
+def test_postings_match_q111_after_every_batch(spark, sf_dir, tmp_path):
+    """Maintained postings serve the SAME top-10 as batch q111 once all
+    batches land (shared bm25_readout), and the served ranking genuinely
+    MOVES as ingest shifts document frequencies (the reason the index is
+    maintained rather than scored per batch)."""
+    from mapreduce_paper_implementation_spark.streaming.rollup import (
+        bm25_view,
+        postings_maintainer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = postings_maintainer(spark, str(tmp_path / "postings"))
+    n_batches = 3
+    prefix_top = []
+    for bid in range(n_batches):
+        m.update(docs.where(F.col("doc_id") % n_batches == bid), bid)
+        prefix_top.append(list(map(tuple, bm25_view(m.current_state()).collect())))
+    q111 = list(map(tuple, QUERIES["q111_bm25_topk"](spark, sf_dir).collect()))
+    assert prefix_top[-1] == q111
+    # the first-prefix ranking differs from the full-corpus one (df/idf and
+    # even the corpus-derived query terms shift as history accrues)
+    assert prefix_top[0] != prefix_top[-1]
+    # replay no-op
+    assert m.update(docs.where(F.col("doc_id") % n_batches == 0), 0) is None
