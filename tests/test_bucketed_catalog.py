@@ -118,3 +118,34 @@ def test_q98_bucketed_cdc_join_is_exchange_free(spark, sf_dir, catalog, no_broad
     assert bp.count("Exchange") == 1 and "rangepartitioning" in bp, bp
     assert pp.count("Exchange") - bp.count("Exchange") >= 2, (bp, pp)
     assert _rows(bucketed) == _rows(q98_snapshot_diff(spark, sf_dir))
+
+
+def test_window_over_bucketed_scan_needs_no_exchange(spark, sf_dir, catalog, no_broadcast):
+    """The catalog serves the WINDOW family too, not just joins: q90's
+    SCD2 lag/run windows partition by o_custkey, and over orders_bck
+    (bucketed on o_custkey) the window's required distribution is already
+    satisfied by the scan — zero Exchange before the window (an in-task
+    Sort remains; sorting inside co-located buckets is the cheap half).
+    The unbucketed twin shuffles the full fact table first."""
+    from pyspark.sql import Window
+
+    def scd2_runs(orders):
+        o = orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.unix_micros("o_orderdate").alias("d_us"),
+            "o_orderpriority",
+        )
+        w = Window.partitionBy("o_custkey").orderBy("d_us", "o_orderkey")
+        changed = (
+            F.lag("o_orderpriority").over(w).isNull()
+            | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority"))
+        ).cast("long")
+        return o.withColumn("run_id", F.sum(changed).over(w))
+
+    bucketed = scd2_runs(spark.table("orders_bck"))
+    plain = scd2_runs(load_table(spark, sf_dir, "orders"))
+    bp, pp = _plan(bucketed), _plan(plain)
+    assert "Exchange" not in bp, bp  # bucketed scan satisfies the window
+    assert "Exchange hashpartitioning(o_custkey" in pp
+    assert _rows(bucketed) == _rows(plain)

@@ -130,3 +130,61 @@ def test_q77_matches_oracle(spark, sf_dir, oracle):
         ORACLES["q77_merge_upsert"], sf_dir,
     )
     assert res.ok, res.detail
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff ∘ merge_upsert roundtrip law: the changeset DERIVED from two
+# snapshots, APPLIED to the old one, reproduces the new one exactly — the
+# algebraic contract connecting the CDC detection operator to the MERGE
+# operator it feeds (q98 -> q77 pipeline).
+# ---------------------------------------------------------------------------
+
+
+def _apply_diff(spark, old, new):
+    from mapreduce_paper_implementation_spark.operators.merge import snapshot_diff
+
+    d = snapshot_diff(old, new, ["k"], ["v", "s"])
+    changeset = d.select(
+        "k",
+        F.col("new_v").alias("v"),
+        F.col("new_s").alias("s"),
+        (F.col("change_type") == "DELETE").alias("dead"),
+    )
+    return merge_upsert(old, changeset, ["k"], tombstone_col="dead")
+
+
+def test_diff_then_apply_roundtrips(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows = st.lists(
+        st.tuples(
+            st.integers(0, 9),
+            st.integers(-3, 3),
+            st.sampled_from(["a", "b", None]),
+        ),
+        max_size=12,
+    )
+
+    @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(old_rows=rows, new_rows=rows)
+    def run(old_rows, new_rows):
+        # snapshots: one row per key (last write wins in the dict)
+        old_d = {k: (v, s) for k, v, s in old_rows}
+        new_d = {k: (v, s) for k, v, s in new_rows}
+        schema = "k long, v long, s string"
+        old = spark.createDataFrame(
+            [(k, v, s) for k, (v, s) in old_d.items()] or [(99, 0, "x")], schema
+        )
+        new = spark.createDataFrame(
+            [(k, v, s) for k, (v, s) in new_d.items()] or [(99, 0, "x")], schema
+        )
+        if not old_d:
+            old = old.where("k < 0")
+        if not new_d:
+            new = new.where("k < 0")
+        got = sorted(map(tuple, _apply_diff(spark, old, new).collect()))
+        want = sorted((k, v, s) for k, (v, s) in new_d.items())
+        assert got == want
+
+    run()

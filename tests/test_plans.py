@@ -433,3 +433,25 @@ def test_q101_attribution_interval_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_q110_cutpoints_broadcast_no_sort_of_corpus(spark, sf_dir):
+    # the NTILE stand-in must never sort or single-partition the event
+    # stream: cutpoints come from the bounded histogram (windowed over
+    # (type, bin) rows), broadcast onto the corpus, and the only corpus
+    # shuffles are the histogram partial-agg and the final bounded agg
+    plan = _plan(spark, sf_dir, "q110_hist_tile_deciles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # cutpoint table broadcast
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q111_query_terms_broadcast_postings_never_nl(spark, sf_dir):
+    # scoring touches only query-term postings via a broadcast semi-shape
+    # join; the single-row corpus stats ride a broadcast nested loop (the
+    # q49/q57 single-row pattern) and nothing is a cartesian
+    plan = _plan(spark, sf_dir, "q111_bm25_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # qterms onto postings
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # single-row stats only
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
