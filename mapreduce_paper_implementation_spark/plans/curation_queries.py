@@ -2584,3 +2584,98 @@ def q111_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("tf"))
     )
     return bm25_readout(tf)
+
+
+# ---------------------------------------------------------------------------
+# Q112 rolling 7-day p95 — the monitoring primitive: per day, the exact
+# 95th-percentile event value over the trailing 7 days. Composes the
+# round's quantile discipline (q103/q110: bounded histogram + exact
+# selection rule — never a per-window sort) with q96's contribution
+# expansion (each (day, value) histogram row contributes to <= 7 target
+# days — bounded fan-out, no self-join of days, no re-scan per window).
+#
+# Exactness: values have 2dp precision, so integer cents are lossless and
+# the per-day histogram is bounded by the value domain (6.6k bins at
+# sf0.01), independent of event count. The rank rule is integer-exact:
+# t = ceil(0.95 * n) = (19n + 19) div 20; p95 = min cent with cum >= t;
+# the only float is the final cents/100 division, identical both engines.
+#
+# Scale shape: one (day, cent) partial-agg shuffle over the events, x7
+# bounded expansion on the HISTOGRAM (not the events), cumsum window over
+# each day's bounded histogram, broadcast day totals. At 100 TB of events
+# the expansion input is |days| x |bins|, not |events|.
+# ---------------------------------------------------------------------------
+
+_Q112_ORACLE = f"""
+WITH h AS (
+  SELECT CAST(epoch_us(ts) // {_DAY_US_} AS BIGINT) AS day_num,
+         CAST(ROUND(value * 100) AS BIGINT) AS cent,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+mx AS (SELECT MAX(day_num) AS max_day FROM h),
+hh AS (
+  SELECT day_num + o.off AS target_day, cent, CAST(SUM(c) AS BIGINT) AS c
+  FROM h CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o CROSS JOIN mx
+  WHERE day_num + o.off <= mx.max_day
+  GROUP BY 1, 2
+),
+cnt AS (SELECT target_day, CAST(SUM(c) AS BIGINT) AS n FROM hh GROUP BY 1),
+cum AS (
+  SELECT target_day, cent,
+         SUM(c) OVER (PARTITION BY target_day ORDER BY cent) AS cum
+  FROM hh
+)
+SELECT cum.target_day AS day_num,
+       CAST(cnt.n AS BIGINT) AS n_events_7d,
+       CAST(CAST(MIN(cent) AS DOUBLE) / 100.0 AS DOUBLE) AS p95
+FROM cum JOIN cnt ON cum.target_day = cnt.target_day
+WHERE cum >= (19 * cnt.n + 19) // 20
+GROUP BY 1, 2
+ORDER BY day_num
+"""
+
+
+@query("q112_rolling_p95", _Q112_ORACLE)
+def q112_rolling_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    h = (
+        ev.select(
+            F.expr(f"unix_micros(ts) div {_DAY_US_}").alias("day_num"),
+            cents.alias("cent"),
+        )
+        .groupBy("day_num", "cent")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    mx = h.agg(F.max("day_num").alias("max_day"))
+    hh = (
+        h.select(
+            F.explode(
+                F.sequence(F.col("day_num"), F.col("day_num") + 6)
+            ).alias("target_day"),
+            "cent",
+            "c",
+        )
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("target_day") <= F.col("max_day"))
+        .groupBy("target_day", "cent")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    cnt = hh.groupBy("target_day").agg(F.sum("c").cast("long").alias("n"))
+    w = Window.partitionBy("target_day").orderBy("cent").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hh.select("target_day", "cent", F.sum("c").over(w).alias("cum"))
+    return (
+        cum.join(F.broadcast(cnt), "target_day")
+        .where(F.col("cum") >= F.expr("(19 * n + 19) div 20"))
+        .groupBy("target_day", "n")
+        .agg(F.min("cent").alias("p95_cents"))
+        .select(
+            F.col("target_day").alias("day_num"),
+            F.col("n").alias("n_events_7d"),
+            (F.col("p95_cents").cast("double") / F.lit(100.0)).alias("p95"),
+        )
+        .orderBy("day_num")
+    )
