@@ -210,6 +210,54 @@ def bm25_readout(
 
 
 # ---------------------------------------------------------------------------
+# Rolling 7-day p95 readout (q112 + rolling_p95_view)
+# ---------------------------------------------------------------------------
+
+
+def rolling_p95_readout(h: DataFrame, window_days: int = 7) -> DataFrame:
+    """q112's output (day_num, n_events_7d, p95) from a (day_num, cent, c)
+    per-day value histogram — which is also the streaming
+    day_value_hist_maintainer's state shape, so batch and served monitoring
+    share this one expression tree.
+
+    Each histogram row contributes to <= window_days target days (bounded
+    fan-out on the HISTOGRAM, never the events); the rank rule is
+    integer-exact (t = ceil(0.95 n) = (19n+19) div 20, p95 = min cent with
+    cum >= t); the only float is the final cents/100 division."""
+    mx = h.agg(F.max("day_num").alias("max_day"))
+    hh = (
+        h.select(
+            F.explode(
+                F.sequence(F.col("day_num"), F.col("day_num") + (window_days - 1))
+            ).alias("target_day"),
+            "cent",
+            "c",
+        )
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("target_day") <= F.col("max_day"))
+        .groupBy("target_day", "cent")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    cnt = hh.groupBy("target_day").agg(F.sum("c").cast("long").alias("n"))
+    w = Window.partitionBy("target_day").orderBy("cent").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hh.select("target_day", "cent", F.sum("c").over(w).alias("cum"))
+    return (
+        cum.join(F.broadcast(cnt), "target_day")
+        .where(F.col("cum") >= F.expr("(19 * n + 19) div 20"))
+        .groupBy("target_day", "n")
+        .agg(F.min("cent").alias("p95_cents"))
+        .select(
+            F.col("target_day").alias("day_num"),
+            F.col("n").alias("n_events_7d"),
+            (F.col("p95_cents").cast("double") / F.lit(100.0)).alias("p95"),
+        )
+        .orderBy("day_num")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Benford first-digit readout (q107 + benford_view)
 # ---------------------------------------------------------------------------
 

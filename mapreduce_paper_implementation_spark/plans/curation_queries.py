@@ -2638,6 +2638,14 @@ ORDER BY day_num
 
 @query("q112_rolling_p95", _Q112_ORACLE)
 def q112_rolling_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the entire tail after histogram construction is rolling_p95_readout
+    # (operators/serving.py) — the SAME function the streaming
+    # day_value_hist_maintainer's rolling_p95_view serves from maintained
+    # state, so batch == served structurally.
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        rolling_p95_readout,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
     h = (
@@ -2648,34 +2656,4 @@ def q112_rolling_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day_num", "cent")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    mx = h.agg(F.max("day_num").alias("max_day"))
-    hh = (
-        h.select(
-            F.explode(
-                F.sequence(F.col("day_num"), F.col("day_num") + 6)
-            ).alias("target_day"),
-            "cent",
-            "c",
-        )
-        .crossJoin(F.broadcast(mx))
-        .where(F.col("target_day") <= F.col("max_day"))
-        .groupBy("target_day", "cent")
-        .agg(F.sum("c").cast("long").alias("c"))
-    )
-    cnt = hh.groupBy("target_day").agg(F.sum("c").cast("long").alias("n"))
-    w = Window.partitionBy("target_day").orderBy("cent").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = hh.select("target_day", "cent", F.sum("c").over(w).alias("cum"))
-    return (
-        cum.join(F.broadcast(cnt), "target_day")
-        .where(F.col("cum") >= F.expr("(19 * n + 19) div 20"))
-        .groupBy("target_day", "n")
-        .agg(F.min("cent").alias("p95_cents"))
-        .select(
-            F.col("target_day").alias("day_num"),
-            F.col("n").alias("n_events_7d"),
-            (F.col("p95_cents").cast("double") / F.lit(100.0)).alias("p95"),
-        )
-        .orderBy("day_num")
-    )
+    return rolling_p95_readout(h)

@@ -404,6 +404,47 @@ def bm25_view(state: DataFrame) -> DataFrame:
     return bm25_readout(state)
 
 
+def day_value_hist_maintainer(spark: SparkSession, state_dir: str) -> RollupMaintainer:
+    """Streaming twin of q112's rolling p95: maintains the (day_num, cent)
+    -> c value histogram from event deltas — additive, state bounded by
+    #days x value domain (cents), independent of event volume. Serving
+    side: `rolling_p95_view(maintainer.current_state())` re-derives every
+    day's trailing-7-day exact p95 from state alone — late events for a
+    past day fold into that day's bins and move the affected trailing
+    windows, which a per-batch-only monitor would never revisit."""
+    from pyspark.sql import functions as F
+
+    def state_fn(delta: DataFrame) -> DataFrame:
+        return (
+            delta.select(
+                F.expr("unix_micros(ts) div 86400000000").alias("day_num"),
+                F.round(F.col("value") * 100).cast("long").alias("cent"),
+            )
+            .groupBy("day_num", "cent")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
+    def merge_fn(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.unionByName(b)
+            .groupBy("day_num", "cent")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+
+    return RollupMaintainer(spark, state_dir, state_fn=state_fn, merge_fn=merge_fn)
+
+
+def rolling_p95_view(state: DataFrame) -> DataFrame:
+    """q112's output from maintained (day_num, cent, c) state — the batch
+    query and this view call the SAME rolling_p95_readout
+    (operators/serving.py), so served == one-shot structurally."""
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        rolling_p95_readout,
+    )
+
+    return rolling_p95_readout(state)
+
+
 def digit_counts_maintainer(spark: SparkSession, state_dir: str) -> RollupMaintainer:
     """Streaming twin of q107's Benford audit: maintains (event_type,
     leading-digit) -> cnt from event deltas — additive, state bounded by

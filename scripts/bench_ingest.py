@@ -84,6 +84,7 @@ def run(spark, ds_dir: str, events_dir: str, n_batches: int, compact_every: int)
     )
     from mapreduce_paper_implementation_spark.streaming.rollup import (
         ab_counters_maintainer,
+        day_value_hist_maintainer,
         digit_counts_maintainer,
         postings_maintainer,
         quality_hist_maintainer,
@@ -173,6 +174,13 @@ def run(spark, ds_dir: str, events_dir: str, n_batches: int, compact_every: int)
         (
             "digit_counts",
             lambda s: digit_counts_maintainer(spark, s),
+            base_events,
+            "event_id",
+            lambda _res: 0,
+        ),
+        (
+            "day_value_hist",
+            lambda s: day_value_hist_maintainer(spark, s),
             base_events,
             "event_id",
             lambda _res: 0,

@@ -166,3 +166,32 @@ def test_postings_match_q111_after_every_batch(spark, sf_dir, tmp_path):
     assert prefix_top[0] != prefix_top[-1]
     # replay no-op
     assert m.update(docs.where(F.col("doc_id") % n_batches == 0), 0) is None
+
+
+def test_day_value_hist_matches_q112_and_late_data_moves_windows(spark, sf_dir, tmp_path):
+    """Maintained per-day value histograms serve the SAME rolling p95 as
+    batch q112 once all batches land (shared rolling_p95_readout), and a
+    late batch for an old day genuinely MOVES already-served windows (the
+    reason the histogram is maintained rather than appended)."""
+    from mapreduce_paper_implementation_spark.streaming.rollup import (
+        day_value_hist_maintainer,
+        rolling_p95_view,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    m = day_value_hist_maintainer(spark, str(tmp_path / "dvh"))
+    # batch 0: everything EXCEPT a slice of the earliest days' events;
+    # batch 1: that late-arriving slice — old-day data landing after newer
+    # days have already been served
+    late = (F.col("event_id") % 5 == 0)
+    m.update(events.where(~late), 0)
+    first = sorted(map(tuple, rolling_p95_view(m.current_state()).collect()))
+    m.update(events.where(late), 1)
+    got = sorted(map(tuple, rolling_p95_view(m.current_state()).collect()))
+    q112 = sorted(
+        map(tuple, QUERIES["q112_rolling_p95"](spark, sf_dir).collect())
+    )
+    assert got == q112
+    assert first != got  # the late fold moved served windows
+    # replay no-op
+    assert m.update(events.where(late), 1) is None
