@@ -329,7 +329,10 @@ def tile_assign_via_hist(
     table is O(groups x (n_tiles-1)) and BROADCAST; assignment is one
     array comparison per row over n_tiles-1 elements — no per-group sort
     anywhere. Pass a pre-built/merged `hist` (hist_state/merge_hist_states)
-    to assign from maintained state instead of rescanning."""
+    to assign from maintained state instead of rescanning; a row whose
+    group is ABSENT from that hist gets tile NULL (a LEFT join — an inner
+    join would silently drop new groups the maintained state has not seen
+    yet; NULL is honest where no distribution information exists)."""
     if hist is None:
         hist = hist_state(df, group_cols, value_col, inv_width)
     cuts = (
@@ -339,12 +342,12 @@ def tile_assign_via_hist(
     )
     b = F.floor(F.col(value_col) * inv_width).cast("long")
     return (
-        df.join(F.broadcast(cuts), list(group_cols))
+        df.join(F.broadcast(cuts), list(group_cols), "left")
         .withColumn(
             "tile",
-            (
-                F.lit(1)
-                + F.size(F.filter("cut_bins", lambda c: c < b))
+            F.when(
+                F.col("cut_bins").isNotNull(),
+                F.lit(1) + F.size(F.filter("cut_bins", lambda c: c < b)),
             ).cast("long"),
         )
         .drop("cut_bins")

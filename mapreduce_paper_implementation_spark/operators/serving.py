@@ -156,6 +156,41 @@ def adaptive_threshold_from_hist(state: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Shared STATE-SHAPE builders — the head expressions, not just the tails.
+# A maintainer's state_fn and the batch query's first aggregation must be
+# the same expression tree too, or an edit to one silently breaks the
+# served == batch contract until the differential test runs.
+# ---------------------------------------------------------------------------
+
+DAY_US = 86_400_000_000
+
+
+def postings_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) postings from a documents frame — q111's head
+    and postings_maintainer's state_fn."""
+    from mapreduce_paper_implementation_spark.functions.text import tokens
+
+    return (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def day_cent_hist(events: DataFrame) -> DataFrame:
+    """(day_num, cent, c) per-day value histogram from an events frame —
+    q112's head and day_value_hist_maintainer's state_fn."""
+    return (
+        events.select(
+            F.expr(f"unix_micros(ts) div {DAY_US}").alias("day_num"),
+            F.round(F.col("value") * 100).cast("long").alias("cent"),
+        )
+        .groupBy("day_num", "cent")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # BM25 ranked retrieval readout (q111 + bm25_view)
 # ---------------------------------------------------------------------------
 
@@ -223,9 +258,18 @@ def rolling_p95_readout(h: DataFrame, window_days: int = 7) -> DataFrame:
     Each histogram row contributes to <= window_days target days (bounded
     fan-out on the HISTOGRAM, never the events); the rank rule is
     integer-exact (t = ceil(0.95 n) = (19n+19) div 20, p95 = min cent with
-    cum >= t); the only float is the final cents/100 division."""
+    cum >= t); the only float is the final cents/100 division.
+
+    Both histograms are persisted: h feeds two consumers (max-day, the
+    expansion) and hh feeds two (day totals, the cumsum) — without the
+    persists each consumer replays the events scan (the q97 lesson; at
+    100 TB that is 4 corpus scans instead of 1). Both frames are bounded
+    by days x bins, so the cache cost is trivial."""
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+
+    h = scoped_persist(h)
     mx = h.agg(F.max("day_num").alias("max_day"))
-    hh = (
+    hh = scoped_persist(
         h.select(
             F.explode(
                 F.sequence(F.col("day_num"), F.col("day_num") + (window_days - 1))

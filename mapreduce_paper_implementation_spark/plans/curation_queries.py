@@ -2575,15 +2575,13 @@ def q111_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly, so the k1+1 constant folds identically to the oracle's
     # CAST(2.2 AS DOUBLE).)
     from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
-    from mapreduce_paper_implementation_spark.operators.serving import bm25_readout
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        bm25_readout,
+        postings_frame,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    tf = scoped_persist(
-        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
-    )
-    return bm25_readout(tf)
+    return bm25_readout(scoped_persist(postings_frame(docs)))
 
 
 # ---------------------------------------------------------------------------
@@ -2643,17 +2641,9 @@ def q112_rolling_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     # day_value_hist_maintainer's rolling_p95_view serves from maintained
     # state, so batch == served structurally.
     from mapreduce_paper_implementation_spark.operators.serving import (
+        day_cent_hist,
         rolling_p95_readout,
     )
 
     ev = load_table(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
-    h = (
-        ev.select(
-            F.expr(f"unix_micros(ts) div {_DAY_US_}").alias("day_num"),
-            cents.alias("cent"),
-        )
-        .groupBy("day_num", "cent")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    return rolling_p95_readout(h)
+    return rolling_p95_readout(day_cent_hist(ev))

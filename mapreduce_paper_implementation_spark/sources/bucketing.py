@@ -18,7 +18,7 @@ ours is persistent and reusable across queries.
 from __future__ import annotations
 
 import shutil
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -34,7 +34,10 @@ def drop_bucketed(spark: SparkSession, table: str) -> None:
     the location explicitly makes create-after-crash safe.
     """
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    # unquote: warehouse.dir is a URI — a path with spaces/non-ASCII is
+    # percent-encoded, and an encoded rmtree target silently misses the
+    # orphan directory (ignore_errors), defeating the recovery this exists for
+    warehouse = unquote(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
     shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
 
 

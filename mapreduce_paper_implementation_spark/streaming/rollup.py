@@ -376,14 +376,10 @@ def postings_maintainer(spark: SparkSession, state_dir: str) -> RollupMaintainer
     per-batch-only scorer would never revisit."""
     from pyspark.sql import functions as F
 
-    from mapreduce_paper_implementation_spark.functions.text import tokens
+    from mapreduce_paper_implementation_spark.operators.serving import postings_frame
 
     def state_fn(delta: DataFrame) -> DataFrame:
-        return (
-            delta.select("doc_id", F.explode(tokens("text")).alias("term"))
-            .groupBy("doc_id", "term")
-            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        )
+        return postings_frame(delta)
 
     def merge_fn(a: DataFrame, b: DataFrame) -> DataFrame:
         return (
@@ -414,15 +410,10 @@ def day_value_hist_maintainer(spark: SparkSession, state_dir: str) -> RollupMain
     windows, which a per-batch-only monitor would never revisit."""
     from pyspark.sql import functions as F
 
+    from mapreduce_paper_implementation_spark.operators.serving import day_cent_hist
+
     def state_fn(delta: DataFrame) -> DataFrame:
-        return (
-            delta.select(
-                F.expr("unix_micros(ts) div 86400000000").alias("day_num"),
-                F.round(F.col("value") * 100).cast("long").alias("cent"),
-            )
-            .groupBy("day_num", "cent")
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        )
+        return day_cent_hist(delta)
 
     def merge_fn(a: DataFrame, b: DataFrame) -> DataFrame:
         return (

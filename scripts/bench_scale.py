@@ -444,6 +444,14 @@ def main() -> None:
     args = ap.parse_args()
     factors = [float(x) for x in args.factors.split(",")]
     only = set(args.queries.split(",")) if args.queries else None
+    default_out = os.path.join(REPO, "BENCH_SCALE.json")
+    if only is not None and os.path.abspath(args.out) == default_out:
+        ap.error(
+            "--queries produces a subset document: it would clobber the "
+            "standing BENCH_SCALE.json (all factors + skew_join + x100 "
+            "sections). Pass an explicit --out (e.g. /tmp/sub.json) and "
+            "merge (scripts/merge_x100.py pattern)."
+        )
 
     spark = get_spark("bench_scale")
     results: dict[str, dict] = {}

@@ -122,6 +122,9 @@ def main() -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     assert r1["n"] == r2["n"] == r3["n"] == args.rows, (r1, r2, r3)
+    # all three weighted aggregates, not just plain-vs-salted: the AQE
+    # variant's answer is part of the "identical aggregates" claim too
+    assert abs(r1["wv"] - r2["wv"]) < 1e-6 * abs(r1["wv"]), (r1, r2)
     assert abs(r1["wv"] - r3["wv"]) < 1e-6 * abs(r1["wv"]), (r1, r3)
 
     salted_t = results[f"salted_{args.salts}"]["wall_sec"]

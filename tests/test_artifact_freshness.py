@@ -84,8 +84,18 @@ def test_baseline_md_table_covers_registry_exactly():
     )
 
 
+# Queries deliberately shipped WITHOUT an oracle (rows-only driver check).
+# Empty today — adding a name here must be a conscious, documented choice,
+# never a forgotten oracle (the r06 staleness class, oracle edition).
+ROWS_ONLY_ALLOWED: set[str] = set()
+
+
 def test_oracle_contract_is_total():
-    """Every query has an oracle (or is a documented rows-only surface),
+    """Every query has an oracle unless explicitly allowlisted rows-only,
     and no oracle is orphaned — the driver contract's own freshness."""
     qs, os_ = set(entry.queries()), set(entry.oracle_sql())
     assert os_ - qs == set(), f"orphan oracles: {sorted(os_ - qs)}"
+    assert qs - os_ == ROWS_ONLY_ALLOWED, (
+        f"queries registered without an oracle and not allowlisted: "
+        f"{sorted(qs - os_ - ROWS_ONLY_ALLOWED)}"
+    )
