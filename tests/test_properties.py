@@ -552,3 +552,107 @@ def test_bfs_hops_long_chain_bound_vs_exhaustion(spark):
     assert bounded == {i: i for i in range(6)}
     full = {r["node"]: r["hop"] for r in bfs_hops(e, s).collect()}
     assert full == {i: i for i in range(13)}
+
+
+# ---------------------------------------------------------------------------
+# tile_assign_via_hist vs pure-Python cutpoint replay on arbitrary small
+# distributions: the cutpoint rule (exact NTILE boundary ranks on the
+# cumulative histogram) and the bin-comparison assignment must match an
+# independent in-process implementation bit-for-bit — including ties, hot
+# bins spanning several boundaries, negative values, and tiny groups.
+# ---------------------------------------------------------------------------
+
+
+def _py_tiles(values: list[float], n_tiles: int, inv_width: int) -> dict[int, int]:
+    import math
+    from collections import Counter
+
+    bins = sorted(Counter(math.floor(v * inv_width) for v in values).items())
+    n = len(values)
+    cuts = []
+    for k in range(1, n_tiles):
+        t = k * (n // n_tiles) + min(k, n % n_tiles)
+        cum = 0
+        for b, c in bins:
+            cum += c
+            if cum >= t:
+                cuts.append(b)
+                break
+    return {
+        b: 1 + sum(1 for cb in cuts if cb < b) for b, _ in bins
+    }
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    values=st.lists(
+        st.floats(-5, 5, allow_nan=False, allow_infinity=False, width=32),
+        min_size=1,
+        max_size=60,
+    ),
+    n_tiles=st.integers(2, 10),
+)
+def test_tile_assign_matches_python_cutpoints(spark, values, n_tiles):
+    from mapreduce_paper_implementation_spark.operators.incremental import (
+        tile_assign_via_hist,
+    )
+
+    inv_width = 4
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in values], "grp string, value double"
+    )
+    got = {
+        r["value"]: r["tile"]
+        for r in tile_assign_via_hist(
+            df, ["grp"], "value", n_tiles=n_tiles, inv_width=inv_width
+        ).collect()
+    }
+    import math
+
+    want_by_bin = _py_tiles([float(v) for v in values], n_tiles, inv_width)
+    for v, tile in got.items():
+        assert tile == want_by_bin[math.floor(v * inv_width)], (v, tile)
+
+
+def test_rolling_p95_readout_matches_python_selection(spark):
+    """rolling_p95_readout vs an in-process replay of the identical
+    selection rule (t = ceil(0.95 n), min cent with cum >= t) over a
+    planted multi-day corpus with ties and gaps."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        day_cent_hist,
+        rolling_p95_readout,
+    )
+
+    rows = []
+    data: dict[int, list[int]] = {}
+    # deterministic synthetic: days 0..9 skipping 4; value cents vary per day
+    for day in [0, 1, 2, 3, 5, 6, 7, 8, 9]:
+        cents = [((day * 13 + i * 7) % 50) + 1 for i in range(20 + day)]
+        data[day] = cents
+        rows += [(day * 86_400_000_000, c / 100.0) for c in cents]
+    df = spark.createDataFrame(rows, "us long, value double").select(
+        F.timestamp_micros("us").alias("ts"), "value"
+    )
+    got = {
+        r["day_num"]: (r["n_events_7d"], r["p95"])
+        for r in rolling_p95_readout(day_cent_hist(df)).collect()
+    }
+    want = {}
+    for d in range(0, 10):
+        window = [c for day in range(d - 6, d + 1) for c in data.get(day, [])]
+        if not window:
+            continue
+        n = len(window)
+        t = math.ceil(0.95 * n)
+        cum, p95 = 0, None
+        for c in sorted(set(window)):
+            cum += window.count(c)
+            if cum >= t:
+                p95 = c / 100.0
+                break
+        want[d] = (n, p95)
+    assert got == want
