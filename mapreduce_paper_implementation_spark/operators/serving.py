@@ -26,13 +26,17 @@ from pyspark.sql import functions as F
 # ≈ 5.7e18 < int64 max (9.22e18). Without the reduction, user_id >= ~3.5e9
 # silently wraps in Spark (non-ANSI) — a negative product makes `% 100`
 # negative and every overflowed user lands in variant A — while DuckDB
-# raises. Both engines' `%` is sign-of-dividend, so the reduced form is
-# reproducible cross-engine for ALL int64 ids, which is the point of a
-# deterministic assignment at 100 TB re-ingest scale.
+# raises. Both engines' `%` is sign-of-dividend, so for NEGATIVE ids the
+# inner `% 100` is negative too; the final `(+ 100) % 100` folds it into
+# 0..99 so negative ids split ~50/50 like everyone else instead of all
+# landing in variant A. The whole expression is reproducible cross-engine
+# for ALL int64 ids, which is the point of a deterministic assignment at
+# 100 TB re-ingest scale. (For user_id >= 0 the fold is the identity, so
+# the round-8 assignment is unchanged.)
 # ---------------------------------------------------------------------------
 
 SQL_IS_A = (
-    "CASE WHEN ((user_id % 2147483648) * 2654435761) % 100 < 50 "
+    "CASE WHEN ((((user_id % 2147483648) * 2654435761) % 100) + 100) % 100 < 50 "
     "THEN 1 ELSE 0 END"
 )
 
@@ -41,7 +45,8 @@ def variant_is_a(user_col: str = "user_id") -> Column:
     """1 if the id hashes into variant A, else 0 — the Spark twin of
     SQL_IS_A (textually identical arithmetic)."""
     reduced = F.col(user_col) % F.lit(2147483648)
-    return F.when((reduced * F.lit(2654435761)) % 100 < 50, 1).otherwise(0)
+    folded = ((reduced * F.lit(2654435761)) % 100 + 100) % 100
+    return F.when(folded < 50, 1).otherwise(0)
 
 
 def ab_readout(u: DataFrame) -> DataFrame:
@@ -204,20 +209,27 @@ def bm25_readout(
 
     Everything derives from the postings: dl = per-doc token count, corpus
     stats (N, sum dl) a single-row broadcast, the query = the 5
-    mid-frequency terms (df ranks 10-14, total order by (df DESC, term) —
-    a row_number over the BOUNDED vocabulary aggregate, never the corpus),
-    Okapi BM25 summed per doc (<= 5 ln-terms, ROUND(,4)), top-`top` by the
-    rounded score with doc_id tiebreak."""
+    mid-frequency terms (df ranks 10-14, total order by (df DESC, term)).
+    Only the global top-14 is ever needed, so the term pick is
+    `orderBy(...).limit(14)` — TakeOrderedAndProject, a parallel per-
+    partition heap + 14-row driver merge — and the rank-10..14 filter runs
+    over that 14-row result. The vocabulary aggregate is NEVER sorted in
+    one task: a corpus-sized vocab (~1e8 distinct tokens at 100 TB of
+    text) through an unpartitioned window was this function's one scale
+    bug, found by the round-8 plan audit. Okapi BM25 summed per doc (<= 5
+    ln-terms, ROUND(,4)), top-`top` by the rounded score with doc_id
+    tiebreak."""
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    w = Window.orderBy(F.col("df").desc(), "term")
+    top14 = dfreq.orderBy(F.col("df").desc(), "term").limit(14)
+    w = Window.orderBy(F.col("df").desc(), "term")  # input is 14 rows, bounded
     qterms = (
-        dfreq.select("term", "df", F.row_number().over(w).alias("r"))
-        .where((F.col("r") >= 10) & (F.col("r") <= 14))
+        top14.select("term", "df", F.row_number().over(w).alias("r"))
+        .where(F.col("r") >= 10)
         .select("term", "df")
     )
     scored = (

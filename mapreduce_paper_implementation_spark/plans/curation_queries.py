@@ -509,6 +509,60 @@ def q83_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _H4_US = 4 * 3600 * 1_000_000
 _DAY_US = 86_400 * 1_000_000
 
+
+def behavioral_events_frame(events: DataFrame) -> DataFrame:
+    """The projection every per-user behavioral query starts from:
+    (event_id, user_id, event_type, t_us, cents). Shared by the registered
+    q84/q88/q101 heads AND the bucketed catalog's `events_bck` writer
+    (plans/bucketed_catalog.py) so the stored layout and the inline
+    projection cannot drift. t_us/cents are materialized here BECAUSE the
+    catalog stores them: a within-bucket sortBy can order by a stored
+    column, never by unix_micros(ts) on the fly."""
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+
+def funnel_shape(e: DataFrame) -> DataFrame:
+    """q84's body over a behavioral_events_frame-shaped input — called by
+    the registered query and by q84_bucketed (plans/bucketed_catalog.py),
+    where the user_id-bucketed, (user_id, t_us, event_id)-sorted scan
+    satisfies the window's distribution+ordering with zero Exchange."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w1 = e.withColumn(
+        "lv", F.max(F.when(F.col("event_type") == "view", F.col("t_us"))).over(w)
+    )
+    w2 = w1.withColumn(
+        "lc", F.max(F.when(F.col("event_type") == "click", F.col("t_us"))).over(w)
+    ).withColumn(
+        "lv_at_lc",
+        F.max(F.when(F.col("event_type") == "click", F.col("lv"))).over(w),
+    )
+    conv2 = F.col("lc").isNotNull() & (F.col("lc") >= F.col("t_us") - _H4_US)
+    conv3 = (
+        conv2
+        & F.col("lv_at_lc").isNotNull()
+        & (F.col("lv_at_lc") >= F.col("lc") - _H4_US)
+    )
+    return (
+        w2.where(F.col("event_type") == "purchase")
+        .groupBy(F.expr(f"t_us div {_DAY_US}").alias("day_num"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum(conv2.cast("long")).cast("long").alias("n_conv_click"),
+            F.sum(conv3.cast("long")).cast("long").alias("n_conv_full"),
+        )
+        .orderBy("day_num")
+    )
+
 _Q84_ORACLE = f"""
 WITH e AS (
   SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us FROM events
@@ -546,40 +600,9 @@ ORDER BY day_num
 
 @query("q84_funnel", _Q84_ORACLE)
 def q84_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # head + body shared with q84_bucketed (plans/bucketed_catalog.py)
     events = load_table(spark, sf_dir, "events")
-    e = events.select(
-        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("t_us")
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("t_us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w1 = e.withColumn(
-        "lv", F.max(F.when(F.col("event_type") == "view", F.col("t_us"))).over(w)
-    )
-    w2 = w1.withColumn(
-        "lc", F.max(F.when(F.col("event_type") == "click", F.col("t_us"))).over(w)
-    ).withColumn(
-        "lv_at_lc",
-        F.max(F.when(F.col("event_type") == "click", F.col("lv"))).over(w),
-    )
-    conv2 = F.col("lc").isNotNull() & (F.col("lc") >= F.col("t_us") - _H4_US)
-    conv3 = (
-        conv2
-        & F.col("lv_at_lc").isNotNull()
-        & (F.col("lv_at_lc") >= F.col("lc") - _H4_US)
-    )
-    return (
-        w2.where(F.col("event_type") == "purchase")
-        .groupBy(F.expr(f"t_us div {_DAY_US}").alias("day_num"))
-        .agg(
-            F.count("*").cast("long").alias("n_purchases"),
-            F.sum(conv2.cast("long")).cast("long").alias("n_conv_click"),
-            F.sum(conv3.cast("long")).cast("long").alias("n_conv_full"),
-        )
-        .orderBy("day_num")
-    )
+    return funnel_shape(behavioral_events_frame(events))
 
 
 # ---------------------------------------------------------------------------
@@ -800,12 +823,10 @@ ORDER BY event_type, next_type
 """
 
 
-@query("q88_event_transitions", _Q88_ORACLE)
-def q88_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    e = events.select(
-        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("t_us")
-    )
+def event_transitions_shape(e: DataFrame) -> DataFrame:
+    """q88's body over a behavioral_events_frame-shaped input — shared
+    with q88_bucketed (plans/bucketed_catalog.py), where the lead window's
+    user_id shuffle vanishes against the bucketed scan."""
     w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
     t = (
         e.withColumn("next_type", F.lead("event_type").over(w))
@@ -823,6 +844,12 @@ def q88_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "next_type")
     )
+
+
+@query("q88_event_transitions", _Q88_ORACLE)
+def q88_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return event_transitions_shape(behavioral_events_frame(events))
 
 
 # ---------------------------------------------------------------------------
@@ -1816,19 +1843,21 @@ ORDER BY day_num
 """
 
 
-@query("q101_click_attribution", _Q101_ORACLE)
-def q101_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    p = events.where(F.col("event_type") == "purchase").select(
+def click_attribution_shape(e: DataFrame) -> DataFrame:
+    """q101's body over a behavioral_events_frame-shaped input — shared
+    with q101_bucketed (plans/bucketed_catalog.py), where BOTH sides of the
+    purchase⋈click user_id equi-join read co-located buckets of one stored
+    table and the join plans with zero Exchange."""
+    p = e.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("pid"),
         "user_id",
-        F.unix_micros("ts").alias("pt"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.col("t_us").alias("pt"),
+        "cents",
     )
-    c = events.where(F.col("event_type") == "click").select(
+    c = e.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("cid"),
         "user_id",
-        F.unix_micros("ts").alias("ct"),
+        F.col("t_us").alias("ct"),
     )
     matched = p.join(c, "user_id").where(
         (F.col("ct") < F.col("pt")) & (F.col("ct") >= F.col("pt") - _H4_US)
@@ -1858,6 +1887,12 @@ def q101_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_num")
     )
+
+
+@query("q101_click_attribution", _Q101_ORACLE)
+def q101_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return click_attribution_shape(behavioral_events_frame(events))
 
 
 # ---------------------------------------------------------------------------

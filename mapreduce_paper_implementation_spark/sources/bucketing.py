@@ -46,15 +46,18 @@ def write_bucketed(
     table: str,
     bucket_col: str,
     n_buckets: int = 16,
-    sort_col: str | None = None,
+    sort_col: str | list[str] | None = None,
     mode: str = "overwrite",
 ) -> None:
     """Persist `df` as a bucketed (and optionally sorted) managed table.
     Sorting within buckets additionally removes the Sort from sort-merge
-    plans (SortMergeJoin reads pre-sorted runs)."""
+    plans (SortMergeJoin reads pre-sorted runs); a multi-column sort_col
+    (e.g. (user_id, t_us, event_id)) serves window queries whose orderBy
+    extends the partition key."""
     w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort_col:
-        w = w.sortBy(sort_col)
+        cols = [sort_col] if isinstance(sort_col, str) else list(sort_col)
+        w = w.sortBy(cols[0], *cols[1:])
     w.saveAsTable(table)
 
 

@@ -366,8 +366,15 @@ def postings_maintainer(spark: SparkSession, state_dir: str) -> RollupMaintainer
     """Streaming twin of q111's retrieval index: maintains the
     (doc_id, term, tf) postings table from per-batch document deltas —
     term frequencies are purely additive, so the generic versioned
-    RollupMaintainer applies unchanged (a re-crawled doc's counts merge;
-    replayed batches no-op via versioning). Everything BM25 needs — df,
+    RollupMaintainer applies unchanged (replayed batches no-op via
+    versioning). PRECONDITION: batches must partition docs disjointly —
+    each doc_id appears in exactly one batch. Additive merge SUMS tf per
+    (doc_id, term), so feeding the same doc twice (a re-crawl) would
+    double its tf/dl and inflate df relative to batch q111 over the
+    deduped corpus; re-crawl pipelines must dedup upstream (q14/q70) or
+    use a replace-semantics maintainer (max-version per doc), not this
+    one. The differential test feeds disjoint batches, matching the
+    contract. Everything BM25 needs — df,
     per-doc length, corpus N and total length — DERIVES from the postings,
     so the state is the one table real retrieval systems incrementally
     maintain. Serving side: `bm25_view(maintainer.current_state())`

@@ -56,11 +56,21 @@ def main() -> None:
         build_catalog,
         q10_bucketed,
         q11_bucketed,
+        q84_bucketed,
+        q88_bucketed,
         q98_bucketed,
+        q101_bucketed,
     )
     from mapreduce_paper_implementation_spark.plans.curation_queries import (
+        behavioral_events_frame,
+        click_attribution_shape,
+        event_transitions_shape,
+        funnel_shape,
         plant_new_snapshot,
+        q84_funnel,
+        q88_event_transitions,
         q98_snapshot_diff,
+        q101_click_attribution,
         snapshot_diff_readout,
     )
     from mapreduce_paper_implementation_spark.plans.queries import (
@@ -116,6 +126,31 @@ def main() -> None:
             "registered": lambda: q98_snapshot_diff(spark, sf),
             "shuffle": shuffle_q98,
             "bucketed": lambda: q98_bucketed(spark),
+        },
+        # the behavioral family (VERDICT r08 ask #3): per-user window /
+        # self-join queries whose only big shuffle is user_id — gone
+        # against events_bck. "shuffle" == "registered" shape here (no
+        # broadcastable side exists; the windows shuffle regardless).
+        "q84_funnel": {
+            "registered": lambda: q84_funnel(spark, sf),
+            "shuffle": lambda: funnel_shape(
+                behavioral_events_frame(load_table(spark, sf, "events"))
+            ),
+            "bucketed": lambda: q84_bucketed(spark),
+        },
+        "q88_event_transitions": {
+            "registered": lambda: q88_event_transitions(spark, sf),
+            "shuffle": lambda: event_transitions_shape(
+                behavioral_events_frame(load_table(spark, sf, "events"))
+            ),
+            "bucketed": lambda: q88_bucketed(spark),
+        },
+        "q101_click_attribution": {
+            "registered": lambda: q101_click_attribution(spark, sf),
+            "shuffle": lambda: click_attribution_shape(
+                behavioral_events_frame(load_table(spark, sf, "events"))
+            ),
+            "bucketed": lambda: q101_bucketed(spark),
         },
     }
 

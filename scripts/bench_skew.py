@@ -3,12 +3,12 @@
 operators/skew.py:salted_join under ACTUAL skew and record the straggler
 effect, vs AQE's built-in skew-join splitting.
 
-Scenario: a Zipf-extreme event join — `big` has n_rows rows of which 80%
-carry ONE hot user_id (the key a viral user or a null-sentinel produces at
+Scenario: a Zipf-extreme event join — `big` has n_rows rows (default 60M)
+of which 90% (default --hot-frac 0.9) carry ONE hot user_id (the key a viral user or a null-sentinel produces at
 100 TB), joined to a 100k-row per-user dim. No side broadcasts
 (autoBroadcastJoinThreshold=-1 — the 100 TB regime). Three physical plans:
 
-- plain_no_aqe: static SortMergeJoin — the hot key's partition holds 80%
+- plain_no_aqe: static SortMergeJoin — the hot key's partition holds 90%
   of the big side, one task IS the job (the straggler the reference's
   fixed `ihash % nReduce` bucketing cannot avoid, mr/worker.go:25-29);
 - plain_aqe_skew: AQE skew-join splitting enabled with thresholds tuned to
@@ -25,8 +25,8 @@ merely equaling it — scripts/bench_scale.py's corpora can't show this
 Output: skew_join section printed and (default) merged into
 BENCH_SCALE.json under "skew_join".
 
-Usage: python scripts/bench_skew.py [--rows 20000000] [--users 100000]
-       [--hot-frac 0.8] [--repeat 2] [--merge-into /root/repo/BENCH_SCALE.json]
+Usage: python scripts/bench_skew.py [--rows 60000000] [--users 100000]
+       [--hot-frac 0.9] [--repeat 2] [--merge-into /root/repo/BENCH_SCALE.json]
 """
 
 from __future__ import annotations

@@ -6,11 +6,22 @@ fail here before they fail in the driver.
 
 With --json PATH, also write a CORRECTNESS_r-style artifact covering the
 FULL manifest (the driver's own oracle keyset froze at 50 queries; this is
-the committed record for the other 18 — VERDICT r03 gap #1).
+the committed record for the other 62 — VERDICT r03 gap #1). The artifact
+records the git SHA the run was generated at; the freshness gate
+(tests/test_artifact_freshness.py) fails if query-defining code changed
+since, so a stale full-file is structurally detectable (VERDICT r08 #7).
 
-Usage: python scripts/driver_sim.py [--json PATH] [sf_dir] [query_prefix...]
+With --complement, run ONLY the queries NOT in the driver's frozen subset
+(the keyset of the newest CORRECTNESS_r*.json) — the per-round re-check of
+the 62 queries the driver itself never exercises.
+
+Usage: python scripts/driver_sim.py [--json PATH] [--complement] [sf_dir] [query_prefix...]
 """
+import glob
 import json
+import os
+import re
+import subprocess
 import sys, time
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
@@ -21,6 +32,17 @@ if "--json" in argv:
     i = argv.index("--json")
     json_out = argv[i + 1]
     argv = argv[:i] + argv[i + 2:]
+complement: set[str] | None = None
+if "--complement" in argv:
+    argv.remove("--complement")
+    rounds = sorted(
+        glob.glob("/root/repo/CORRECTNESS_r[0-9]*.json"),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    with open(rounds[-1]) as fh:
+        complement = set(json.load(fh))
+    print(f"COMPLEMENT MODE: skipping the {len(complement)} driver-subset "
+          f"queries recorded in {os.path.basename(rounds[-1])}")
 
 spark = (
     SparkSession.builder.master("local[8]")
@@ -54,6 +76,8 @@ record: dict[str, dict] = {}
 fails = 0
 for name in sorted(qs):
     if only and not any(name.startswith(p) for p in only):
+        continue
+    if complement is not None and name in complement:
         continue
     # per-query cache hygiene: the driver runs queries back to back in one
     # session; scoped persists from the previous query must not accumulate
@@ -107,7 +131,24 @@ for name in sorted(qs):
 
 print("RESULT:", "ALL MATCH" if fails == 0 else f"{fails} FAILURES")
 if json_out:
+    try:
+        sha = subprocess.run(
+            ["git", "-C", "/root/repo", "rev-parse", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:
+        sha = None
     with open(json_out, "w") as fh:
-        json.dump({"sf_dir": SF, "n_queries": len(record), "results": record}, fh, indent=1)
-    print(f"WROTE {json_out} ({len(record)} entries)")
+        json.dump(
+            {
+                "sf_dir": SF,
+                "n_queries": len(record),
+                "git_sha": sha,
+                "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "results": record,
+            },
+            fh,
+            indent=1,
+        )
+    print(f"WROTE {json_out} ({len(record)} entries, git_sha={sha})")
 sys.exit(1 if fails else 0)

@@ -46,6 +46,44 @@ def test_correctness_full_covers_registry_exactly():
     )
 
 
+# Paths whose change invalidates a recorded correctness run: anything that
+# defines what a query computes. Docs/bench/artifact-only commits do not.
+_QUERY_DEFINING = [
+    "mapreduce_paper_implementation_spark",
+    "__spark_entry__.py",
+]
+
+
+def test_correctness_full_sha_not_stale():
+    """CORRECTNESS_FULL.json records the git SHA it was generated at
+    (VERDICT r08 ask #7); the artifact is stale — and this gate fails —
+    iff query-defining code changed since that SHA (committed or in the
+    working tree). Artifact/doc/bench commits after the run are fine."""
+    import subprocess
+
+    with open(os.path.join(REPO, "CORRECTNESS_FULL.json")) as f:
+        meta = json.load(f)
+    sha = meta.get("git_sha")
+    assert sha, (
+        "CORRECTNESS_FULL.json records no git_sha — regenerate with "
+        "scripts/driver_sim.py --json CORRECTNESS_FULL.json"
+    )
+    diff = subprocess.run(
+        ["git", "-C", REPO, "diff", "--name-only", sha, "--", *_QUERY_DEFINING],
+        capture_output=True,
+        text=True,
+    )
+    assert diff.returncode == 0, (
+        f"recorded git_sha {sha} not in history: {diff.stderr.strip()}"
+    )
+    changed = [l for l in diff.stdout.splitlines() if l.strip()]
+    assert not changed, (
+        f"CORRECTNESS_FULL.json was generated at {sha[:12]} but query-defining "
+        f"code changed since: {changed[:10]} — rerun "
+        "scripts/driver_sim.py --json CORRECTNESS_FULL.json"
+    )
+
+
 def test_correctness_full_is_green():
     """Freshness alone is not enough — the recorded run must also be green
     (a refreshed artifact full of mismatches must not pass the gate)."""

@@ -18,11 +18,17 @@ from mapreduce_paper_implementation_spark.plans.bucketed_catalog import (
     build_catalog,
     q10_bucketed,
     q11_bucketed,
+    q84_bucketed,
+    q88_bucketed,
     q98_bucketed,
+    q101_bucketed,
 )
 from mapreduce_paper_implementation_spark.plans.curation_queries import (
     plant_new_snapshot,
+    q84_funnel,
+    q88_event_transitions,
     q98_snapshot_diff,
+    q101_click_attribution,
     snapshot_diff_readout,
 )
 from mapreduce_paper_implementation_spark.plans.queries import (
@@ -39,6 +45,7 @@ TABLES = [
     "lineitem_bok",
     "cust_snap_old",
     "cust_snap_new",
+    "events_bck",
 ]
 
 
@@ -148,4 +155,42 @@ def test_window_over_bucketed_scan_needs_no_exchange(spark, sf_dir, catalog, no_
     bp, pp = _plan(bucketed), _plan(plain)
     assert "Exchange" not in bp, bp  # bucketed scan satisfies the window
     assert "Exchange hashpartitioning(o_custkey" in pp
+    assert _rows(bucketed) == _rows(plain)
+
+
+def test_q84_bucketed_funnel_windows_are_exchange_free(spark, sf_dir, catalog, no_broadcast):
+    """The behavioral family (VERDICT r08 ask #3): q84's three stacked
+    per-user windows over events_bck need no user_id Exchange — the
+    bucketed scan satisfies the windows' distribution, and the stored
+    (user_id, t_us, event_id) sortBy their ordering."""
+    bucketed = q84_bucketed(spark)
+    plain = q84_funnel(spark, sf_dir)
+    bp, pp = _plan(bucketed), _plan(plain)
+    assert "Exchange hashpartitioning(user_id" not in bp, bp
+    assert "Exchange hashpartitioning(user_id" in pp
+    assert pp.count("Exchange") - bp.count("Exchange") >= 1, (bp, pp)
+    assert _rows(bucketed) == _rows(plain)
+
+
+def test_q88_bucketed_transition_window_is_exchange_free(spark, sf_dir, catalog, no_broadcast):
+    bucketed = q88_bucketed(spark)
+    plain = q88_event_transitions(spark, sf_dir)
+    bp, pp = _plan(bucketed), _plan(plain)
+    assert "Exchange hashpartitioning(user_id" not in bp, bp
+    assert "Exchange hashpartitioning(user_id" in pp
+    assert _rows(bucketed) == _rows(plain)
+
+
+def test_q101_bucketed_selfjoin_is_exchange_free(spark, sf_dir, catalog, no_broadcast):
+    """q101's purchase⋈click user_id equi-join: both sides are co-located
+    buckets of ONE stored table, so the join itself plans with zero
+    user_id Exchange (the per-pid ranking window still shuffles the small
+    matched-pair frame — its key changes mid-plan, which no static layout
+    can avoid)."""
+    bucketed = q101_bucketed(spark)
+    plain = q101_click_attribution(spark, sf_dir)
+    bp, pp = _plan(bucketed), _plan(plain)
+    assert "Exchange hashpartitioning(user_id" not in bp, bp
+    assert pp.count("Exchange hashpartitioning(user_id") == 2
+    assert pp.count("Exchange") - bp.count("Exchange") == 2, (bp, pp)
     assert _rows(bucketed) == _rows(plain)

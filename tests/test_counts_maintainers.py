@@ -164,8 +164,11 @@ def test_postings_match_q111_after_every_batch(spark, sf_dir, tmp_path):
     # the first-prefix ranking differs from the full-corpus one (df/idf and
     # even the corpus-derived query terms shift as history accrues)
     assert prefix_top[0] != prefix_top[-1]
-    # replay no-op
-    assert m.update(docs.where(F.col("doc_id") % n_batches == 0), 0) is None
+    # replay no-op: the STATE must be invariant (update() always returns
+    # None, so asserting on the return value would be vacuous)
+    before = sorted(map(tuple, m.current_state().collect()))
+    m.update(docs.where(F.col("doc_id") % n_batches == 0), 0)
+    assert sorted(map(tuple, m.current_state().collect())) == before
 
 
 def test_day_value_hist_matches_q112_and_late_data_moves_windows(spark, sf_dir, tmp_path):
@@ -193,5 +196,7 @@ def test_day_value_hist_matches_q112_and_late_data_moves_windows(spark, sf_dir, 
     )
     assert got == q112
     assert first != got  # the late fold moved served windows
-    # replay no-op
-    assert m.update(events.where(late), 1) is None
+    # replay no-op: the STATE must be invariant (update() always returns
+    # None, so asserting on the return value would be vacuous)
+    m.update(events.where(late), 1)
+    assert sorted(map(tuple, rolling_p95_view(m.current_state()).collect())) == got

@@ -455,3 +455,45 @@ def test_q111_query_terms_broadcast_postings_never_nl(spark, sf_dir):
     assert "BroadcastHashJoin" in plan  # qterms onto postings
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # single-row stats only
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _walk_exec(node):
+    # recurse through the AQE / query-stage / cache wrappers so the walk
+    # sees the real operators (same discipline as scripts/plan_audit.py)
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        yield from _walk_exec(node.executedPlan())
+        return
+    if name.endswith("QueryStageExec"):
+        yield from _walk_exec(node.plan())
+        return
+    if name == "InMemoryTableScanExec":
+        yield from _walk_exec(node.relation().cachedPlan())
+        return
+    yield node
+    seq = node.children()
+    for i in range(seq.size()):
+        yield from _walk_exec(seq.apply(i))
+
+
+def test_q111_no_unpartitioned_window_over_vocab(spark, sf_dir):
+    # the query-term pick must NEVER rank the whole vocabulary through one
+    # task (the round-8 scale bug): the global top-14 by (df DESC, term)
+    # comes from TakeOrderedAndProject (parallel per-partition heaps), and
+    # every Window in the plan must sit on a limit-bounded input — walk
+    # each WindowExec's subtree and require a TakeOrdered/GlobalLimit
+    # descendant before any exchange-fed aggregate
+    df = QUERIES["q111_bm25_topk"](spark, sf_dir)
+    root = df._jdf.queryExecution().executedPlan()
+    windows = [
+        n
+        for n in _walk_exec(root)
+        if n.getClass().getSimpleName() == "WindowExec"
+    ]
+    assert windows, "expected the rank-10..14 window over the 14-row limit"
+    for wnode in windows:
+        sub = {n.getClass().getSimpleName() for n in _walk_exec(wnode)}
+        assert "TakeOrderedAndProjectExec" in sub or "GlobalLimitExec" in sub, (
+            "WindowExec input is not limit-bounded — vocabulary-wide "
+            f"single-partition rank reintroduced: {sub}"
+        )

@@ -656,3 +656,74 @@ def test_rolling_p95_readout_matches_python_selection(spark):
                 break
         want[d] = (n, p95)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# bm25_readout vs pure-Python Okapi replay on arbitrary small corpora: the
+# corpus-derived query-term pick (total order by (df DESC, term), ranks
+# 10-14 — including df TIES straddling the rank boundary and vocabularies
+# smaller than 14 terms, where the query set is empty and so is the
+# result), dl/avgdl/idf arithmetic, ROUND(,4) and the (score DESC, doc_id)
+# tiebreak must all match an independent in-process implementation.
+# Documents with no tokens never enter the postings frame, so both sides
+# exclude them from N/avgdl by construction — the replay models postings,
+# not raw text, to pin exactly bm25_readout's contract.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = [f"w{i:02d}" for i in range(18)]
+
+
+def _py_bm25(postings, k1=1.2, b=0.75, top=10):
+    import math
+
+    dl: dict[int, int] = {}
+    dfreq: Counter = Counter()
+    for d, t, tf in postings:
+        dl[d] = dl.get(d, 0) + tf
+        dfreq[t] += 1
+    if not dl:
+        return []
+    avgdl = sum(dl.values()) / len(dl)
+    n_docs = len(dl)
+    order = sorted(dfreq.items(), key=lambda kv: (-kv[1], kv[0]))
+    qterms = dict(order[9:14])
+    scores: dict[int, float] = {}
+    for d, t, tf in sorted(postings):
+        if t not in qterms:
+            continue
+        dfv = qterms[t]
+        idf = math.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
+        contrib = idf * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * (dl[d] / avgdl))
+        )
+        scores[d] = scores.get(d, 0.0) + contrib
+    ranked = sorted(((round(s, 4), d) for d, s in scores.items()),
+                    key=lambda x: (-x[0], x[1]))
+    return [(d, s) for s, d in ranked[:top]]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    corpus=st.dictionaries(
+        keys=st.integers(0, 9),
+        values=st.dictionaries(
+            keys=st.sampled_from(_BM25_TERMS),
+            values=st.integers(1, 4),
+            min_size=1,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_bm25_readout_matches_python(spark, corpus):
+    from mapreduce_paper_implementation_spark.operators.serving import bm25_readout
+
+    postings = [
+        (doc_id, term, tf)
+        for doc_id, terms in corpus.items()
+        for term, tf in terms.items()
+    ]
+    df = spark.createDataFrame(postings, "doc_id long, term string, tf long")
+    got = [(r["doc_id"], r["score"]) for r in bm25_readout(df).collect()]
+    assert got == _py_bm25(postings)
