@@ -257,6 +257,28 @@ def bm25_readout(
 
 
 # ---------------------------------------------------------------------------
+# Histogram-decile readout (q110 + ntile_view)
+# ---------------------------------------------------------------------------
+
+
+def tile_decile_readout(assigned: DataFrame) -> DataFrame:
+    """q110's output (event_type, tile, n, min_value, max_value) from a
+    tile-assigned events frame (operators/incremental.py:
+    tile_assign_via_hist) — shared by the batch query and the streaming
+    ntile_view (streaming/rollup.py), so served == batch structurally.
+    The aggregate is bounded: #types x n_tiles rows."""
+    return (
+        assigned.groupBy("event_type", "tile")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type", "tile")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rolling 7-day p95 readout (q112 + rolling_p95_view)
 # ---------------------------------------------------------------------------
 

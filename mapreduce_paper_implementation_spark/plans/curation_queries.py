@@ -2517,8 +2517,12 @@ ORDER BY event_type, tile
 
 @query("q110_hist_tile_deciles", _Q110_ORACLE)
 def q110_hist_tile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tail shared with streaming ntile_view via serving.tile_decile_readout
     from mapreduce_paper_implementation_spark.operators.incremental import (
         tile_assign_via_hist,
+    )
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        tile_decile_readout,
     )
 
     events = load_table(spark, sf_dir, "events").select(
@@ -2527,15 +2531,7 @@ def q110_hist_tile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = tile_assign_via_hist(
         events, ["event_type"], "value", n_tiles=10, inv_width=4
     )
-    return (
-        assigned.groupBy("event_type", "tile")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-        )
-        .orderBy("event_type", "tile")
-    )
+    return tile_decile_readout(assigned)
 
 
 # ---------------------------------------------------------------------------

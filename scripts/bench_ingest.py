@@ -310,11 +310,30 @@ def main() -> None:
     ap.add_argument("--compact-every", type=int, default=3)
     ap.add_argument("--out-dir", default=os.path.join(REPO, "scale_data"))
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_INGEST.json"))
+    ap.add_argument(
+        "--topology-only",
+        action="store_true",
+        help="run ONLY the composed topology at --factor and MERGE it into "
+        "the standing artifact under topology_x<factor> (VERDICT r08 ask "
+        "#9: the x100 run — 500k docs in 10 batches — without re-running "
+        "the factor-10 maintainer rows)",
+    )
     args = ap.parse_args()
 
     ds_dir = os.path.join(args.out_dir, f"x{args.factor:g}")
     if not os.path.exists(os.path.join(ds_dir, "truth.json")):
         generate(args.factor, args.out_dir)
+
+    if args.topology_only:
+        spark = get_spark("bench_ingest")
+        topo = run_topology(spark, ds_dir, args.batches)
+        with open(args.out) as f:
+            result = json.load(f)
+        result[f"topology_x{args.factor:g}"] = {"factor": args.factor, **topo}
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(json.dumps({f"topology_x{args.factor:g}": result[f"topology_x{args.factor:g}"]}))
+        return
 
     events_dir = resolve_events_dir(args.out_dir, args.factor)
     spark = get_spark("bench_ingest")

@@ -152,6 +152,98 @@ def _make_timed(spark, repeat: int = 2):
     return _timed
 
 
+_EV_DAYS, _EV_TYPES, _EV_CENTS = 30, 4, 2000
+_DAY_US = 86_400_000_000
+
+
+def _ensure_scale_events(spark, ds_dir: str, n_events: int) -> None:
+    """Deterministic events table for the quantile-op scale rows: day =
+    i % 30 (fixed span — state never grows with factor), type cycles over
+    4 values, cent = Knuth-hash of i into 1..2000. Written once per factor
+    dir; the closed form lets numpy replay the exact truth at any size."""
+    path = os.path.join(ds_dir, "events.parquet")
+    if os.path.exists(path):
+        return
+    i = F.col("id")
+    (
+        spark.range(n_events)
+        .select(
+            i.alias("event_id"),
+            F.timestamp_micros(
+                (i % _EV_DAYS) * _DAY_US + F.expr(f"id div {_EV_DAYS}")
+            ).alias("ts"),
+            (i % 1000).alias("user_id"),
+            F.concat(
+                F.lit("t"), (F.expr(f"id div {_EV_DAYS}") % _EV_TYPES).cast("string")
+            ).alias("event_type"),
+            (
+                (((i * 2654435761) % (2**31)) % _EV_CENTS + 1).cast("double") / 100.0
+            ).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _events_truth_arrays(n: int):
+    i = np.arange(n, dtype=np.int64)
+    cent = ((i * 2654435761) % (2**31)) % _EV_CENTS + 1
+    day = i % _EV_DAYS
+    tidx = (i // _EV_DAYS) % _EV_TYPES
+    return cent, day, tidx
+
+
+def _py_q110_cuts(cent, tidx, n_tiles: int = 10) -> dict:
+    """Exact NTILE boundary bins per type (bin = floor(value*4) = cent//25;
+    every cent divisible by 25 is an exact k/4 binary fraction, so the
+    float path in Spark bins identically)."""
+    cuts: dict = {}
+    for t in range(_EV_TYPES):
+        c = cent[tidx == t]
+        bins = c // 25
+        cum = np.cumsum(np.bincount(bins, minlength=_EV_CENTS // 25 + 1))
+        n = int(c.size)
+        for k in range(1, n_tiles):
+            tgt = k * (n // n_tiles) + min(k, n % n_tiles)
+            cuts[(f"t{t}", k)] = int(np.searchsorted(cum, tgt))
+    return cuts
+
+
+def _py_q110(cent, tidx, n_tiles: int = 10) -> dict:
+    """q110's full output: per (type, tile) count + min/max value."""
+    cutmap = _py_q110_cuts(cent, tidx, n_tiles)
+    out: dict = {}
+    for t in range(_EV_TYPES):
+        c = cent[tidx == t]
+        bins = c // 25
+        tcuts = np.array(sorted(cutmap[(f"t{t}", k)] for k in range(1, n_tiles)))
+        tiles = 1 + np.searchsorted(tcuts, bins, side="left")  # #cuts < bin
+        for tile in np.unique(tiles):
+            sel = c[tiles == tile]
+            out[(f"t{t}", int(tile))] = (
+                int(sel.size),
+                float(sel.min()) / 100.0,
+                float(sel.max()) / 100.0,
+            )
+    return out
+
+
+def _py_q112(cent, day, window_days: int = 7) -> dict:
+    """q112's full output: per day, trailing-window count and the exact
+    t = ceil(0.95 n)-th smallest cent / 100."""
+    out: dict = {}
+    for d in range(_EV_DAYS):
+        sel = cent[(day >= d - (window_days - 1)) & (day <= d)]
+        n = int(sel.size)
+        if n == 0:
+            continue
+        t = (19 * n + 19) // 20
+        p95c = int(np.partition(sel, t - 1)[t - 1])
+        out[d] = (n, p95c / 100.0)
+    return out
+
+
 def run_factor(
     spark,
     factor: float,
@@ -391,6 +483,94 @@ def run_factor(
                 "repeated_positions": int(sum(r.n_repeated for r in rows)),
             }
         done("q75_boilerplate", dt)
+
+    # q110/q112 — bounded-histogram quantile ops (VERDICT r08 ask #4).
+    # The scale corpus gains a deterministic events table (fixed 30-day
+    # span, 4 event types, cents 1..2000 via a Knuth multiply of the row
+    # index, n_events = 200k x factor) so the TRUTH is computable in
+    # closed form at every factor: numpy replays the histograms and the
+    # exact integer selection rules, and the Spark output must match
+    # EXACTLY (both engines divide the same integral cents by 100.0).
+    # Each op gets two walls: the full query (scan-dominated — expect
+    # ~linear) and the readout from MAINTAINED state (a local frame with
+    # no lineage to events, as a maintainer's stored state would be):
+    # state is days x bins / types x bins rows AT EVERY FACTOR, so the
+    # post-histogram stages must come out ~flat (exponent ~0) — the
+    # claim "the expansion input is days x bins, never the events".
+    if want("q110_hist_tiles") or want("q112_rolling_p95"):
+        n_events = int(200_000 * factor)
+        _ensure_scale_events(spark, ds_dir, n_events)
+        cent, day, tidx = _events_truth_arrays(n_events)
+
+    if want("q110_hist_tiles"):
+        from mapreduce_paper_implementation_spark.operators.incremental import (
+            hist_state,
+            tile_cutpoints_from_hist,
+        )
+        from mapreduce_paper_implementation_spark.plans.queries import QUERIES
+
+        dt, rows = _timed(
+            lambda: QUERIES["q110_hist_tile_deciles"](spark, ds_dir).collect()
+        )
+        got = {(r.event_type, r.tile): (r.n, r.min_value, r.max_value) for r in rows}
+        want110 = _py_q110(cent, tidx)
+        checks["q110_hist_tiles"] = {
+            "exact_match": got == want110,
+            "n_groups": len(want110),
+            "n_events": n_events,
+        }
+        done("q110_hist_tiles", dt)
+
+        ev = load_table(spark, ds_dir, "events").select("event_type", "value")
+        state_pdf = hist_state(ev, ["event_type"], "value").toPandas()
+        state = spark.createDataFrame(state_pdf)  # local: no events lineage
+        dt2, cut_rows = _timed(
+            lambda: tile_cutpoints_from_hist(state, ["event_type"]).collect()
+        )
+        got_cuts = {(r.event_type, r.k): r.cut_bin for r in cut_rows}
+        want_cuts = _py_q110_cuts(cent, tidx)
+        checks["q110_cutpoints_from_state"] = {
+            "exact_match": got_cuts == want_cuts,
+            "state_rows": len(state_pdf),
+        }
+        done("q110_cutpoints_from_state", dt2)
+
+    if want("q112_rolling_p95"):
+        from mapreduce_paper_implementation_spark.operators.serving import (
+            rolling_p95_readout,
+        )
+        from mapreduce_paper_implementation_spark.plans.queries import QUERIES
+
+        dt, rows = _timed(
+            lambda: QUERIES["q112_rolling_p95"](spark, ds_dir).collect()
+        )
+        got = {r.day_num: (r.n_events_7d, r.p95) for r in rows}
+        want112 = _py_q112(cent, day)
+        checks["q112_rolling_p95"] = {
+            "exact_match": got == want112,
+            "n_days": len(want112),
+            "n_events": n_events,
+        }
+        done("q112_rolling_p95", dt)
+
+        hist_pdf = (
+            load_table(spark, ds_dir, "events")
+            .select(
+                F.expr("unix_micros(ts) div 86400000000").alias("day_num"),
+                F.round(F.col("value") * 100).cast("long").alias("cent"),
+            )
+            .groupBy("day_num", "cent")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .toPandas()
+        )
+        state = spark.createDataFrame(hist_pdf)  # local: no events lineage
+        dt2, srows = _timed(lambda: rolling_p95_readout(state).collect())
+        got_s = {r.day_num: (r.n_events_7d, r.p95) for r in srows}
+        checks["q112_readout_from_state"] = {
+            "exact_match": got_s == want112,
+            "state_rows": len(hist_pdf),
+        }
+        done("q112_readout_from_state", dt2)
 
     # q105 — exact n-gram containment (asymmetric rung; shares q20's
     # inverted-index skeleton). Exact operator: recall must be 1.0 and

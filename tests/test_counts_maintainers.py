@@ -200,3 +200,91 @@ def test_day_value_hist_matches_q112_and_late_data_moves_windows(spark, sf_dir, 
     # None, so asserting on the return value would be vacuous)
     m.update(events.where(late), 1)
     assert sorted(map(tuple, rolling_p95_view(m.current_state()).collect())) == got
+
+
+def test_ntile_view_matches_q110_and_late_data_moves_cutpoints(spark, sf_dir, tmp_path):
+    """Maintained (event_type, bin) histograms serve the SAME decile
+    readout as batch q110 after every batch (shared tile_assign_via_hist +
+    tile_decile_readout), and a late batch that shifts a type's value
+    distribution genuinely MOVES the cutpoints — already-served rows
+    re-tile, which a per-batch-only assigner would never do."""
+    from mapreduce_paper_implementation_spark.operators.incremental import (
+        hist_state,
+        tile_assign_via_hist,
+    )
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        tile_decile_readout,
+    )
+    from mapreduce_paper_implementation_spark.streaming.rollup import (
+        histogram_maintainer,
+        ntile_view,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    m = histogram_maintainer(spark, str(tmp_path / "hist"))
+    n_batches = 3
+    seen = None
+    for bid in range(n_batches):
+        b = events.where(F.col("event_id") % n_batches == bid)
+        m.update(b, bid)
+        seen = b if seen is None else seen.unionByName(b)
+        served = sorted(
+            map(
+                tuple,
+                tile_decile_readout(ntile_view(m.current_state(), seen)).collect(),
+            )
+        )
+        batch = sorted(
+            map(
+                tuple,
+                tile_decile_readout(
+                    tile_assign_via_hist(
+                        seen, ["event_type"], "value", n_tiles=10, inv_width=4
+                    )
+                ).collect(),
+            )
+        )
+        assert served == batch, f"batch {bid}"
+    # after the final batch the maintained state IS the corpus histogram,
+    # so the served readout equals registered q110 over the full corpus
+    q110 = sorted(
+        map(tuple, QUERIES["q110_hist_tile_deciles"](spark, sf_dir).collect())
+    )
+    assert served == q110
+    # late-data drift: a fixed probe frame re-tiles when a late batch
+    # shifts one type's distribution (planted fat tail: value*10 clones of
+    # one type's rows, fed as a LATE batch)
+    probe = events.where(F.col("event_type") == "click")
+    before = sorted(
+        map(
+            tuple,
+            tile_decile_readout(ntile_view(m.current_state(), probe)).collect(),
+        )
+    )
+    late = (
+        events.where(F.col("event_type") == "click")
+        .withColumn("value", F.col("value") * 10)
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+    )
+    m.update(late, n_batches)
+    after = sorted(
+        map(
+            tuple,
+            tile_decile_readout(ntile_view(m.current_state(), probe)).collect(),
+        )
+    )
+    assert before != after  # the fat tail moved the click cutpoints
+    # and the post-late state still equals a one-shot histogram over
+    # everything ingested (additivity — the late fold is exact, not approx)
+    merged = sorted(
+        map(tuple, m.current_state().select("event_type", "bin", "cnt").collect())
+    )
+    oneshot = sorted(
+        map(
+            tuple,
+            hist_state(
+                seen.unionByName(late), ["event_type"], "value", 4
+            ).collect(),
+        )
+    )
+    assert merged == oneshot
