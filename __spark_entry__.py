@@ -46,7 +46,10 @@ corpus map streams); q110 is the histogram-cutpoint decile assignment
 (q91's no-sort 100 TB path, cutpoint algebra pinned hash-exact); q111 is
 BM25 ranked retrieval over a corpus-derived query (postings semi-join,
 O(5)-term broadcast, rank-the-rounded-score); q112 is the rolling 7-day
-exact p95 (bounded histogram + contribution expansion, integer rank rule).
+exact p95 (bounded histogram + contribution expansion, integer rank rule);
+q113 is a deterministic Efraimidis-Spirakis weighted sample (hash-derived
+uniforms, per-source top-k via the bounded key histogram's cutoff — never
+a corpus rank).
 All queries are DuckDB-oracle-backed — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design).

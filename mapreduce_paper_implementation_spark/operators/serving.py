@@ -336,6 +336,47 @@ def rolling_p95_readout(h: DataFrame, window_days: int = 7) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sliding 7-day distinct users readout (q96 + sliding_distinct_view)
+# ---------------------------------------------------------------------------
+
+
+def user_day_frame(events: DataFrame) -> DataFrame:
+    """The distinct (user_id, day_num) frame — q96's head and
+    user_day_maintainer's state_fn (streaming/rollup.py). This is the
+    state every DAU/WAU system actually maintains: bounded by active
+    users x days, independent of raw event volume, and IDEMPOTENT under
+    re-ingest (set union, not counter addition — feeding the same events
+    twice cannot corrupt it, unlike the additive-count maintainers)."""
+    return events.select(
+        "user_id", F.expr(f"unix_micros(ts) div {DAY_US}").alias("day_num")
+    ).distinct()
+
+
+def sliding_distinct_readout(du: DataFrame, window_days: int = 7) -> DataFrame:
+    """q96's output (target_day, users_7d) from a distinct (user_id,
+    day_num) frame — which is also user_day_maintainer's state shape, so
+    batch and served engagement series share this one expression tree.
+    Contribution expansion: each (user, day) feeds the `window_days`
+    windows ending d..d+window_days-1 (bounded fan-out of the already-
+    deduplicated frame — never a per-day history rescan, never a range
+    self-join), then one partial-agg count-distinct per target day."""
+    mx = du.agg(F.max("day_num").alias("max_day"))
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day_num"), F.col("day_num") + (window_days - 1))
+        ).alias("target_day"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(mx))
+        .where(F.col("target_day") <= F.col("max_day"))
+        .groupBy("target_day")
+        .agg(F.count_distinct("user_id").cast("long").alias("users_7d"))
+        .orderBy("target_day")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Benford first-digit readout (q107 + benford_view)
 # ---------------------------------------------------------------------------
 

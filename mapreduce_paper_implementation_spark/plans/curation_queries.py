@@ -1362,24 +1362,16 @@ ORDER BY c.target_day
 
 @query("q96_sliding_distinct_users", _Q96_ORACLE)
 def q96_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # head + tail shared with the streaming user_day_maintainer /
+    # sliding_distinct_view (operators/serving.py), so batch == served
+    # structurally.
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        sliding_distinct_readout,
+        user_day_frame,
+    )
+
     events = load_table(spark, sf_dir, "events")
-    du = events.select(
-        "user_id", F.expr(f"unix_micros(ts) div {_DAY_US_}").alias("day_num")
-    ).distinct()
-    mx = du.agg(F.max("day_num").alias("max_day"))
-    contrib = du.select(
-        "user_id",
-        F.explode(F.sequence(F.col("day_num"), F.col("day_num") + 6)).alias(
-            "target_day"
-        ),
-    )
-    return (
-        contrib.crossJoin(F.broadcast(mx))
-        .where(F.col("target_day") <= F.col("max_day"))
-        .groupBy("target_day")
-        .agg(F.count_distinct("user_id").cast("long").alias("users_7d"))
-        .orderBy("target_day")
-    )
+    return sliding_distinct_readout(user_day_frame(events))
 
 
 # ---------------------------------------------------------------------------
@@ -2678,3 +2670,109 @@ def q112_rolling_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return rolling_p95_readout(day_cent_hist(ev))
+
+
+# ---------------------------------------------------------------------------
+# Q113 weighted sample — per-source top-k by Efraimidis-Spirakis key
+# (key = u^(1/w), u a DETERMINISTIC hash-derived uniform, w = n_chars+1):
+# the quality/length-weighted sampling pass every training-data pipeline
+# runs to build mixture shards — reproducible across re-ingests because u
+# is a pure function of doc_id (no RNG), SURVEY §8.28's overflow-safe
+# Knuth recipe.
+#
+# Scale shape (the q103/q110 discipline — NEVER rank the corpus): the key
+# is a map-only projection rounded to 6dp, so the per-source key HISTOGRAM
+# is bounded (<= 1e6+1 bins/source); the top-k cutoff is a running-count
+# selection on that histogram from the TOP (max key bin with cum >= k),
+# cutoffs BROADCAST back; rows strictly above the cut pass map-only, and
+# only the single boundary BIN (a handful of 6dp-collision rows) is
+# ranked by doc_id to fill the remaining slots. A per-source row_number
+# over the corpus — the naive form, and the oracle's — would single-task
+# the largest source at 100 TB.
+#
+# Float discipline: u is exact integer arithmetic until ONE division;
+# exp(ln(u)/w) agrees cross-engine to ~1 ulp and the 6dp ROUND makes a
+# boundary flip need a key within ~1e-16 of a 5e-7 grid edge (measure-zero
+# for hash-derived inputs); ties at 6dp break by doc_id in both engines.
+# ---------------------------------------------------------------------------
+
+_Q113_K = 200
+
+_Q113_ORACLE = f"""
+WITH keyed AS (
+  SELECT source, doc_id,
+         ROUND(exp(ln(CAST(((doc_id % 2147483648) * 2654435761)
+                           % 1000000007 + 1 AS DOUBLE)
+                       / CAST(1000000008.0 AS DOUBLE))
+                   / CAST(n_chars + 1 AS DOUBLE)), 6) AS samp_key
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, samp_key,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY samp_key DESC, doc_id) AS rk
+  FROM keyed
+)
+SELECT source, doc_id, samp_key FROM r WHERE rk <= {_Q113_K}
+ORDER BY source, doc_id
+"""
+
+
+def weighted_sample_shape(docs: DataFrame, k: int = _Q113_K) -> DataFrame:
+    """q113's body: histogram-cutoff top-k by deterministic E-S key —
+    shared with tests; see the block comment for the scale argument."""
+    u = (
+        (F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)
+    ) % F.lit(1000000007)
+    key = F.round(
+        F.exp(
+            F.log((u + 1).cast("double") / F.lit(1000000008.0))
+            / (F.col("n_chars") + 1).cast("double")
+        ),
+        6,
+    )
+    keyed = docs.select("source", "doc_id", key.alias("samp_key"))
+    hist = keyed.groupBy("source", "samp_key").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wd = (
+        Window.partitionBy("source")
+        .orderBy(F.col("samp_key").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "source", "samp_key", "cnt", F.sum("cnt").over(wd).alias("cum")
+    )
+    cuts = (
+        cum.where(F.col("cum") >= k)
+        .groupBy("source")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("samp_key").alias("cut"),
+                    (F.col("cum") - F.col("cnt")).alias("above"),
+                )
+            ).alias("b")
+        )
+        .select("source", F.col("b.cut").alias("cut"), F.col("b.above").alias("above"))
+    )
+    j = keyed.join(F.broadcast(cuts), "source", "left")
+    above_rows = j.where(F.col("cut").isNull() | (F.col("samp_key") > F.col("cut")))
+    wb = Window.partitionBy("source").orderBy("doc_id")
+    boundary = (
+        j.where(F.col("samp_key") == F.col("cut"))
+        .withColumn("rnk", F.row_number().over(wb))
+        .where(F.col("rnk") <= F.lit(k) - F.col("above"))
+        .drop("rnk")
+    )
+    return (
+        above_rows.unionByName(boundary)
+        .select("source", "doc_id", "samp_key")
+        .orderBy("source", "doc_id")
+    )
+
+
+@query("q113_weighted_sample", _Q113_ORACLE)
+def q113_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_shape(docs)

@@ -474,6 +474,39 @@ def rolling_p95_view(state: DataFrame) -> DataFrame:
     return rolling_p95_readout(state)
 
 
+def user_day_maintainer(spark: SparkSession, state_dir: str) -> RollupMaintainer:
+    """Streaming twin of q96's engagement series: maintains the distinct
+    (user_id, day_num) activity set from event deltas. Unlike the
+    additive-count maintainers (whose correctness needs disjoint batches —
+    see postings_maintainer's precondition), SET-UNION state is IDEMPOTENT:
+    re-ingesting the same events, overlapping batches, late data for old
+    days — all fold exactly. State is bounded by active users x days,
+    independent of raw event volume (the frame every DAU/WAU system
+    maintains). Serving: `sliding_distinct_view(maintainer.current_state())`
+    re-derives every trailing-7-day distinct-user count from state alone —
+    late events for an old day extend that day's user set and move the
+    windows it feeds, which a per-batch-only counter would never revisit."""
+    from mapreduce_paper_implementation_spark.operators.serving import user_day_frame
+
+    def merge_fn(a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.unionByName(b).distinct()
+
+    return RollupMaintainer(
+        spark, state_dir, state_fn=user_day_frame, merge_fn=merge_fn
+    )
+
+
+def sliding_distinct_view(state: DataFrame) -> DataFrame:
+    """q96's output from maintained (user_id, day_num) state — the batch
+    query and this view call the SAME sliding_distinct_readout
+    (operators/serving.py), so served == one-shot structurally."""
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        sliding_distinct_readout,
+    )
+
+    return sliding_distinct_readout(state)
+
+
 def digit_counts_maintainer(spark: SparkSession, state_dir: str) -> RollupMaintainer:
     """Streaming twin of q107's Benford audit: maintains (event_type,
     leading-digit) -> cnt from event deltas — additive, state bounded by

@@ -288,3 +288,46 @@ def test_ntile_view_matches_q110_and_late_data_moves_cutpoints(spark, sf_dir, tm
         )
     )
     assert merged == oneshot
+
+
+def test_user_day_matches_q96_and_overlapping_reingest_is_exact(spark, sf_dir, tmp_path):
+    """Maintained distinct (user, day) state serves the SAME trailing-7-day
+    engagement series as batch q96 after every batch (shared
+    sliding_distinct_readout), and — the set-union property the additive
+    maintainers lack — OVERLAPPING re-ingest under a NEW batch id folds
+    exactly: feeding half the corpus again changes nothing."""
+    from mapreduce_paper_implementation_spark.streaming.rollup import (
+        sliding_distinct_view,
+        user_day_maintainer,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    m = user_day_maintainer(spark, str(tmp_path / "ud"))
+    n_batches = 3
+    seen = None
+    for bid in range(n_batches):
+        b = events.where(F.col("event_id") % n_batches == bid)
+        m.update(b, bid)
+        seen = b if seen is None else seen.unionByName(b)
+        from mapreduce_paper_implementation_spark.operators.serving import (
+            sliding_distinct_readout,
+            user_day_frame,
+        )
+
+        served = sorted(
+            map(tuple, sliding_distinct_view(m.current_state()).collect())
+        )
+        batch = sorted(
+            map(tuple, sliding_distinct_readout(user_day_frame(seen)).collect())
+        )
+        assert served == batch, f"batch {bid}"
+    q96 = sorted(
+        map(tuple, QUERIES["q96_sliding_distinct_users"](spark, sf_dir).collect())
+    )
+    assert served == q96
+    # overlapping re-ingest with a NEW batch id (not a versioned replay —
+    # genuinely re-fed data): set union is idempotent, served is unchanged
+    m.update(events.where(F.col("event_id") % 2 == 0), n_batches)
+    assert (
+        sorted(map(tuple, sliding_distinct_view(m.current_state()).collect())) == q96
+    )

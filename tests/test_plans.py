@@ -497,3 +497,15 @@ def test_q111_no_unpartitioned_window_over_vocab(spark, sf_dir):
             "WindowExec input is not limit-bounded — vocabulary-wide "
             f"single-partition rank reintroduced: {sub}"
         )
+
+
+def test_q113_weighted_sample_never_ranks_the_corpus(spark, sf_dir):
+    # the E-S top-k must come from the bounded key histogram: cutoffs
+    # broadcast back onto the corpus, row_number only over the single
+    # boundary bin — walk the plan and require every WindowExec that
+    # computes the row_number to sit on a filtered (cut-equality) input,
+    # and the corpus join side to be broadcast
+    plan = _plan(spark, sf_dir, "q113_weighted_sample")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # cutoff table broadcast
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -727,3 +727,49 @@ def test_bm25_readout_matches_python(spark, corpus):
     df = spark.createDataFrame(postings, "doc_id long, term string, tf long")
     got = [(r["doc_id"], r["score"]) for r in bm25_readout(df).collect()]
     assert got == _py_bm25(postings)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_shape vs pure-Python Efraimidis-Spirakis replay: the
+# histogram-cutoff top-k (cut bin from the descending cumsum, strict-above
+# pass-through, boundary bin filled by doc_id) must equal rank-by-
+# (key DESC, doc_id) take-k for arbitrary small corpora — including
+# sources smaller than k (keep all), 6dp key COLLISIONS straddling the
+# boundary (forced by tiny weight domains), and k exactly at a bin edge.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 3)),  # (source, n_chars)
+        min_size=1,
+        max_size=30,
+    ),
+    k=st.integers(1, 8),
+)
+def test_weighted_sample_matches_python(spark, docs, k):
+    import math
+
+    from mapreduce_paper_implementation_spark.plans.curation_queries import (
+        weighted_sample_shape,
+    )
+
+    rows = [(i, f"s{s}", n) for i, (s, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = sorted(
+        (r["source"], r["doc_id"], r["samp_key"])
+        for r in weighted_sample_shape(df, k=k).collect()
+    )
+    def key(doc_id, n_chars):
+        u = ((doc_id % 2147483648) * 2654435761 % 1000000007 + 1) / 1000000008.0
+        return round(math.exp(math.log(u) / (n_chars + 1)), 6)
+
+    want = []
+    for s in {f"s{s}" for s, _ in docs}:
+        ranked = sorted(
+            ((key(i, n), i) for i, (src, n) in enumerate(docs) if f"s{src}" == s),
+            key=lambda t: (-t[0], t[1]),
+        )
+        want += [(s, i, kk) for kk, i in ranked[:k]]
+    assert got == sorted(want)
