@@ -359,7 +359,14 @@ def sliding_distinct_readout(du: DataFrame, window_days: int = 7) -> DataFrame:
     Contribution expansion: each (user, day) feeds the `window_days`
     windows ending d..d+window_days-1 (bounded fan-out of the already-
     deduplicated frame — never a per-day history rescan, never a range
-    self-join), then one partial-agg count-distinct per target day."""
+    self-join), then one partial-agg count-distinct per target day.
+
+    du is persisted: it feeds two consumers (max-day, the expansion) and
+    without the persist each replays the events scan + distinct (the q97
+    lesson; at 100 TB that is 2 corpus scans instead of 1)."""
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+
+    du = scoped_persist(du)
     mx = du.agg(F.max("day_num").alias("max_day"))
     contrib = du.select(
         "user_id",

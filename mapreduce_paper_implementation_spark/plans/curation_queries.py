@@ -2731,7 +2731,11 @@ def weighted_sample_shape(docs: DataFrame, k: int = _Q113_K) -> DataFrame:
         ),
         6,
     )
-    keyed = docs.select("source", "doc_id", key.alias("samp_key"))
+    # keyed feeds the histogram AND the cutoff join — persist or the docs
+    # scan + key arithmetic replays per consumer (the q97 lesson)
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+
+    keyed = scoped_persist(docs.select("source", "doc_id", key.alias("samp_key")))
     hist = keyed.groupBy("source", "samp_key").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
