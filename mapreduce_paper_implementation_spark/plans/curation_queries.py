@@ -2701,7 +2701,8 @@ _Q113_K = 200
 _Q113_ORACLE = f"""
 WITH keyed AS (
   SELECT source, doc_id,
-         ROUND(exp(ln(CAST(((doc_id % 2147483648) * 2654435761)
+         ROUND(exp(ln(CAST((((doc_id % 2147483648) * 2654435761)
+                            % 1000000007 + 1000000007)
                            % 1000000007 + 1 AS DOUBLE)
                        / CAST(1000000008.0 AS DOUBLE))
                    / CAST(n_chars + 1 AS DOUBLE)), 6) AS samp_key
@@ -2721,8 +2722,13 @@ ORDER BY source, doc_id
 def weighted_sample_shape(docs: DataFrame, k: int = _Q113_K) -> DataFrame:
     """q113's body: histogram-cutoff top-k by deterministic E-S key —
     shared with tests; see the block comment for the scale argument."""
+    # the (+M) % M fold makes u non-negative for NEGATIVE doc_id too
+    # (SQL_IS_A discipline, SURVEY §8.28) — identity for doc_id >= 0;
+    # without it ln(u+1) is NULL in Spark / an error in DuckDB
     u = (
-        (F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(1000000007)
+        + F.lit(1000000007)
     ) % F.lit(1000000007)
     key = F.round(
         F.exp(

@@ -432,10 +432,78 @@ def postings_maintainer(spark: SparkSession, state_dir: str) -> RollupMaintainer
 def bm25_view(state: DataFrame) -> DataFrame:
     """q111's top-10 output from maintained (doc_id, term, tf) postings —
     the batch query and this view call the SAME bm25_readout
-    (operators/serving.py), so served == one-shot structurally."""
+    (operators/serving.py), so served == one-shot structurally. Also
+    serves postings_replace_maintainer state: the extra `ver` column is
+    pruned and its term-NULL TOMBSTONE rows (a doc whose newest crawl has
+    no tokens) are dropped — a tombstoned doc must be absent from dl/N/df
+    like any token-less doc is in the batch query."""
+    from pyspark.sql import functions as F
+
     from mapreduce_paper_implementation_spark.operators.serving import bm25_readout
 
-    return bm25_readout(state)
+    return bm25_readout(
+        state.where(F.col("term").isNotNull()).select("doc_id", "term", "tf")
+    )
+
+
+def postings_replace_maintainer(
+    spark: SparkSession, state_dir: str
+) -> RollupMaintainer:
+    """Re-crawl-safe retrieval index: postings with REPLACE semantics —
+    per doc, the highest `crawl_ver` wins outright (the additive
+    postings_maintainer requires doc-disjoint batches; this one does not).
+
+    Deltas carry (doc_id, text, crawl_ver). state_fn first collapses the
+    delta itself to each doc's newest version (a batch may legally contain
+    two crawls of one doc), builds postings via the SAME postings_frame
+    the batch query uses, and tags rows with the version. A version whose
+    text yields NO tokens (page emptied/deleted) still emits a TOMBSTONE
+    row (term NULL, tf 0) — without it the new version would contribute
+    zero rows and max-version arbitration would resurrect the doc's stale
+    postings forever. merge_fn keeps, per doc, the rows whose ver equals
+    the max across old+new — so a re-crawl REPLACES the doc's postings
+    (tf/dl/df reflect only the current text), and a LATE batch carrying
+    an OLDER crawl of a doc is a no-op for that doc (max-version
+    arbitration, not arrival order). Serving: bm25_view(state) — its
+    term-NOT-NULL filter drops tombstones, so a tombstoned doc is absent
+    from every corpus statistic (dl/N/df), exactly like batch q111
+    excludes token-less docs (postings_frame emits nothing for them).
+
+    Scale shape: the max-version arbitration is a partial-aggregable
+    groupBy(doc_id).max(ver) + an equi-join on (doc_id, ver) — O(state),
+    no windows; state stays one row per (current-version doc, term)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_paper_implementation_spark.operators.serving import postings_frame
+
+    def _latest(u: DataFrame) -> DataFrame:
+        mx = u.groupBy("doc_id").agg(F.max("ver").alias("ver"))
+        return u.join(mx, ["doc_id", "ver"])
+
+    def state_fn(delta: DataFrame) -> DataFrame:
+        # distinct: a duplicated (doc, ver) row in one delta must not
+        # double tf through postings_frame's count
+        newest = _latest(
+            delta.select("doc_id", "text", F.col("crawl_ver").alias("ver"))
+        ).distinct()
+        vers = newest.select("doc_id", "ver").distinct()
+        # LEFT join from the version map: a token-less version still emits
+        # its tombstone row (term NULL, tf 0) so the new version WINS the
+        # max-ver arbitration instead of vanishing
+        return vers.join(postings_frame(newest), "doc_id", "left").select(
+            "doc_id",
+            "term",
+            F.coalesce("tf", F.lit(0)).cast("long").alias("tf"),
+            "ver",
+        )
+
+    def merge_fn(a: DataFrame, b: DataFrame) -> DataFrame:
+        # distinct: the same (doc, ver) re-ingested under a NEW batch id
+        # yields bit-identical posting rows — set semantics fold them, so
+        # overlapping re-ingest is exact here too (like user_day_maintainer)
+        return _latest(a.unionByName(b)).distinct()
+
+    return RollupMaintainer(spark, state_dir, state_fn=state_fn, merge_fn=merge_fn)
 
 
 def day_value_hist_maintainer(spark: SparkSession, state_dir: str) -> RollupMaintainer:

@@ -87,7 +87,9 @@ def run(spark, ds_dir: str, events_dir: str, n_batches: int, compact_every: int)
         day_value_hist_maintainer,
         digit_counts_maintainer,
         postings_maintainer,
+        postings_replace_maintainer,
         quality_hist_maintainer,
+        user_day_maintainer,
     )
     from mapreduce_paper_implementation_spark.streaming.tri_index import (
         TriangleMaintainer,
@@ -183,6 +185,24 @@ def run(spark, ds_dir: str, events_dir: str, n_batches: int, compact_every: int)
             lambda s: day_value_hist_maintainer(spark, s),
             base_events,
             "event_id",
+            lambda _res: 0,
+        ),
+        # q96's engagement set: state = distinct (user, day) — merge is a
+        # set union whose cost tracks state + batch, idempotent by design
+        (
+            "user_day",
+            lambda s: user_day_maintainer(spark, s),
+            base_events,
+            "event_id",
+            lambda _res: 0,
+        ),
+        # replace-semantics retrieval index: max-version arbitration is a
+        # groupBy(doc).max(ver) + equi-join over state — flat per batch
+        (
+            "postings_replace",
+            lambda s: postings_replace_maintainer(spark, s),
+            docs.withColumn("crawl_ver", F.lit(0)),
+            "doc_id",
             lambda _res: 0,
         ),
     ):
@@ -327,8 +347,10 @@ def main() -> None:
     if args.topology_only:
         spark = get_spark("bench_ingest")
         topo = run_topology(spark, ds_dir, args.batches)
-        with open(args.out) as f:
-            result = json.load(f)
+        result = {}
+        if os.path.exists(args.out):  # fresh box: don't discard the run
+            with open(args.out) as f:
+                result = json.load(f)
         result[f"topology_x{args.factor:g}"] = {"factor": args.factor, **topo}
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)
@@ -347,6 +369,14 @@ def main() -> None:
         "maintainers": run(spark, ds_dir, events_dir, args.batches, args.compact_every),
         "topology": run_topology(spark, ds_dir, args.batches),
     }
+    # a full refresh must not drop the separately-generated topology_x*
+    # sections (bench_ingest --topology-only --factor 100)
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            old = json.load(f)
+        for k2, v2 in old.items():
+            if k2.startswith("topology_x"):
+                result[k2] = v2
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))

@@ -86,6 +86,7 @@ def main() -> None:
             map(tuple, canonical_docs(docs, clusters=clusters, threshold=0.1).collect())
         ) == sorted(map(tuple, canonical_docs(docs, threshold=0.1).collect()))
 
+    assert same, "materialized-cluster path diverged from the inline rebuild"
     print(
         json.dumps(
             {

@@ -331,3 +331,63 @@ def test_user_day_matches_q96_and_overlapping_reingest_is_exact(spark, sf_dir, t
     assert (
         sorted(map(tuple, sliding_distinct_view(m.current_state()).collect())) == q96
     )
+
+
+def test_postings_replace_recrawl_and_out_of_order(spark, sf_dir, tmp_path):
+    """Replace-semantics retrieval index: a re-crawled doc REPLACES its
+    postings (served == batch over the CURRENT corpus version), a late
+    batch carrying an OLDER crawl is a per-doc no-op (max-version
+    arbitration, not arrival order), and overlapping re-ingest of the
+    same version folds exactly — none of which the additive
+    postings_maintainer can express (its doc-disjoint precondition)."""
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        bm25_readout,
+        postings_frame,
+    )
+    from mapreduce_paper_implementation_spark.streaming.rollup import (
+        bm25_view,
+        postings_replace_maintainer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawled = F.col("doc_id") % 5 == 0
+    modified = docs.where(recrawled).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzzq zzzq zzzq"))
+    )
+    m = postings_replace_maintainer(spark, str(tmp_path / "pr"))
+    m.update(docs.withColumn("crawl_ver", F.lit(0)), 0)
+    m.update(modified.withColumn("crawl_ver", F.lit(1)), 1)
+    served = list(map(tuple, bm25_view(m.current_state()).collect()))
+    current = docs.where(~recrawled).unionByName(modified)
+    batch = list(map(tuple, bm25_readout(postings_frame(current)).collect()))
+    assert served == batch  # replace took effect, shared readout
+    # every re-crawled doc's postings carry the planted token at tf=3 and
+    # the NEW version only (state holds one version per doc)
+    st = m.current_state()
+    n_recrawled = docs.where(recrawled).count()
+    planted = st.where((F.col("term") == "zzzq") & (F.col("tf") == 3)).count()
+    assert planted == n_recrawled
+    assert st.where(recrawled & (F.col("ver") != 1)).count() == 0
+    # late arrival of the OLD version: per-doc no-op (ver 0 < ver 1)
+    m.update(docs.where(recrawled).withColumn("crawl_ver", F.lit(0)), 2)
+    assert list(map(tuple, bm25_view(m.current_state()).collect())) == batch
+    # overlapping re-ingest of the CURRENT version under a new batch id:
+    # bit-identical rows fold by set semantics
+    m.update(modified.withColumn("crawl_ver", F.lit(1)), 3)
+    assert list(map(tuple, bm25_view(m.current_state()).collect())) == batch
+    # empty re-crawl (page deleted): the token-less version must WIN via
+    # its tombstone — the doc drops out of served retrieval instead of
+    # resurrecting its stale postings (the round-9 review bug)
+    victim = modified.agg(F.min("doc_id")).collect()[0][0]
+    emptied = (
+        docs.where(F.col("doc_id") == victim)
+        .withColumn("text", F.lit("  "))
+        .withColumn("crawl_ver", F.lit(2))
+    )
+    m.update(emptied, 4)
+    vic_rows = m.current_state().where(F.col("doc_id") == victim).collect()
+    assert len(vic_rows) == 1 and vic_rows[0]["term"] is None
+    assert vic_rows[0]["ver"] == 2 and vic_rows[0]["tf"] == 0
+    current2 = current.where(F.col("doc_id") != victim)
+    want2 = list(map(tuple, bm25_readout(postings_frame(current2)).collect()))
+    assert list(map(tuple, bm25_view(m.current_state()).collect())) == want2

@@ -458,22 +458,11 @@ def test_q111_query_terms_broadcast_postings_never_nl(spark, sf_dir):
 
 
 def _walk_exec(node):
-    # recurse through the AQE / query-stage / cache wrappers so the walk
-    # sees the real operators (same discipline as scripts/plan_audit.py)
-    name = node.getClass().getSimpleName()
-    if name == "AdaptiveSparkPlanExec":
-        yield from _walk_exec(node.executedPlan())
-        return
-    if name.endswith("QueryStageExec"):
-        yield from _walk_exec(node.plan())
-        return
-    if name == "InMemoryTableScanExec":
-        yield from _walk_exec(node.relation().cachedPlan())
-        return
-    yield node
-    seq = node.children()
-    for i in range(seq.size()):
-        yield from _walk_exec(seq.apply(i))
+    # the SHARED walker (testing/planwalk.py) — same wrapper handling as
+    # scripts/plan_audit.py, including expression-held subquery plans
+    from mapreduce_paper_implementation_spark.testing.planwalk import iter_plan
+
+    yield from iter_plan(node)
 
 
 def test_q111_no_unpartitioned_window_over_vocab(spark, sf_dir):
@@ -502,10 +491,34 @@ def test_q111_no_unpartitioned_window_over_vocab(spark, sf_dir):
 def test_q113_weighted_sample_never_ranks_the_corpus(spark, sf_dir):
     # the E-S top-k must come from the bounded key histogram: cutoffs
     # broadcast back onto the corpus, row_number only over the single
-    # boundary bin — walk the plan and require every WindowExec that
-    # computes the row_number to sit on a filtered (cut-equality) input,
-    # and the corpus join side to be broadcast
+    # boundary bin — walk the plan and require every row_number WindowExec
+    # to sit on a cut-equality-filtered input (the bounded boundary bin);
+    # the only other window is the histogram cumsum, whose subtree carries
+    # the (source, samp_key) aggregate
     plan = _plan(spark, sf_dir, "q113_weighted_sample")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # cutoff table broadcast
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    df = QUERIES["q113_weighted_sample"](spark, sf_dir)
+    windows = [
+        n
+        for n in _walk_exec(df._jdf.queryExecution().executedPlan())
+        if n.getClass().getSimpleName() == "WindowExec"
+    ]
+    assert windows
+    for wnode in windows:
+        s = wnode.toString()
+        if "row_number" not in s:
+            continue  # the hist cumsum window: bounded aggregate input
+        # the ranking window's subtree must restrict its input to the
+        # boundary bin (samp_key = cut) — as an explicit Filter, or (what
+        # Catalyst actually plans) folded into the broadcast join's
+        # equi-condition. A row_number over the unfiltered corpus (the
+        # q13/q108 violation) joins on source alone with no samp_key=cut
+        # equality anywhere below it.
+        sub = [n.toString().splitlines()[0] for n in _walk_exec(wnode)]
+        assert any(
+            ("samp_key" in ln and "cut" in ln)
+            and (ln.startswith("Filter") or "Join" in ln)
+            for ln in sub
+        ), f"row_number window not boundary-bin-restricted: {sub[:8]}"

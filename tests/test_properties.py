@@ -755,20 +755,27 @@ def test_weighted_sample_matches_python(spark, docs, k):
         weighted_sample_shape,
     )
 
-    rows = [(i, f"s{s}", n) for i, (s, n) in enumerate(docs)]
+    # ids include NEGATIVES (offset by -5): the fold must keep u positive
+    rows = [(i - 5, f"s{s}", n) for i, (s, n) in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
     got = sorted(
         (r["source"], r["doc_id"], r["samp_key"])
         for r in weighted_sample_shape(df, k=k).collect()
     )
     def key(doc_id, n_chars):
-        u = ((doc_id % 2147483648) * 2654435761 % 1000000007 + 1) / 1000000008.0
+        r = doc_id % 2147483648 if doc_id >= 0 else -((-doc_id) % 2147483648)
+        m = (r * 2654435761) % 1000000007 if r >= 0 else -((-r * 2654435761) % 1000000007)
+        u = ((m + 1000000007) % 1000000007 + 1) / 1000000008.0
         return round(math.exp(math.log(u) / (n_chars + 1)), 6)
 
     want = []
     for s in {f"s{s}" for s, _ in docs}:
         ranked = sorted(
-            ((key(i, n), i) for i, (src, n) in enumerate(docs) if f"s{src}" == s),
+            (
+                (key(i - 5, n), i - 5)
+                for i, (src, n) in enumerate(docs)
+                if f"s{src}" == s
+            ),
             key=lambda t: (-t[0], t[1]),
         )
         want += [(s, i, kk) for kk, i in ranked[:k]]
