@@ -334,7 +334,17 @@ def tile_assign_via_hist(
     join would silently drop new groups the maintained state has not seen
     yet; NULL is honest where no distribution information exists)."""
     if hist is None:
-        hist = hist_state(df, group_cols, value_col, inv_width)
+        # built inline = lineage back to the corpus; the cutpoint pass
+        # consumes it twice (cumsum + totals) — persist the bounded frame
+        # or both consumers replay the corpus scan (plan audit: 3 -> 2
+        # scans, the assignment join's second pass being the design).
+        # A caller-passed hist is maintained state (cheap storage-backed
+        # reads) and stays the caller's lifecycle choice.
+        from mapreduce_paper_implementation_spark.operators.caching import (
+            scoped_persist,
+        )
+
+        hist = scoped_persist(hist_state(df, group_cols, value_col, inv_width))
     cuts = (
         tile_cutpoints_from_hist(hist, group_cols, n_tiles)
         .groupBy(*group_cols)

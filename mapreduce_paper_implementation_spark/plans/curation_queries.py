@@ -206,12 +206,16 @@ def histogram_quantiles(
     maintenance path carries, so the one-shot manifest query and the
     incremental path cannot drift (tests/test_round7_additions.py
     differential)."""
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
     from mapreduce_paper_implementation_spark.operators.incremental import (
         hist_state,
         quantiles_from_hist,
     )
 
-    hist = hist_state(df, [group_col], value_col, inv_width)
+    # quantiles_from_hist consumes hist multiple times (cumsum, totals,
+    # target-rank join) — persist the bounded histogram or each consumer
+    # replays the corpus scan (plan audit: 3 scans -> 1)
+    hist = scoped_persist(hist_state(df, [group_col], value_col, inv_width))
     return quantiles_from_hist(hist, [group_col], quantile_ranks, inv_width)
 
 
@@ -2016,7 +2020,13 @@ def q103_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         quartile_threshold,
     )
 
-    hist = scored.groupBy("source", "q").agg(F.count("*").alias("c"))
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+
+    # quartile_threshold consumes hist twice (totals + cumsum) — persist
+    # the bounded histogram or each consumer replays the corpus scan +
+    # quality projection (plan audit showed 3 scans; now 2: hist build +
+    # the per-doc filter join, which is the design's second pass)
+    hist = scoped_persist(scored.groupBy("source", "q").agg(F.count("*").alias("c")))
     thr = quartile_threshold(hist)
     return (
         scored.join(F.broadcast(thr), "source")
