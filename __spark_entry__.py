@@ -49,7 +49,9 @@ O(5)-term broadcast, rank-the-rounded-score); q112 is the rolling 7-day
 exact p95 (bounded histogram + contribution expansion, integer rank rule);
 q113 is a deterministic Efraimidis-Spirakis weighted sample (hash-derived
 uniforms, per-source top-k via the bounded key histogram's cutoff — never
-a corpus rank).
+a corpus rank); q114 is the per-source vocabulary-size audit (exact
+distinct + DataSketches HLL estimate bracket-pinned by the oracle, the
+sketch being the maintained 100 TB path).
 All queries are DuckDB-oracle-backed — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design).

@@ -384,6 +384,42 @@ def sliding_distinct_readout(du: DataFrame, window_days: int = 7) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-source vocabulary HLL sketch (q114 + hll_vocab_maintainer)
+#
+# A third maintained-state ALGEBRA next to the counter monoids (postings,
+# day/cent histograms) and the set union (user_day): the Apache
+# DataSketches HLL register array, merged by element-wise register MAX —
+# a join-semilattice, so merge is associative, commutative, AND
+# idempotent: overlapping re-ingest, replays, and any batch partitioning
+# all produce bit-identical registers (sketch(A) ∪ sketch(B) ==
+# sketch(A ∪ B) exactly, not approximately). State is O(sources x 2^lgK)
+# bytes regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+
+def vocab_sketch_frame(docs: DataFrame, lg_k: int = 12) -> DataFrame:
+    """(source, sketch) — per-source HLL sketch of the token vocabulary:
+    q114's internal estimate path and hll_vocab_maintainer's state_fn."""
+    from mapreduce_paper_implementation_spark.functions.text import tokens
+
+    return (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source")
+        .agg(F.hll_sketch_agg("tok", F.lit(lg_k)).alias("sketch"))
+    )
+
+
+def hll_estimate_readout(state: DataFrame) -> DataFrame:
+    """(source, n_distinct_est) from (source, sketch) state — shared by
+    q114's bracket check and the streaming hll_vocab_view, so batch and
+    served estimates are the SAME register readout."""
+    return state.select(
+        "source",
+        F.hll_sketch_estimate("sketch").cast("long").alias("n_distinct_est"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
 # Benford first-digit readout (q107 + benford_view)
 # ---------------------------------------------------------------------------
 

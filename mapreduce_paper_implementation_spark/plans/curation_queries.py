@@ -2796,3 +2796,64 @@ def weighted_sample_shape(docs: DataFrame, k: int = _Q113_K) -> DataFrame:
 def q113_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return weighted_sample_shape(docs)
+
+
+# ---------------------------------------------------------------------------
+# Q114 vocabulary-size audit — per-source distinct-token count, exact AND
+# via an Apache DataSketches HLL sketch (lgK=12), with the sketch estimate
+# value-checked against the exact count by a 3-sigma-style bracket (the
+# q34 pattern: DuckDB cannot evaluate the engine's sketch, so the oracle
+# pins the bracket BOOLEAN — a hash mismatch on est_ok means the estimate
+# left its error envelope). Vocabulary growth per source is a standard
+# ingest-monitoring signal (a source whose vocab stops growing is
+# duplicating; one that explodes is spam/encoding noise).
+#
+# Scale shape: at 100 TB the EXACT count (count_distinct expands every
+# (source, token) pair through a shuffle) is the oracle-gating truth path
+# at test SFs; the production path is the SKETCH — one partial-aggregable
+# pass, O(sources x 2^lgK) bytes of state — maintained incrementally by
+# streaming/rollup.py:hll_vocab_maintainer (register-max lattice: merge
+# is associative, commutative, idempotent, so sketch(A)∪sketch(B) ==
+# sketch(A∪B) BIT-EXACTLY and served == batch estimates structurally via
+# the shared hll_estimate_readout). lgK=12 -> relative std error ~1.6%,
+# bracket at 5%.
+# ---------------------------------------------------------------------------
+
+_Q114_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest({sql_tokens('text')}) AS tok FROM documents
+)
+SELECT source,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_vocab,
+       TRUE AS est_ok
+FROM toks GROUP BY source ORDER BY source
+"""
+
+
+@query("q114_vocab_size", _Q114_ORACLE)
+def q114_vocab_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.functions.text import tokens
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        hll_estimate_readout,
+        vocab_sketch_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source")
+        .agg(F.count_distinct("tok").cast("long").alias("n_vocab"))
+    )
+    est = hll_estimate_readout(vocab_sketch_frame(docs))
+    return (
+        exact.join(est, "source")
+        .select(
+            "source",
+            "n_vocab",
+            (
+                F.abs(F.col("n_distinct_est") - F.col("n_vocab"))
+                <= 0.05 * F.col("n_vocab")
+            ).alias("est_ok"),
+        )
+        .orderBy("source")
+    )

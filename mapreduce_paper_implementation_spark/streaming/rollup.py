@@ -575,6 +575,46 @@ def sliding_distinct_view(state: DataFrame) -> DataFrame:
     return sliding_distinct_readout(state)
 
 
+def hll_vocab_maintainer(spark: SparkSession, state_dir: str) -> RollupMaintainer:
+    """Streaming twin of q114's vocabulary audit: maintains one HLL
+    sketch per source (Apache DataSketches, lgK=12) over the token
+    stream. The state algebra is a register-max JOIN-SEMILATTICE —
+    associative, commutative, and IDEMPOTENT — so overlapping re-ingest,
+    replays under new batch ids, and any batch partitioning all converge
+    to the registers of a one-shot sketch over the union: served
+    estimates == batch estimates EXACTLY (shared hll_estimate_readout),
+    not merely within error. State is O(sources x 2^lgK) bytes no matter
+    how many tokens stream through — the bounded-state sibling of the
+    exact user_day set (whose state grows with distinct keys)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        vocab_sketch_frame,
+    )
+
+    def merge_fn(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.unionByName(b)
+            .groupBy("source")
+            .agg(F.hll_union_agg("sketch").alias("sketch"))
+        )
+
+    return RollupMaintainer(
+        spark, state_dir, state_fn=vocab_sketch_frame, merge_fn=merge_fn
+    )
+
+
+def hll_vocab_view(state: DataFrame) -> DataFrame:
+    """q114's estimate path from maintained (source, sketch) state — the
+    batch query and this view call the SAME hll_estimate_readout
+    (operators/serving.py), so served == one-shot structurally."""
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        hll_estimate_readout,
+    )
+
+    return hll_estimate_readout(state)
+
+
 def digit_counts_maintainer(spark: SparkSession, state_dir: str) -> RollupMaintainer:
     """Streaming twin of q107's Benford audit: maintains (event_type,
     leading-digit) -> cnt from event deltas — additive, state bounded by

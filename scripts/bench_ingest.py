@@ -86,6 +86,7 @@ def run(spark, ds_dir: str, events_dir: str, n_batches: int, compact_every: int)
         ab_counters_maintainer,
         day_value_hist_maintainer,
         digit_counts_maintainer,
+        hll_vocab_maintainer,
         postings_maintainer,
         postings_replace_maintainer,
         quality_hist_maintainer,
@@ -202,6 +203,15 @@ def run(spark, ds_dir: str, events_dir: str, n_batches: int, compact_every: int)
             "postings_replace",
             lambda s: postings_replace_maintainer(spark, s),
             docs.withColumn("crawl_ver", F.lit(0)),
+            "doc_id",
+            lambda _res: 0,
+        ),
+        # q114's vocabulary sketch: register-max lattice, state is
+        # O(sources x 2^lgK) bytes — merge cost cannot grow with history
+        (
+            "hll_vocab",
+            lambda s: hll_vocab_maintainer(spark, s),
+            docs,
             "doc_id",
             lambda _res: 0,
         ),

@@ -391,3 +391,43 @@ def test_postings_replace_recrawl_and_out_of_order(spark, sf_dir, tmp_path):
     current2 = current.where(F.col("doc_id") != victim)
     want2 = list(map(tuple, bm25_readout(postings_frame(current2)).collect()))
     assert list(map(tuple, bm25_view(m.current_state()).collect())) == want2
+
+
+def test_hll_vocab_matches_batch_sketch_exactly(spark, sf_dir, tmp_path):
+    """Maintained per-source HLL sketches serve estimates BIT-EQUAL to a
+    one-shot sketch over everything ingested (register-max lattice:
+    sketch(A) union sketch(B) == sketch(A union B) exactly), after every
+    batch AND after overlapping re-ingest (idempotent merge) — and the
+    estimates satisfy q114's bracket against the exact counts."""
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        hll_estimate_readout,
+        vocab_sketch_frame,
+    )
+    from mapreduce_paper_implementation_spark.streaming.rollup import (
+        hll_vocab_maintainer,
+        hll_vocab_view,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = hll_vocab_maintainer(spark, str(tmp_path / "hll"))
+    n_batches = 3
+    seen = None
+    for bid in range(n_batches):
+        b = docs.where(F.col("doc_id") % n_batches == bid)
+        m.update(b, bid)
+        seen = b if seen is None else seen.unionByName(b)
+        served = sorted(
+            map(tuple, hll_vocab_view(m.current_state()).collect())
+        )
+        oneshot = sorted(
+            map(tuple, hll_estimate_readout(vocab_sketch_frame(seen)).collect())
+        )
+        assert served == oneshot, f"batch {bid}"
+    # full ingest: the q114 bracket holds on served estimates
+    q114 = {r["source"]: r for r in QUERIES["q114_vocab_size"](spark, sf_dir).collect()}
+    for src, est in served:
+        assert abs(est - q114[src]["n_vocab"]) <= 0.05 * q114[src]["n_vocab"]
+        assert q114[src]["est_ok"]
+    # overlapping re-ingest under a NEW batch id: idempotent registers
+    m.update(docs.where(F.col("doc_id") % 2 == 0), n_batches)
+    assert sorted(map(tuple, hll_vocab_view(m.current_state()).collect())) == served
