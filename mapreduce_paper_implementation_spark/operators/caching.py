@@ -28,7 +28,14 @@ _PERSISTED: list[DataFrame] = []
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
-    """persist(MEMORY_AND_DISK) + register for later release_persisted()."""
+    """persist(MEMORY_AND_DISK) + register for later release_persisted().
+
+    CONTRACT: callers that run many queries in one session (bench.py,
+    driver_sim, the test conftest) call release_persisted() between
+    queries — operators persist freely under that discipline. A long-lived
+    consumer that never releases accumulates one (typically small,
+    histogram-sized) cache entry per operator call; call
+    release_persisted() at your own query boundaries."""
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -2844,9 +2844,14 @@ def q114_vocab_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count_distinct("tok").cast("long").alias("n_vocab"))
     )
-    est = hll_estimate_readout(vocab_sketch_frame(docs))
+    # eqNullSafe: the oracle's GROUP BY keeps a NULL-source group, so the
+    # bracket join must too (a plain inner equi-join would drop it)
+    est = hll_estimate_readout(vocab_sketch_frame(docs)).withColumnRenamed(
+        "source", "_src"
+    )
     return (
-        exact.join(est, "source")
+        exact.join(est, F.col("source").eqNullSafe(F.col("_src")))
+        .drop("_src")
         .select(
             "source",
             "n_vocab",

@@ -477,8 +477,19 @@ def postings_replace_maintainer(
     from mapreduce_paper_implementation_spark.operators.serving import postings_frame
 
     def _latest(u: DataFrame) -> DataFrame:
-        mx = u.groupBy("doc_id").agg(F.max("ver").alias("ver"))
-        return u.join(mx, ["doc_id", "ver"])
+        # single-pass arbitration: a per-doc window MAX + filter consumes
+        # the input ONCE (one doc_id shuffle) — the groupBy+self-join form
+        # evaluated its lazy input twice per call, compounding to 2-4
+        # re-evaluations of the delta collapse per update() (the q97
+        # multi-consumer recompute class, review r9)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id")
+        return (
+            u.withColumn("_mx", F.max("ver").over(w))
+            .where(F.col("ver") == F.col("_mx"))
+            .drop("_mx")
+        )
 
     def state_fn(delta: DataFrame) -> DataFrame:
         # distinct: a duplicated (doc, ver) row in one delta must not

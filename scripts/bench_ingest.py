@@ -333,6 +333,19 @@ def run_topology(spark, ds_dir: str, n_batches: int) -> dict:
     }
 
 
+def _load_or_empty(path: str) -> dict:
+    """Read the standing artifact, tolerating absence AND a truncated/
+    corrupt file (a killed previous run's non-atomic write must not crash
+    THIS run after its multi-minute measurements complete)."""
+    if not os.path.exists(path):
+        return {}
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return {}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=float, default=10.0)
@@ -357,10 +370,7 @@ def main() -> None:
     if args.topology_only:
         spark = get_spark("bench_ingest")
         topo = run_topology(spark, ds_dir, args.batches)
-        result = {}
-        if os.path.exists(args.out):  # fresh box: don't discard the run
-            with open(args.out) as f:
-                result = json.load(f)
+        result = _load_or_empty(args.out)  # fresh/corrupt: don't discard the run
         result[f"topology_x{args.factor:g}"] = {"factor": args.factor, **topo}
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)
@@ -380,13 +390,12 @@ def main() -> None:
         "topology": run_topology(spark, ds_dir, args.batches),
     }
     # a full refresh must not drop the separately-generated topology_x*
-    # sections (bench_ingest --topology-only --factor 100)
-    if os.path.exists(args.out):
-        with open(args.out) as f:
-            old = json.load(f)
-        for k2, v2 in old.items():
-            if k2.startswith("topology_x"):
-                result[k2] = v2
+    # sections (bench_ingest --topology-only --factor 100); carried
+    # sections keep whatever code vintage they were measured on — rerun
+    # --topology-only to refresh them
+    for k2, v2 in _load_or_empty(args.out).items():
+        if k2.startswith("topology_x"):
+            result[k2] = v2
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
