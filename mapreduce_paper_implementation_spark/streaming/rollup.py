@@ -453,10 +453,13 @@ def postings_replace_maintainer(
     per doc, the highest `crawl_ver` wins outright (the additive
     postings_maintainer requires doc-disjoint batches; this one does not).
 
-    Deltas carry (doc_id, text, crawl_ver). state_fn first collapses the
-    delta itself to each doc's newest version (a batch may legally contain
-    two crawls of one doc), builds postings via the SAME postings_frame
-    the batch query uses, and tags rows with the version. A version whose
+    Deltas carry (doc_id, text, crawl_ver). PRECONDITION: (doc_id,
+    crawl_ver) determines text uniquely — two DIFFERENT texts under one
+    version is corrupt input (their posting rows cannot fold and both
+    survive a version tie). state_fn first collapses the delta itself to
+    each doc's newest version (a batch may legally contain two crawls of
+    one doc), builds postings via the SAME postings_frame the batch query
+    uses, and tags rows with the version. A version whose
     text yields NO tokens (page emptied/deleted) still emits a TOMBSTONE
     row (term NULL, tf 0) — without it the new version would contribute
     zero rows and max-version arbitration would resurrect the doc's stale

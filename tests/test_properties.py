@@ -780,3 +780,67 @@ def test_weighted_sample_matches_python(spark, docs, k):
         )
         want += [(s, i, kk) for kk, i in ranked[:k]]
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# postings_replace_maintainer vs a pure-Python replay over ARBITRARY
+# version interleavings: any sequence of batches of (doc_id, crawl_ver)
+# pairs — re-crawls, out-of-order old versions, duplicates within a batch,
+# token-less versions (tombstones) — must leave the state holding exactly
+# the postings of each doc's max-version text, with a tombstone row for
+# max-version texts that have no tokens. Text is a PURE FUNCTION of
+# (doc_id, ver) — the maintainer's contract requires (doc, ver) to
+# determine content uniquely (a pipeline that labels two different crawls
+# with one version is feeding corrupt data).
+# ---------------------------------------------------------------------------
+
+
+def _pr_text(doc_id: int, ver: int) -> str:
+    # letters only: the engine tokenizer splits on [^A-Za-z]+, so digits
+    # inside a synthetic token would fragment it
+    if (doc_id + ver) % 4 == 0:
+        return "   "  # token-less version: must tombstone, not resurrect
+    return " ".join(f"w{'abcd'[doc_id]}{'xyz'[j]}" for j in range(ver + 1))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 2)),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_postings_replace_matches_python_replay(spark, batches, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from mapreduce_paper_implementation_spark.streaming.rollup import (
+        postings_replace_maintainer,
+    )
+
+    tmp = tmp_path_factory.mktemp("pr_prop")
+    m = postings_replace_maintainer(spark, str(tmp))
+    current: dict[int, int] = {}
+    for bid, batch in enumerate(batches):
+        rows = [(d, _pr_text(d, v), v) for d, v in batch]
+        df = spark.createDataFrame(rows, "doc_id long, text string, crawl_ver long")
+        m.update(df, bid)
+        for d, v in batch:
+            current[d] = max(current.get(d, -1), v)
+    got = {
+        (r["doc_id"], r["term"], r["tf"], r["ver"])
+        for r in m.current_state().collect()
+    }
+    want = set()
+    for d, v in current.items():
+        toks = [t for t in _pr_text(d, v).split() if t]
+        if not toks:
+            want.add((d, None, 0, v))
+        else:
+            for t in set(toks):
+                want.add((d, t, toks.count(t), v))
+    assert got == want
