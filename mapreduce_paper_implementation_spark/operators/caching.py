@@ -22,6 +22,8 @@ it. Call sites:
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame
 
 _PERSISTED: list[DataFrame] = []
@@ -41,6 +43,36 @@ def scoped_persist(df: DataFrame) -> DataFrame:
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(df)
     return df
+
+
+@contextlib.contextmanager
+def persist_scope():
+    """Release, at scope exit, ONLY the frames scoped_persist registered
+    inside the scope — the enforced form of the release_persisted()
+    convention (ADVICE r09: library operators persist internally and a
+    long-lived serving consumer that never calls release_persisted()
+    accumulates registry entries forever).
+
+    Use around any block that MATERIALIZES its result before the scope
+    closes (an action, a parquet write): the cache pays off during the
+    materialization and is dropped before the caller continues, so the
+    global registry cannot grow across requests. A still-lazy frame that
+    escapes the scope merely recomputes — correctness never depends on
+    the cache. Nests correctly (inner scopes release only their own
+    frames); frames the caller registered BEFORE entering are untouched.
+    streaming/rollup.py:RollupMaintainer.update wraps each state fold in
+    one of these, which is what lets maintainer state_fns persist their
+    multi-consumer deltas without leaking across batches."""
+    mark = len(_PERSISTED)
+    try:
+        yield
+    finally:
+        for df in _PERSISTED[mark:]:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass  # session already stopped; nothing to release
+        del _PERSISTED[mark:]
 
 
 def release_persisted() -> int:

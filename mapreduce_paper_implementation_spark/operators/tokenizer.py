@@ -1,0 +1,173 @@
+"""Distributed BPE merge-table training — the training-time counterpart of
+the engine's tokenizer surface (the reference's word-count tokenizer,
+/root/reference/mr-main/mrapps/wc.go:23-26, is the APPLY side; this learns
+the merges a subword tokenizer would apply).
+
+Algorithm (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+with Subword Units", §3.2 — the reference BPE recipe):
+
+  1. collapse the corpus to the word-TYPE table (word, freq) — one
+     token-hash shuffle, the q01 word count;
+  2. represent each word as a symbol sequence (initially its characters);
+  3. per merge round: count adjacent symbol pairs weighted by word freq,
+     pick the single highest-count pair (deterministic tie-break:
+     count DESC, left ASC, right ASC), replace every non-overlapping
+     left-to-right occurrence of that pair with the concatenated symbol;
+  4. after n_merges rounds the ordered winner list IS the merge table.
+
+Scale shape (why this holds at 100 TB): the CORPUS is touched exactly once
+— the word-count shuffle of step 1, partially aggregated map-side. Every
+training round after that operates on the word-type table, which is
+vocabulary-sized (Heaps' law: ~O(corpus^0.5) types, millions of rows for a
+100 TB corpus — a distributed frame, never collected). Per round:
+
+  - pair counting is explode + partial/final hash aggregate over
+    (x, y) symbol pairs — bounded by pair types, not occurrences;
+  - the winner is TakeOrderedAndProject (orderBy().limit(1)), never a
+    global sort;
+  - the winning 1-row frame is BROADCAST onto the vocab and the merge is
+    applied map-side via a single string replace() — no shuffle, no
+    Python, no driver round-trip (zero collect() in the whole loop: the
+    merge table accumulates as a union of checkpointed 1-row frames);
+  - localCheckpoint truncates lineage per round (the q74/kmeans
+    discipline) so deep merge counts don't compound plan compilation.
+
+Symbol-sequence representation: each word is kept as the VARCHAR
+`<s1><s2>...<sk>` — every symbol wrapped in sentinel brackets. Symbols are
+tokenizer output ([A-Za-z]+ runs), so `<`/`>` can never occur inside one,
+which makes the wrapped form unambiguous AND makes the merge step a plain
+string replace: replacing `<x><y>` with `<xy>` rewrites exactly the
+non-overlapping left-to-right occurrences of the (x, y) ADJACENT-symbol
+pair — the scan resumes after each replacement, so an overlapping chain
+(x == y, `<a><a><a>`) merges greedily into `<aa><a>`, which is precisely
+the Sennrich merge rule. replace() stays inside whole-stage codegen; the
+only interpreted HOF is the per-round pair explode over the (tiny) vocab.
+
+The DuckDB oracle (plans/curation_queries.py:q115) unrolls the identical
+rounds in chained CTEs — string_split for the initial wrap,
+regexp_extract_all to recover symbol arrays for pair counting, the same
+replace() for the merge — so count arithmetic (exact integers), the
+tie-break total order, and the greedy-replace semantics are all pinned
+engine-to-engine. tests/test_properties.py replays the operator against a
+pure-Python BPE (dict counting + explicit left-to-right merge loop) over
+hypothesis-generated corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_paper_implementation_spark.functions.text import tokens
+
+
+def _wrap_chars(col) -> F.Column:
+    """'abc' -> '<a><b><c>' — initial one-symbol-per-character form.
+    Lookaround split is Java-regex only; the oracle builds the same string
+    with string_split + array_to_string."""
+    return F.concat(
+        F.lit("<"), F.regexp_replace(col, "(?<=.)(?=.)", "><"), F.lit(">")
+    )
+
+
+def word_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, freq) word-type table — the q01 word count, the single pass over
+    the corpus in the whole training run."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn `n_merges` BPE merges over the corpus; returns the merge table
+    (rnd BIGINT 1-based, left_sym, right_sym, pair_cnt BIGINT) ordered by
+    round. Deterministic: exact integer pair counts, winner = (count DESC,
+    left ASC, right ASC). Stops early (shorter table) if no adjacent pair
+    remains — every word collapsed to one symbol."""
+    spark = docs.sparkSession
+    vocab = (
+        word_freq(docs, text_col)
+        .select("w", "freq", _wrap_chars(F.col("w")).alias("symstr"))
+        .localCheckpoint()
+    )
+
+    merge_frames: list[DataFrame] = []
+    for rnd in range(1, n_merges + 1):
+        sym = F.regexp_extract_all(F.col("symstr"), F.lit("<([A-Za-z]+)>"), 1)
+        pairs = (
+            vocab.select("freq", sym.alias("sym"))
+            .where(F.size("sym") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("sym") - 1),
+                        lambda i: F.struct(
+                            F.element_at("sym", i).alias("x"),
+                            F.element_at("sym", i + 1).alias("y"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .select("p.x", "p.y", "freq")
+        )
+        win = (
+            pairs.groupBy("x", "y")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("x"), F.asc("y"))
+            .limit(1)
+            .localCheckpoint()  # 1 row; materializes this round's agg once
+        )
+        if win.isEmpty():
+            break
+        merge_frames.append(win.select(F.lit(rnd).cast("long").alias("rnd"), "x", "y", "cnt"))
+        # map-side merge application: broadcast the 1-row winner, one
+        # codegen'd replace over the vocab — the corpus is long gone
+        vocab = (
+            vocab.crossJoin(F.broadcast(win.select(F.col("x").alias("_wx"), F.col("y").alias("_wy"))))
+            .select(
+                "w",
+                "freq",
+                F.replace(
+                    F.col("symstr"),
+                    F.concat(F.lit("<"), F.col("_wx"), F.lit("><"), F.col("_wy"), F.lit(">")),
+                    F.concat(F.lit("<"), F.col("_wx"), F.col("_wy"), F.lit(">")),
+                ).alias("symstr"),
+            )
+            .localCheckpoint()
+        )
+
+    if not merge_frames:
+        return spark.createDataFrame(
+            [], "rnd bigint, left_sym string, right_sym string, pair_cnt bigint"
+        )
+    out = merge_frames[0]
+    for f in merge_frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        "rnd",
+        F.col("x").alias("left_sym"),
+        F.col("y").alias("right_sym"),
+        F.col("cnt").cast("long").alias("pair_cnt"),
+    ).orderBy("rnd")
+
+
+def bpe_segment(vocab_words: DataFrame, merges: list[tuple[str, str]], word_col: str = "w") -> DataFrame:
+    """Apply a learned merge list to a word frame: (w, subwords
+    array<string>) — the serving-side twin of bpe_train, applying merges
+    in training order via the same wrapped-string replace. Used by the
+    property test to check apply/train agreement; at scale this is the
+    map-only pass a tokenizer service runs over new text."""
+    symstr = _wrap_chars(F.col(word_col))
+    for x, y in merges:
+        symstr = F.replace(symstr, F.lit(f"<{x}><{y}>"), F.lit(f"<{x}{y}>"))
+    return vocab_words.select(
+        F.col(word_col).alias("w"),
+        F.regexp_extract_all(symstr, F.lit("<([A-Za-z]+)>"), 1).alias("subwords"),
+    )

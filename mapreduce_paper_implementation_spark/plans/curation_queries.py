@@ -2862,3 +2862,95 @@ def q114_vocab_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q115 distributed BPE merge-table training — the training-time counterpart
+# of the declared tokenizer (the reference's wc tokenizer,
+# /root/reference/mr-main/mrapps/wc.go:23-26, is the APPLY side; this
+# learns the merge table a subword tokenizer would apply). Sennrich et al.
+# 2016 §3.2: per round, count adjacent symbol pairs weighted by word-type
+# frequency, merge the single highest-count pair everywhere (greedy
+# left-to-right non-overlapping), repeat.
+#
+# Scale shape (operators/tokenizer.py:bpe_train): the corpus crosses ONE
+# shuffle total — the q01 word count; every training round runs on the
+# word-TYPE table (Heaps' law: vocabulary-sized, a distributed frame).
+# Pair counts are a bounded partial/final hash agg over symbol-pair types;
+# the winner is TakeOrderedAndProject (limit 1); the merge applies
+# map-side as a codegen'd string replace of the BROADCAST 1-row winner.
+# Zero collect() — the merge table accumulates as a union of checkpointed
+# 1-row frames (localCheckpoint per round truncates lineage, the
+# q74/kmeans discipline).
+#
+# The oracle unrolls the identical rounds as chained CTEs (the q29
+# unrolled-training-loop pattern): same wrapped-symbol VARCHAR
+# representation ('<s1><s2>...'), same exact-integer counts, same
+# (cnt DESC, x ASC, y ASC) tie-break, and the same non-overlapping
+# left-to-right replace() semantics — both engines' replace scans resume
+# AFTER each replacement, which IS the Sennrich merge rule (an x==y chain
+# '<a><a><a>' merges to '<aa><a>'). tests/test_properties.py replays the
+# operator against a pure-Python BPE over hypothesis-generated corpora.
+# ---------------------------------------------------------------------------
+
+_Q115_MERGES = 10
+
+
+def _q115_oracle(n_merges: int = _Q115_MERGES) -> str:
+    ctes = [
+        f"""wc AS MATERIALIZED (
+  SELECT t AS w, COUNT(*) AS freq
+  FROM (SELECT unnest({sql_tokens('text')}) AS t FROM documents)
+  GROUP BY 1
+)""",
+        """s0 AS MATERIALIZED (
+  SELECT w, freq,
+         '<' || array_to_string(string_split(w, ''), '><') || '>' AS symstr
+  FROM wc
+)""",
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        ctes += [
+            f"""e{r} AS MATERIALIZED (
+  SELECT freq, regexp_extract_all(symstr, '<([A-Za-z]+)>', 1) AS sym FROM s{p}
+)""",
+            f"""p{r} AS (
+  SELECT sym[i] AS x, sym[i + 1] AS y, SUM(freq) AS cnt
+  FROM (SELECT sym, freq, unnest(range(1, len(sym))) AS i
+        FROM e{r} WHERE len(sym) >= 2)
+  GROUP BY 1, 2
+)""",
+            f"""w{r} AS (
+  SELECT x, y, CAST(cnt AS BIGINT) AS cnt
+  FROM p{r} ORDER BY cnt DESC, x ASC, y ASC LIMIT 1
+)""",
+            f"""s{r} AS MATERIALIZED (
+  SELECT s.w, s.freq,
+         replace(s.symstr, '<' || wr.x || '><' || wr.y || '>',
+                 '<' || wr.x || wr.y || '>') AS symstr
+  FROM s{p} s CROSS JOIN w{r} wr
+)""",
+        ]
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rnd, x AS left_sym, y AS right_sym, cnt AS pair_cnt FROM w{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(rnd AS BIGINT) AS rnd, left_sym, right_sym,
+       CAST(pair_cnt AS BIGINT) AS pair_cnt
+FROM ({unions})
+ORDER BY rnd
+"""
+    )
+
+
+@query("q115_bpe_train", _q115_oracle())
+def q115_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.tokenizer import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=_Q115_MERGES)

@@ -95,14 +95,24 @@ class RollupMaintainer:
         """Fold one micro-batch of raw events into the state. Idempotent
         under foreachBatch replay: a batch id at or below the committed
         version is a no-op."""
+        from mapreduce_paper_implementation_spark.operators.caching import (
+            persist_scope,
+        )
+
         committed = self._committed_version()
         if committed is not None and committed >= batch_id:
             return
-        state = self._state_fn(delta)
-        prev = self.current_state()
-        if prev is not None:
-            state = self._merge_fn(prev, state)
-        state.write.mode("overwrite").parquet(self._version_dir(batch_id))
+        # persist_scope: the parquet write below materializes the whole
+        # fold, so any frame a state_fn scoped_persist-ed (e.g. the
+        # replace maintainer's collapsed delta) has paid off by the end
+        # of this method — release it here instead of leaking one cache
+        # entry per batch into the global registry (ADVICE r09).
+        with persist_scope():
+            state = self._state_fn(delta)
+            prev = self.current_state()
+            if prev is not None:
+                state = self._merge_fn(prev, state)
+            state.write.mode("overwrite").parquet(self._version_dir(batch_id))
         self._commit_version(batch_id)
 
     def vacuum(self, keep: int = 1) -> list[int]:
@@ -495,11 +505,22 @@ def postings_replace_maintainer(
         )
 
     def state_fn(delta: DataFrame) -> DataFrame:
+        from mapreduce_paper_implementation_spark.operators.caching import (
+            scoped_persist,
+        )
+
         # distinct: a duplicated (doc, ver) row in one delta must not
-        # double tf through postings_frame's count
-        newest = _latest(
-            delta.select("doc_id", "text", F.col("crawl_ver").alias("ver"))
-        ).distinct()
+        # double tf through postings_frame's count.
+        # scoped_persist: `newest` feeds TWO lazy consumers (the version
+        # map and postings_frame) — without the persist the window
+        # collapse + distinct over the delta evaluates once per consumer
+        # (the q97 recompute class, ADVICE r09). update()'s persist_scope
+        # releases it once the state write materializes.
+        newest = scoped_persist(
+            _latest(
+                delta.select("doc_id", "text", F.col("crawl_ver").alias("ver"))
+            ).distinct()
+        )
         vers = newest.select("doc_id", "ver").distinct()
         # LEFT join from the version map: a token-less version still emits
         # its tombstone row (term NULL, tf 0) so the new version WINS the

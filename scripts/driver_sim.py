@@ -35,6 +35,13 @@ if "--json" in argv:
 complement: set[str] | None = None
 if "--complement" in argv:
     argv.remove("--complement")
+    if json_out is not None:
+        # A complement run covers only the 62+ queries OUTSIDE the driver
+        # subset; writing that partial keyset over CORRECTNESS_FULL.json
+        # would silently defeat the registry-coverage and sha-freshness
+        # gates until the next full regen (ADVICE r09).
+        sys.exit("--json with --complement would record a partial-keyset "
+                 "artifact; run --json from a FULL pass (no --complement).")
     rounds = sorted(
         glob.glob("/root/repo/CORRECTNESS_r[0-9]*.json"),
         key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),

@@ -84,6 +84,40 @@ def test_correctness_full_sha_not_stale():
     )
 
 
+def test_correctness_full_sha_to_head_is_artifact_only():
+    """The previous gate scopes its diff to query-DEFINING paths; this one
+    closes the remaining honesty gap (VERDICT r09 ask #4): the committed
+    history between the recorded sha and HEAD may contain NO source at all
+    (*.py / *.sql anywhere — tests, scripts, the package), only
+    artifact/doc commits. So "CORRECTNESS_FULL is green at HEAD" always
+    means "the code that ran is the code you are reading", not "the query
+    layer happened not to change"."""
+    import subprocess
+
+    with open(os.path.join(REPO, "CORRECTNESS_FULL.json")) as f:
+        sha = json.load(f).get("git_sha")
+    assert sha, "CORRECTNESS_FULL.json records no git_sha"
+    diff = subprocess.run(
+        ["git", "-C", REPO, "diff", "--name-only", f"{sha}..HEAD"],
+        capture_output=True,
+        text=True,
+    )
+    assert diff.returncode == 0, (
+        f"recorded git_sha {sha} not in history: {diff.stderr.strip()}"
+    )
+    source = [
+        l
+        for l in diff.stdout.splitlines()
+        if l.strip().endswith((".py", ".sql"))
+    ]
+    assert not source, (
+        f"commits since the recorded CORRECTNESS_FULL sha {sha[:12]} touch "
+        f"source files: {source[:10]} — commit code first, then rerun "
+        "scripts/driver_sim.py --json CORRECTNESS_FULL.json, then commit "
+        "the artifact"
+    )
+
+
 def test_correctness_full_is_green():
     """Freshness alone is not enough — the recorded run must also be green
     (a refreshed artifact full of mismatches must not pass the gate)."""

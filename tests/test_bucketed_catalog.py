@@ -191,6 +191,9 @@ def test_q101_bucketed_selfjoin_is_exchange_free(spark, sf_dir, catalog, no_broa
     plain = q101_click_attribution(spark, sf_dir)
     bp, pp = _plan(bucketed), _plan(plain)
     assert "Exchange hashpartitioning(user_id" not in bp, bp
-    assert pp.count("Exchange hashpartitioning(user_id") == 2
-    assert pp.count("Exchange") - bp.count("Exchange") == 2, (bp, pp)
+    # >= rather than ==: the exact count is a planner detail that moves
+    # with Spark/AQE versions (ADVICE r09); the semantic gate is the
+    # absence assertion above plus "the plain plan DOES shuffle user_id".
+    assert pp.count("Exchange hashpartitioning(user_id") >= 2
+    assert pp.count("Exchange") > bp.count("Exchange"), (bp, pp)
     assert _rows(bucketed) == _rows(plain)

@@ -844,3 +844,68 @@ def test_postings_replace_matches_python_replay(spark, batches, tmp_path_factory
             for t in set(toks):
                 want.add((d, t, toks.count(t), v))
     assert got == want
+
+
+def _py_bpe(words: list[str], n_merges: int):
+    """Pure-Python BPE (Sennrich §3.2): pair counts over word TYPES weighted
+    by frequency (all adjacent positions, overlaps included), winner =
+    (count DESC, left ASC, right ASC), greedy left-to-right non-overlapping
+    merge. Independent of the engine's wrapped-string representation."""
+    freq = Counter(words)
+    vocab = {w: [c for c in w] for w in freq}
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        pc = Counter()
+        for w, sym in vocab.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += freq[w]
+        if not pc:
+            break
+        (x, y), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rnd, x, y, c))
+        for w, sym in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == x and sym[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    # small alphabet forces pair-count collisions, tie-breaks, and x==y
+    # overlap chains ("aaa"); repeated words exercise the freq weighting
+    words=st.lists(
+        st.text(alphabet="abAB", min_size=1, max_size=6), min_size=1, max_size=12
+    ),
+    n_merges=st.integers(min_value=1, max_value=5),
+)
+def test_bpe_train_matches_python(spark, words, n_merges):
+    from mapreduce_paper_implementation_spark.operators.tokenizer import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    # one doc per word occurrence: the operator's own word count supplies freq
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = [
+        (r["rnd"], r["left_sym"], r["right_sym"], r["pair_cnt"])
+        for r in bpe_train(docs, n_merges=n_merges).collect()
+    ]
+    want_merges, want_vocab = _py_bpe(words, n_merges)
+    assert got == want_merges
+    # apply/train agreement: segmenting the trained words with the learned
+    # table reproduces the trainer's final symbol sequences
+    seg = bpe_segment(
+        spark.createDataFrame([(w,) for w in set(words)], "w string"),
+        [(x, y) for _, x, y, _ in want_merges],
+    )
+    got_seg = {r["w"]: list(r["subwords"]) for r in seg.collect()}
+    assert got_seg == want_vocab
