@@ -1070,3 +1070,83 @@ def canonical_docs(
         )
         .orderBy("component")
     )
+
+
+def semantic_decontaminate(
+    emb: DataFrame,
+    eval_mod: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    n_cells: int = 16,
+    threshold: float = 0.35,
+    nassign: int = 2,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic twin of the
+    lexical q55 n-gram gate: a training vector is contaminated when its
+    cosine against ANY eval-slice vector reaches `threshold`. Lexical
+    overlap misses paraphrased/translated eval leakage; SemDeDup-era
+    pipelines (Abbas et al. 2023) run this embedding gate alongside the
+    n-gram one.
+
+    Shares the ENTIRE trained index with q29/q72: kmeans_fit centroids
+    (2 Lloyd rounds, lowest-id seeding, tol=0) + assign_cells ranking
+    ROUND(cos, 6) ties-to-lower-cell, with `nassign` cells per vector as
+    the boundary-recall knob — so the oracle replays the identical
+    _ivf_build_ctes and cell boundaries cannot drift between the three
+    semantic queries.
+
+    Scale shape (the q55 posture lifted to embedding space): the eval
+    slice is benchmark-sized (MBs) vs a TB corpus, so the per-cell eval
+    vectors BROADCAST and the corpus streams map-side against them — the
+    corpus never shuffles, no GEMM tile stage, no Python boundary (the
+    cosine is the JVM fold from functions/vectors.py). Pair rows exist
+    only within shared cells (bounded by |eval ∩ cell| per corpus row);
+    the only shuffles are over HIT pairs, rare by construction.
+
+    Returns (vec_id, n_eval_hits, max_eval_cos DOUBLE): one row per
+    contaminated training vector, n_eval_hits = how many distinct eval
+    items reach the threshold, max_eval_cos = the worst leak. Rounding
+    contract: per-(train, eval) best cosine is ROUND(,6) as DECIMAL(9,6)
+    (multi-cell duplicates collapse to MAX — identical values), threshold
+    compare on the decimal, final cast to DOUBLE.
+    """
+    from mapreduce_paper_implementation_spark.functions.vectors import cosine, norm
+    from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit
+
+    if centroids is None:
+        centroids = kmeans_fit(
+            emb, k=n_cells, max_iter=2, tol=0.0, id_col=id_col, vec_col=vec_col
+        )
+    assigned = assign_cells(emb, centroids, nassign=nassign, id_col=id_col, vec_col=vec_col)
+    assigned = assigned.withColumn("nrm", norm(F.col("vec")))
+    ev = assigned.where(F.col("id") % eval_mod == 0).select(
+        F.col("cell"),
+        F.col("id").alias("eval_id"),
+        F.col("vec").alias("e_vec"),
+        F.col("nrm").alias("e_nrm"),
+    )
+    tr = assigned.where(F.col("id") % eval_mod != 0)
+    best = (
+        tr.join(F.broadcast(ev), "cell")
+        .select(
+            F.col("id").alias("vec_id"),
+            "eval_id",
+            F.round(
+                cosine(F.col("vec"), F.col("e_vec"), F.col("nrm"), F.col("e_nrm")), 6
+            )
+            .cast("decimal(9,6)")
+            .alias("cos_dec"),
+        )
+        .groupBy("vec_id", "eval_id")
+        .agg(F.max("cos_dec").alias("c"))
+    )
+    return (
+        best.where(F.col("c") >= threshold)
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").cast("long").alias("n_eval_hits"),
+            F.max("c").cast("double").alias("max_eval_cos"),
+        )
+        .orderBy("vec_id")
+    )

@@ -2954,3 +2954,64 @@ def q115_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train(docs, n_merges=_Q115_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# Q116 semantic decontamination — q55's embedding twin (VERDICT r09 ask #2):
+# a training vector is contaminated when its cosine against ANY vector of
+# the eval slice (vec_id % 29 == 0, the q55 convention) reaches 0.35.
+# Lexical n-gram overlap (q55) misses paraphrased/translated eval leakage;
+# SemDeDup-era pipelines run this gate alongside it.
+#
+# Shares the ENTIRE trained k-means index with q29/q72/q83 — same
+# kmeans_fit build, same assign_cells boundaries (nassign=2), so the
+# oracle replays the identical _ivf_build_ctes Lloyd unroll and the four
+# semantic queries cannot drift on cell boundaries or rounding.
+#
+# Scale shape (operators/dedup.py:semantic_decontaminate): the q55
+# posture lifted to embedding space — eval vectors are benchmark-sized,
+# so the per-cell eval side BROADCASTS and the corpus streams map-side
+# against it (JVM cosine fold, no GEMM stage, no Python boundary, the
+# corpus never shuffles); only HIT pairs reach a shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _q116_oracle(threshold: float = 0.35, nassign: int = 2) -> str:
+    from mapreduce_paper_implementation_spark.plans.queries import _ivf_build_ctes
+
+    ctes = _ivf_build_ctes(16, 2)
+    ctes.append(
+        f"""candk AS (
+  SELECT vv.vec_id, vv.vec, vv.nrm, a.cell
+  FROM vv JOIN assigned a ON a.vec_id = vv.vec_id AND a.cell_rank <= {nassign}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+, ev AS (SELECT * FROM candk WHERE vec_id % 29 = 0)
+, tr AS (SELECT * FROM candk WHERE vec_id % 29 <> 0)
+, hits AS (
+  SELECT t.vec_id, e.vec_id AS eval_id,
+         MAX(CAST(ROUND(list_dot_product(t.vec, e.vec) / (t.nrm * e.nrm), 6)
+                  AS DECIMAL(9,6))) AS c
+  FROM tr t JOIN ev e ON t.cell = e.cell
+  GROUP BY 1, 2
+)
+SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+       CAST(MAX(c) AS DOUBLE) AS max_eval_cos
+FROM hits WHERE c >= {threshold}
+GROUP BY vec_id ORDER BY vec_id
+"""
+    )
+
+
+@query("q116_semantic_decontaminate", _q116_oracle())
+def q116_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.dedup import (
+        semantic_decontaminate,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(emb, eval_mod=29, n_cells=16, threshold=0.35, nassign=2)

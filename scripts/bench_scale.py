@@ -58,6 +58,7 @@ from mapreduce_paper_implementation_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_pairs,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
+    semantic_decontaminate,
     semantic_dedup_pairs,
 )
 from mapreduce_paper_implementation_spark.operators.graph import (  # noqa: E402
@@ -352,6 +353,38 @@ def run_factor(
         m72 = _pair_metrics([(r.id_a, r.id_b) for r in rows], vec_pairs, COS_THRESH, eps)
         checks["q72_semantic"] = m72
         done("q72_semantic", dt)
+
+    # q116 — semantic decontamination (eval slice = id % 29 == 0). Truth:
+    # planted pairs with exactly ONE eval endpoint mark the train endpoint
+    # contaminated. Extras must be 0 (within-cell scoring is exact and the
+    # generator guarantees planted pairs are the only >=threshold pairs);
+    # recall < 1.0 is the same designed cell-boundary trade as q72.
+    if want("q116_decontaminate"):
+        dt, rows = _timed(
+            lambda: semantic_decontaminate(
+                emb, eval_mod=29, n_cells=16, threshold=COS_THRESH
+            ).collect()
+        )
+        pos116, band116 = set(), set()
+        for a, b, s in vec_pairs:
+            if (a % 29 == 0) == (b % 29 == 0):
+                continue  # eval-eval / train-train pair: not a contamination edge
+            t_id = b if a % 29 == 0 else a
+            if abs(s - COS_THRESH) < eps:
+                band116.add(t_id)
+            elif s >= COS_THRESH:
+                pos116.add(t_id)
+        band116 -= pos116  # band-only ids are don't-care; positives stay gated
+        pred116 = {r.vec_id for r in rows} - band116
+        hit116 = len(pred116 & pos116)
+        checks["q116_decontaminate"] = {
+            "planted_positives": len(pos116),
+            "predicted": len(pred116),
+            "hit": hit116,
+            "recall": round(hit116 / len(pos116), 4) if pos116 else None,
+            "extras": len(pred116 - pos116),
+        }
+        done("q116_decontaminate", dt)
 
     # q29 — k-means-trained IVF build + probe; recall@k vs numpy brute force
     if want("q29_ivf"):
