@@ -35,6 +35,27 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+UNICODE_TOKEN_SEP_RE = r"[^\p{L}]+"
+
+
+def tokens_unicode(col: Column | str) -> Column:
+    """Array of non-empty UNICODE-letter tokens: split on runs of
+    non-letters by Unicode category L (`\\p{L}`), case-sensitive,
+    drop-empties — the multilingual twin of `tokens()` (the declared ASCII
+    tokenizer stays the cross-engine-deterministic default and the
+    reference-parity one, /root/reference/mr-main/mrapps/wc.go:23-26).
+
+    Determinism caveat (SURVEY.md §2D): Spark compiles this with Java
+    regex, DuckDB with RE2 — both implement Unicode category L, but their
+    Unicode TABLE VERSIONS can differ, so parity is only guaranteed on
+    the letter repertoires both pin (Latin/Greek/Cyrillic/CJK/Kana are
+    stable across every live version). q117 gates exactly that planted
+    repertoire against the DuckDB oracle; arbitrary novel-script input
+    may tokenize differently between engines and is out of contract."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, UNICODE_TOKEN_SEP_RE), lambda t: t != F.lit(""))
+
+
 def lower_tokens(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return tokens(F.lower(c))

@@ -3015,3 +3015,67 @@ def q116_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_decontaminate(emb, eval_mod=29, n_cells=16, threshold=0.35, nassign=2)
+
+
+# ---------------------------------------------------------------------------
+# Q117 Unicode tokenizer parity — the multilingual tokenize path
+# (functions/text.py:tokens_unicode, VERDICT r09 ask #6). The declared
+# engine tokenizer is the ASCII class [^A-Za-z]+ (reference parity,
+# mrapps/wc.go:23-26); a real multilingual corpus needs Unicode-category-L
+# tokens. This query word-counts the corpus UNIONed with a PLANTED
+# multilingual fixture (identical literals on both engines: Latin-1
+# diacritics, Greek, Cyrillic, CJK, Kana, digits-as-separators) under
+# [^\p{L}]+ — pinning Java-regex (Spark) and RE2 (DuckDB) to the same
+# letter repertoire. Tokens the ASCII class would destroy (Größe, 日本語,
+# мир) must survive intact; digits and punctuation must still split.
+#
+# Scale shape: identical to q01 — map-side split/explode inside codegen,
+# one partially-aggregated (token, count) shuffle. The fixture rows ride
+# along as a unioned 5-row inline relation (negative doc_ids keep them
+# out of the real id domain).
+# ---------------------------------------------------------------------------
+
+_Q117_FIXTURE: list[tuple[int, str]] = [
+    (-1, "Größe straße naïve café résumé Äpfel öl"),
+    (-2, "日本語のテスト 形態素 解析"),
+    (-3, "Ελληνικά κείμενο και ανάλυση"),
+    (-4, "привет мир слова текст"),
+    (-5, "mixed42scripts日本語and2дваgreekλόγος7ends"),
+]
+
+
+def _q117_oracle() -> str:
+    values = ",\n    ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _Q117_FIXTURE
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    {values}
+  ) AS fx(doc_id, text)
+),
+toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'),
+                            t -> t <> '')) AS token
+  FROM corpus
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks GROUP BY token ORDER BY token
+"""
+
+
+@query("q117_unicode_wordcount", _q117_oracle())
+def q117_unicode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.functions.text import tokens_unicode
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fixture = spark.createDataFrame(_Q117_FIXTURE, "doc_id long, text string")
+    return (
+        docs.unionByName(fixture)
+        .select(F.explode(tokens_unicode("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("token")
+    )

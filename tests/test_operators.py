@@ -789,3 +789,34 @@ def test_tile_assign_via_hist_within_bin_of_exact_ntile(spark):
         )
     )
     assert off.count() == 0, off.limit(5).collect()
+
+
+def test_tokens_unicode_planted_repertoire(spark):
+    """The multilingual tokenizer (q117's head): Unicode letters survive as
+    tokens, digits/punct split, mixed-script letter RUNS stay one token —
+    and the ASCII tokenizer demonstrably destroys the same inputs (the
+    reason the unicode path exists)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_paper_implementation_spark.functions.text import (
+        tokens,
+        tokens_unicode,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Größe straße 42 café!"),
+            (2, "日本語のテスト"),
+            (3, "привет,мир"),
+            (4, "a1б2ç3"),
+        ],
+        "i long, text string",
+    )
+    got = {r["i"]: r["u"] for r in df.select("i", tokens_unicode("text").alias("u")).collect()}
+    assert got[1] == ["Größe", "straße", "café"]
+    assert got[2] == ["日本語のテスト"]  # の/テスト are category-L runs: one token
+    assert got[3] == ["привет", "мир"]
+    assert got[4] == ["a", "б", "ç"]
+    ascii_got = {r["i"]: r["a"] for r in df.select("i", tokens("text").alias("a")).collect()}
+    assert ascii_got[1] == ["Gr", "e", "stra", "e", "caf"]  # the destruction
+    assert ascii_got[2] == []
