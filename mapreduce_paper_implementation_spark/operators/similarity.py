@@ -228,3 +228,205 @@ def ivf_topk(
         .where(F.col("rnk") <= k)
         .orderBy("probe_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ) — the memory-bound 100-TB retrieval path.
+# q65 audits int8 round-trip storage; PQ goes further: each NORMALIZED
+# vector is split into m subspaces and each subvector replaced by the id of
+# its nearest subspace-codebook centroid (trained with the same
+# operators/kmeans.py:kmeans_fit discipline as the coarse IVF index), so a
+# d-dim float vector becomes m uint8 codes — 64x smaller at d=64/m=4.
+# Query-time scoring is ADC (asymmetric distance computation, Jégou et al.
+# 2011 "Product Quantization for Nearest Neighbor Search"): the query
+# precomputes one (sub_j, code) -> partial-dot lookup table against the
+# codebooks, and a candidate's approximate cosine is the sum of m table
+# lookups — the candidate VECTORS are never touched at query time.
+#
+# Determinism contract (the q29 discipline, one level deeper): every
+# assignment ranks ROUND(metric, 6) with ties to the lower code; each LUT
+# partial is ROUND(dot, 6) cast DECIMAL(12,6) BEFORE the sum, so the ADC
+# score is an exact decimal sum — associative, order-free, identical in
+# DuckDB's unrolled replay (q118's oracle) regardless of join order.
+# ---------------------------------------------------------------------------
+
+
+def normalized(col) -> "F.Column":
+    """Unit-normalize an array<double> column. The norm is let-bound so the
+    interpreted HOF lambda does not recompute it per element."""
+    from mapreduce_paper_implementation_spark.functions.text import let
+
+    c = F.col(col) if isinstance(col, str) else col
+    return let(norm(c), lambda n: F.transform(c, lambda x: x / n))
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the m per-subspace codebooks over NORMALIZED vectors; returns
+    (sub_j INT, code INT, c_vec array<double>). Offline index-build step:
+    m kmeans_fit runs (2 Lloyd rounds, lowest-id seeding, tol=0 — the
+    exact unrollable build) over the j-th slice of every unit vector."""
+    from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit
+
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    sd = dim // m
+    nv = emb.select(
+        F.col(id_col).alias("vec_id"), normalized(to_double_vec(vec_col)).alias("nvec")
+    ).localCheckpoint()  # m subspace trainings re-read this
+
+    def _train(j: int) -> DataFrame:
+        sub = nv.select("vec_id", F.slice("nvec", j * sd + 1, sd).alias("sub"))
+        cb = kmeans_fit(sub, k=ks, max_iter=2, tol=0.0, id_col="vec_id", vec_col="sub")
+        return cb.select(
+            F.lit(j).cast("int").alias("sub_j"),
+            F.col("cell").cast("int").alias("code"),
+            "c_vec",
+        )
+
+    # The m trainings are independent lineages over the one checkpointed
+    # normalized frame — submit them concurrently (Spark's scheduler
+    # interleaves the tiny per-iteration jobs; kmeans_fit's Lloyd loop is
+    # driver-blocking, so sequential execution serializes m x iterations
+    # of fixed job-launch latency: measured 9.6s -> ~5s for q118 at sf0.1).
+    # Determinism is untouched: each training's result is a pure function
+    # of its own slice.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        books = list(pool.map(_train, range(m)))
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out.localCheckpoint()
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, sub_j, code): each normalized subvector assigned to its
+    nearest codebook centroid by ROUND(squared-L2, 6), ties to the lower
+    code — kmeans._assign's contract, so encode and training agree. One
+    broadcast join per subspace; the vectors never shuffle."""
+    from mapreduce_paper_implementation_spark.operators.kmeans import _assign
+
+    sd = dim // m
+    nv = emb.select(
+        F.col(id_col).alias("vec_id"), normalized(to_double_vec(vec_col)).alias("nvec")
+    )
+    parts = []
+    for j in range(m):
+        vj = nv.select(F.col("vec_id").alias("id"), F.slice("nvec", j * sd + 1, sd).alias("vec"))
+        cbj = codebooks.where(F.col("sub_j") == j).select(
+            F.col("code").alias("cell"), "c_vec"
+        )
+        parts.append(
+            _assign(vj, cbj).select(
+                F.col("id").alias("vec_id"),
+                F.lit(j).cast("int").alias("sub_j"),
+                F.col("cell").cast("int").alias("code"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: the q29 trained coarse probe with ADC
+    scoring instead of exact cosine. Returns (probe_id, neighbor_id,
+    adc_sim DOUBLE, rnk) — adc_sim approximates cosine, rank is exact on
+    the decimal ADC sum (ties to the lower neighbor id). Recall vs the
+    exact brute-force path is gated in tests/test_operators.py.
+
+    Scale shape: candidate vectors are represented ONLY by their m codes —
+    at serving scale the float vectors stay on disk; memory holds
+    |corpus| x m bytes of codes plus the broadcast LUT (probes x m x ks
+    decimals). The ADC join shuffles (probe, candidate, sub_j) code rows,
+    partial-aggregated; nothing corpus-sized crosses in floats."""
+    from mapreduce_paper_implementation_spark.operators.dedup import assign_cells
+    from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit
+
+    sd = dim // m
+    if centroids is None:
+        centroids = kmeans_fit(emb, k=n_cells, max_iter=2, tol=0.0, id_col=id_col, vec_col=vec_col)
+    if codebooks is None:
+        codebooks = pq_train(emb, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col)
+
+    cand_cells = assign_cells(emb, centroids, nassign=1, id_col=id_col, vec_col=vec_col).select(
+        F.col("id").alias("neighbor_id"), "cell"
+    )
+    probe_cells = assign_cells(
+        probes, centroids, nassign=nprobe, id_col=id_col, vec_col=vec_col
+    ).select(F.col("id").alias("probe_id"), "cell")
+
+    enc = pq_encode(emb, codebooks, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+
+    np_ = probes.select(
+        F.col(id_col).alias("probe_id"), normalized(to_double_vec(vec_col)).alias("nvec")
+    )
+    luts = []
+    for j in range(m):
+        pj = np_.select("probe_id", F.slice("nvec", j * sd + 1, sd).alias("q"))
+        cbj = codebooks.where(F.col("sub_j") == j)
+        luts.append(
+            pj.crossJoin(cbj).select(
+                "probe_id",
+                F.lit(j).cast("int").alias("sub_j"),
+                "code",
+                F.round(dot(F.col("q"), F.col("c_vec")), 6)
+                .cast("decimal(12,6)")
+                .alias("w"),
+            )
+        )
+    lut = luts[0]
+    for l_ in luts[1:]:
+        lut = lut.unionByName(l_)
+
+    pairs = (
+        cand_cells.join(F.broadcast(probe_cells), "cell")
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id")
+        .distinct()
+    )
+    adc = (
+        pairs.join(enc, enc["vec_id"] == pairs["neighbor_id"])
+        .join(F.broadcast(lut), ["probe_id", "sub_j", "code"])
+        .groupBy("probe_id", "neighbor_id")
+        .agg(F.sum("w").alias("adc"))  # exact decimal sum: order-free
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    return (
+        adc.select(
+            "probe_id",
+            "neighbor_id",
+            F.col("adc").cast("double").alias("adc_sim"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .where(F.col("rnk") <= k)
+        .orderBy("probe_id", "rnk")
+    )

@@ -3079,3 +3079,185 @@ def q117_unicode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy("token")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q118 IVF-PQ quantized ANN (VERDICT r09 stretch #7) — the memory-bound
+# 100-TB retrieval path: q29's trained coarse probe with the candidates
+# represented ONLY by m=4 product-quantization codes (per-subspace k-means
+# codebooks over normalized vectors) and scored by ADC — the query's
+# (sub_j, code) -> partial-dot lookup table, summed. Candidate float
+# vectors are never touched at query time (Jégou et al. 2011).
+#
+# The oracle is the deepest unrolled-training-loop replay in the manifest:
+# the shared _ivf_build_ctes coarse build (identical to q29/q72/q83/q116)
+# PLUS four per-subspace Lloyd unrolls over normalized subvector slices,
+# the code assignment (ROUND(L2^2,6), tie to lower code), the LUT
+# (ROUND(dot,6) as DECIMAL(12,6)) and the exact decimal ADC sum — so
+# codebooks, codes, and ranks are all hash-pinned engine-to-engine. The
+# ADC score sums DECIMALS, not doubles: associative and order-free, so
+# join/aggregation order cannot flip a rank on either engine.
+#
+# Quality contract (documented, tested): PQ preserves HIGH-similarity
+# structure — on the planted near-dup corpus ADC top-3 recovers every
+# planted partner (recall 1.0, tests/test_operators.py) — while
+# noise-level neighbor ranks (random unit vectors, cos ~0.3) are
+# quantization-dominated by design; q16/q29 are the exact paths.
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_KS, _PQ_DIM = 4, 16, 64
+
+
+def _pq_subspace_ctes(j: int, sd: int, ks: int, iters: int = 2) -> tuple[list[str], str, str]:
+    """CTEs replaying kmeans_fit on subspace j of the normalized vectors
+    (same unroll shape as _ivf_build_ctes, L2 metric throughout) + the
+    encode assignment. Returns (ctes, codebook_cte, encode_cte)."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_dot_product({a},{a}) - 2*list_dot_product({a},{b})"
+            f" + list_dot_product({b},{b}), 6)"
+        )
+
+    lo, hi = j * sd + 1, (j + 1) * sd
+    ctes = [
+        f"""sv{j} AS MATERIALIZED (
+  SELECT vec_id, list_slice(nvec, {lo}, {hi}) AS vec FROM nv
+)""",
+        f"""c{j}_0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, vec AS c_vec
+  FROM (SELECT vec_id, vec FROM sv{j} ORDER BY vec_id LIMIT {ks})
+)""",
+    ]
+    prev = f"c{j}_0"
+    for i in range(1, iters + 1):
+        ctes += [
+            f"""a{j}_{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {d2("v.vec", "c.c_vec")} ASC, c.cell ASC) AS r
+    FROM sv{j} v CROSS JOIN {prev} c
+  ) WHERE r = 1
+)""",
+            f"""m{j}_{i} AS (
+  SELECT cell, list(m ORDER BY pos) AS c_vec
+  FROM (
+    SELECT cell, pos, AVG(x) AS m
+    FROM (
+      SELECT a.cell, UNNEST(v.vec) AS x, UNNEST(range(len(v.vec))) AS pos
+      FROM a{j}_{i} a JOIN sv{j} v ON v.vec_id = a.vec_id
+    )
+    GROUP BY cell, pos
+  )
+  GROUP BY cell
+)""",
+            f"""c{j}_{i} AS MATERIALIZED (
+  SELECT p.cell, COALESCE(m.c_vec, p.c_vec) AS c_vec
+  FROM {prev} p LEFT JOIN m{j}_{i} m ON m.cell = p.cell
+)""",
+        ]
+        prev = f"c{j}_{i}"
+    ctes.append(
+        f"""enc{j} AS MATERIALIZED (
+  SELECT vec_id, cell AS code FROM (
+    SELECT v.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {d2("v.vec", "c.c_vec")} ASC, c.cell ASC) AS r
+    FROM sv{j} v CROSS JOIN {prev} c
+  ) WHERE r = 1
+)"""
+    )
+    return ctes, prev, f"enc{j}"
+
+
+def _q118_oracle(
+    m: int = _PQ_M,
+    ks: int = _PQ_KS,
+    dim: int = _PQ_DIM,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 3,
+) -> str:
+    from mapreduce_paper_implementation_spark.plans.queries import _ivf_build_ctes
+
+    sd = dim // m
+    ctes = _ivf_build_ctes(n_cells, 2)  # coarse build on RAW vectors (q29-shared)
+    ctes.append(
+        """nv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(vec, x -> x / sqrt(list_dot_product(vec, vec))) AS nvec
+  FROM v
+)"""
+    )
+    book_names, enc_names = [], []
+    for j in range(m):
+        sub_ctes, book, enc = _pq_subspace_ctes(j, sd, ks)
+        ctes += sub_ctes
+        book_names.append(book)
+        enc_names.append(enc)
+    lut_parts, enc_parts = [], []
+    for j in range(m):
+        lo, hi = j * sd + 1, (j + 1) * sd
+        ctes.append(
+            f"""lut{j} AS (
+  SELECT p.vec_id AS probe_id, {j} AS sub_j, c.cell AS code,
+         CAST(ROUND(list_dot_product(list_slice(p.nvec, {lo}, {hi}), c.c_vec), 6)
+              AS DECIMAL(12,6)) AS w
+  FROM (SELECT vec_id, nvec FROM nv WHERE vec_id < 10) p
+  CROSS JOIN {book_names[j]} c
+)"""
+        )
+        lut_parts.append(f"SELECT * FROM lut{j}")
+        enc_parts.append(f"SELECT vec_id, {j} AS sub_j, code FROM {enc_names[j]}")
+    ctes += [
+        "lut_all AS (\n  " + "\n  UNION ALL ".join(lut_parts) + "\n)",
+        "enc_all AS (\n  " + "\n  UNION ALL ".join(enc_parts) + "\n)",
+        f"""pc AS (
+  SELECT vec_id AS probe_id, cell FROM assigned
+  WHERE vec_id < 10 AND cell_rank <= {nprobe}
+)""",
+        """pairs AS MATERIALIZED (
+  SELECT DISTINCT pc.probe_id, c.vec_id AS neighbor_id
+  FROM cand c JOIN pc ON c.cell = pc.cell AND c.vec_id <> pc.probe_id
+)""",
+        """adc AS (
+  SELECT pr.probe_id, pr.neighbor_id, SUM(l.w) AS s
+  FROM pairs pr
+  JOIN enc_all e ON e.vec_id = pr.neighbor_id
+  JOIN lut_all l ON l.probe_id = pr.probe_id AND l.sub_j = e.sub_j AND l.code = e.code
+  GROUP BY 1, 2
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT probe_id, neighbor_id, CAST(s AS DOUBLE) AS adc_sim,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT probe_id, neighbor_id, s,
+         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY s DESC, neighbor_id) AS rnk
+  FROM adc
+)
+WHERE rnk <= {k}
+ORDER BY probe_id, rnk
+"""
+    )
+
+
+@query("q118_ann_ivf_pq", _q118_oracle())
+def q118_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=3,
+        n_cells=16,
+        nprobe=4,
+        m=_PQ_M,
+        ks=_PQ_KS,
+        dim=_PQ_DIM,
+    )

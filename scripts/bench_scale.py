@@ -72,7 +72,10 @@ from mapreduce_paper_implementation_spark.operators.text_analysis import (  # no
     crossdoc_repeated_grams,
 )
 from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit  # noqa: E402
-from mapreduce_paper_implementation_spark.operators.similarity import ivf_topk  # noqa: E402
+from mapreduce_paper_implementation_spark.operators.similarity import (  # noqa: E402
+    ivf_pq_topk,
+    ivf_topk,
+)
 from mapreduce_paper_implementation_spark.session import get_spark  # noqa: E402
 from mapreduce_paper_implementation_spark.sources.tables import load_table  # noqa: E402
 
@@ -422,6 +425,41 @@ def run_factor(
             "n_cells": IVF_CELLS,
         }
         done("q29_ivf", dt)
+
+    # q118 — IVF-PQ ADC retrieval. Quality gate: probes drawn from planted
+    # clusters must recover every >=threshold planted partner in ADC top-3
+    # (PQ distortion sits far below the planted separation); noise-level
+    # ranks are quantization-dominated by design, so recall is measured
+    # against PLANTED partners, not brute-force noise neighbors.
+    if want("q118_ivf_pq"):
+        probe_ids = sorted({a for a, b, s in vec_pairs} | {b for a, b, s in vec_pairs})[:10]
+        dt, rows = _timed(
+            lambda: ivf_pq_topk(
+                emb, emb.where(F.col("vec_id").isin(probe_ids)), k=3
+            ).collect()
+        )
+        top118: dict[int, set] = {}
+        for r in rows:
+            top118.setdefault(r.probe_id, set()).add(r.neighbor_id)
+        want118: dict[int, set] = {}
+        for a, b, s in vec_pairs:
+            if s >= COS_THRESH + eps:
+                if a in probe_ids:
+                    want118.setdefault(a, set()).add(b)
+                if b in probe_ids:
+                    want118.setdefault(b, set()).add(a)
+        # top-3 can only hold 3 partners; cap expectations per probe
+        total118 = sum(min(len(v), 3) for v in want118.values())
+        hit118 = sum(
+            min(len(v & top118.get(p, set())), 3) for p, v in want118.items()
+        )
+        checks["q118_ivf_pq"] = {
+            "planted_partner_slots": total118,
+            "hit": hit118,
+            "recall": round(hit118 / total118, 4) if total118 else None,
+            "probes": len(probe_ids),
+        }
+        done("q118_ivf_pq", dt)
 
     # q73 — bloom-gated exact-digest membership (odd ids = delta). Cost must
     # scale with |delta| + the broadcast filter, never |history| re-joined;

@@ -820,3 +820,46 @@ def test_tokens_unicode_planted_repertoire(spark):
     ascii_got = {r["i"]: r["a"] for r in df.select("i", tokens("text").alias("a")).collect()}
     assert ascii_got[1] == ["Gr", "e", "stra", "e", "caf"]  # the destruction
     assert ascii_got[2] == []
+
+
+def test_ivf_pq_recovers_planted_neighbors(spark):
+    """IVF-PQ's quality contract (q118): ADC top-3 recovers every planted
+    high-similarity partner. PQ distortion (m=4 subspaces, 16 codes each)
+    is ~an order of magnitude below the planted-pair separation (cos ~0.9
+    vs ~0.3 background; 0.05-sigma additive noise on 64 dims => member
+    cosines ~0.92), so real near-dup structure survives quantization;
+    noise-level neighbor ordering is quantization-dominated by design
+    (q16/q29 are the exact paths)."""
+    import numpy as np
+
+    from mapreduce_paper_implementation_spark.operators.similarity import ivf_pq_topk
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(200, 64)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # plant 3 clusters of 3: members are unit-normalized base + small noise
+    partners: dict[int, set[int]] = {}
+    for c0 in (10, 50, 90):
+        ids = [c0, c0 + 1, c0 + 2]
+        for i in ids[1:]:
+            base[i] = base[c0] + 0.05 * rng.randn(64)
+            base[i] /= np.linalg.norm(base[i])
+        for i in ids:
+            partners[i] = set(ids) - {i}
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    probe_ids = sorted(partners)
+    got = ivf_pq_topk(
+        emb, emb.where(F.col("vec_id").isin(probe_ids)), k=3, m=4, ks=16, dim=64
+    ).collect()
+    top: dict[int, set[int]] = {}
+    for r in got:
+        top.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    missed = {
+        p: partners[p] - top.get(p, set())
+        for p in probe_ids
+        if partners[p] - top.get(p, set())
+    }
+    assert not missed, f"planted partners missing from ADC top-3: {missed}"
