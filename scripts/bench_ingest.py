@@ -333,6 +333,57 @@ def run_topology(spark, ds_dir: str, n_batches: int) -> dict:
     }
 
 
+def run_pagerank(spark, events_dir: str, n_batches: int) -> dict:
+    """PageRankMaintainer ingest (VERDICT r09 ask #3). Its cost contract
+    DIFFERS from the flat-cost maintainers above: each update folds the
+    edge delta in O(|delta|) (event history never re-read) and then
+    re-converges the rank vector, which is intrinsically O(warm_iters x
+    |E_so_far|) — so batch wall-time is NOT expected to stay flat. The
+    measured claims are (a) warm_iters per batch FALLS as the graph
+    stabilizes, and (b) the final warm re-convergence beats a cold uniform
+    start over the same graph (cold_iters recorded for the ratio)."""
+    from mapreduce_paper_implementation_spark.operators.graph import (
+        pagerank_fixpoint,
+    )
+    from mapreduce_paper_implementation_spark.streaming.pagerank_index import (
+        PageRankMaintainer,
+    )
+
+    edges = (
+        load_table(spark, events_dir, "events")
+        .select(
+            "event_id",
+            F.col("user_id").alias("src"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
+    n_ev = edges.agg(F.max("event_id")).collect()[0][0] + 1
+    state = tempfile.mkdtemp(prefix="ingest_pagerank_")
+    m = PageRankMaintainer(spark, state)
+    times: list[float] = []
+    warm_iters: list[int] = []
+    for bid in range(n_batches):
+        # contiguous event_id slices: a realistic "links crawled today" delta
+        batch = edges.where(
+            F.expr(f"event_id * {n_batches} div {n_ev}") == bid
+        ).select("src", "dst")
+        t0 = time.perf_counter()
+        it = m.update(batch, bid)
+        times.append(round(time.perf_counter() - t0, 2))
+        warm_iters.append(it)
+        release_persisted()
+        spark.catalog.clearCache()
+    _, cold_iters = pagerank_fixpoint(m.edges())
+    shutil.rmtree(state, ignore_errors=True)
+    return {
+        "batch_sec": times,
+        "warm_iters": warm_iters,
+        "cold_iters_full_graph": cold_iters,
+        "last_warm_vs_cold": round(warm_iters[-1] / cold_iters, 3),
+    }
+
+
 def _load_or_empty(path: str) -> dict:
     """Read the standing artifact, tolerating absence AND a truncated/
     corrupt file (a killed previous run's non-atomic write must not crash
@@ -388,6 +439,7 @@ def main() -> None:
         "compact_every": args.compact_every,
         "maintainers": run(spark, ds_dir, events_dir, args.batches, args.compact_every),
         "topology": run_topology(spark, ds_dir, args.batches),
+        "pagerank_index": run_pagerank(spark, events_dir, args.batches),
     }
     # a full refresh must not drop the separately-generated topology_x*
     # sections (bench_ingest --topology-only --factor 100); carried
