@@ -51,7 +51,15 @@ q113 is a deterministic Efraimidis-Spirakis weighted sample (hash-derived
 uniforms, per-source top-k via the bounded key histogram's cutoff — never
 a corpus rank); q114 is the per-source vocabulary-size audit (exact
 distinct + DataSketches HLL estimate bracket-pinned by the oracle, the
-sketch being the maintained 100 TB path).
+sketch being the maintained 100 TB path); q115 is distributed BPE
+merge-table training (one corpus shuffle, then bounded pair-count rounds
+over the word-type table; oracle = 10 unrolled merge rounds); q116 is
+semantic decontamination (q55's embedding twin: within shared trained
+k-means cells, eval side broadcast, corpus never shuffles); q117 pins the
+Unicode category-L tokenize path against a planted multilingual fixture;
+q118 is IVF-PQ quantized ANN (per-subspace codebooks, exact-decimal ADC
+scoring inside the q29 coarse probe; the deepest unrolled oracle in the
+manifest).
 All queries are DuckDB-oracle-backed — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design).

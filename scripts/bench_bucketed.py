@@ -50,6 +50,20 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_BUCKETED.json"))
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of the plan names (e.g. "
+        "q84_funnel,q88_event_transitions) — for the scale tiers where "
+        "only the behavioral family is affordable",
+    )
+    ap.add_argument(
+        "--merge-key",
+        default=None,
+        help="instead of overwriting --out, MERGE this run under the given "
+        "top-level key of the standing artifact (e.g. x100 for the "
+        "scale_data/sf10 tier) — the x10/x100 tier convention",
+    )
     args = ap.parse_args()
 
     from mapreduce_paper_implementation_spark.plans.bucketed_catalog import (
@@ -154,6 +168,13 @@ def main() -> None:
         },
     }
 
+    if args.queries:
+        keep = set(args.queries.split(","))
+        unknown = keep - set(plans)
+        if unknown:
+            ap.error(f"unknown --queries: {sorted(unknown)}")
+        plans = {k: v for k, v in plans.items() if k in keep}
+
     out: dict[str, dict] = {}
     for name, variants in plans.items():
         row: dict[str, float] = {}
@@ -178,9 +199,23 @@ def main() -> None:
         "build_sec": build_sec,
         "queries": out,
     }
-    with open(args.out, "w") as f:
-        json.dump(result, f, indent=1)
-    print(json.dumps(result))
+    if args.merge_key:
+        try:
+            with open(args.out) as f:
+                standing = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            standing = {}
+        standing[args.merge_key] = result
+        with open(args.out, "w") as f:
+            json.dump(standing, f, indent=1)
+        print(json.dumps({args.merge_key: result}))
+    else:
+        if args.queries:
+            ap.error("--queries without --merge-key would overwrite the "
+                     "standing full-query artifact with a subset")
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(json.dumps(result))
 
 
 if __name__ == "__main__":
