@@ -1114,12 +1114,18 @@ def semantic_decontaminate(
     from mapreduce_paper_implementation_spark.functions.vectors import cosine, norm
     from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit
 
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+
     if centroids is None:
         centroids = kmeans_fit(
             emb, k=n_cells, max_iter=2, tol=0.0, id_col=id_col, vec_col=vec_col
         )
     assigned = assign_cells(emb, centroids, nassign=nassign, id_col=id_col, vec_col=vec_col)
-    assigned = assigned.withColumn("nrm", norm(F.col("vec")))
+    # scoped_persist: `assigned` feeds TWO consumers (the eval slice and the
+    # training slice) — without it each replays the scan + broadcast-score +
+    # rank window (the q97 recompute class; 2 corpus scans instead of 1,
+    # caught by the round-10 plan audit)
+    assigned = scoped_persist(assigned.withColumn("nrm", norm(F.col("vec"))))
     ev = assigned.where(F.col("id") % eval_mod == 0).select(
         F.col("cell"),
         F.col("id").alias("eval_id"),

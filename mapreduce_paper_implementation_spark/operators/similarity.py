@@ -318,11 +318,18 @@ def pq_encode(
     nearest codebook centroid by ROUND(squared-L2, 6), ties to the lower
     code — kmeans._assign's contract, so encode and training agree. One
     broadcast join per subspace; the vectors never shuffle."""
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
     from mapreduce_paper_implementation_spark.operators.kmeans import _assign
 
     sd = dim // m
-    nv = emb.select(
-        F.col(id_col).alias("vec_id"), normalized(to_double_vec(vec_col)).alias("nvec")
+    # scoped_persist: the m per-subspace assigns all slice THIS frame —
+    # without the persist each replays the corpus scan + normalization
+    # (m corpus scans instead of 1; the q97 recompute class, caught by the
+    # round-10 plan audit)
+    nv = scoped_persist(
+        emb.select(
+            F.col(id_col).alias("vec_id"), normalized(to_double_vec(vec_col)).alias("nvec")
+        )
     )
     parts = []
     for j in range(m):
@@ -386,8 +393,13 @@ def ivf_pq_topk(
 
     enc = pq_encode(emb, codebooks, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
 
-    np_ = probes.select(
-        F.col(id_col).alias("probe_id"), normalized(to_double_vec(vec_col)).alias("nvec")
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+
+    # persisted for the same reason as pq_encode's nv: m LUT slices consume it
+    np_ = scoped_persist(
+        probes.select(
+            F.col(id_col).alias("probe_id"), normalized(to_double_vec(vec_col)).alias("nvec")
+        )
     )
     luts = []
     for j in range(m):
