@@ -236,7 +236,7 @@ def ivf_topk(
 # vector is split into m subspaces and each subvector replaced by the id of
 # its nearest subspace-codebook centroid (trained with the same
 # operators/kmeans.py:kmeans_fit discipline as the coarse IVF index), so a
-# d-dim float vector becomes m uint8 codes — 64x smaller at d=64/m=4.
+# d-dim float vector becomes m uint8 codes — 32x smaller at d=64/m=8.
 # Query-time scoring is ADC (asymmetric distance computation, Jégou et al.
 # 2011 "Product Quantization for Nearest Neighbor Search"): the query
 # precomputes one (sub_j, code) -> partial-dot lookup table against the
@@ -262,7 +262,7 @@ def normalized(col) -> "F.Column":
 
 def pq_train(
     emb: DataFrame,
-    m: int = 4,
+    m: int = 8,
     ks: int = 16,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -309,7 +309,7 @@ def pq_train(
 def pq_encode(
     emb: DataFrame,
     codebooks: DataFrame,
-    m: int = 4,
+    m: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -356,25 +356,39 @@ def ivf_pq_topk(
     k: int = 3,
     n_cells: int = 16,
     nprobe: int = 4,
-    m: int = 4,
+    m: int = 8,
     ks: int = 16,
     dim: int = 64,
+    refine: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-PQ approximate top-k: the q29 trained coarse probe with ADC
-    scoring instead of exact cosine. Returns (probe_id, neighbor_id,
-    adc_sim DOUBLE, rnk) — adc_sim approximates cosine, rank is exact on
-    the decimal ADC sum (ties to the lower neighbor id). Recall vs the
-    exact brute-force path is gated in tests/test_operators.py.
+    """IVF-PQ approximate top-k with exact REFINEMENT (the standard
+    two-stage retrieve+refine): ADC ranks every candidate in the probed
+    cells from codes alone, the top-`refine` per probe survive, and only
+    those touch their float vectors for an exact-cosine re-rank. Returns
+    (probe_id, neighbor_id, cos_sim DOUBLE, rnk) — cos_sim is the EXACT
+    rounded cosine of the refined winners (q16/q29 semantics).
 
-    Scale shape: candidate vectors are represented ONLY by their m codes —
-    at serving scale the float vectors stay on disk; memory holds
-    |corpus| x m bytes of codes plus the broadcast LUT (probes x m x ks
-    decimals). The ADC join shuffles (probe, candidate, sub_j) code rows,
-    partial-aggregated; nothing corpus-sized crosses in floats."""
+    Why refinement is load-bearing at scale (measured, BENCH_SCALE): the
+    per-candidate ADC error is constant, but the MAX error across the
+    probed cells' noise candidates grows with corpus size — ADC-only
+    top-3 recall on planted partners decayed 0.86 (x1) -> 0.0 (x100,
+    200k vectors). With the shortlist the planted partner only has to
+    beat the noise at rank <= refine on the ADC estimate, then exact
+    scoring does the final ordering. Parameter sweep at x30/x100
+    (planted-partner slots): m=4/refine=128 -> 12/14, 6/11;
+    m=8/refine=64 -> 13/14, 10/11 — subspace fidelity (8-dim subspaces)
+    buys more than a deeper shortlist, hence the m=8 default.
+
+    Scale shape: candidate vectors are represented ONLY by their m codes
+    through the ADC stage — memory holds |corpus| x m bytes of codes plus
+    the broadcast LUT (probes x m x ks decimals); the ADC join shuffles
+    (probe, candidate, sub_j) code rows, partial-aggregated. Floats are
+    touched for exactly probes x refine rows: the shortlist BROADCASTS
+    against the vector store (point lookups at serving scale)."""
     from mapreduce_paper_implementation_spark.operators.dedup import assign_cells
     from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit
 
@@ -431,12 +445,40 @@ def ivf_pq_topk(
         .groupBy("probe_id", "neighbor_id")
         .agg(F.sum("w").alias("adc"))  # exact decimal sum: order-free
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
-    return (
-        adc.select(
+    w_adc = Window.partitionBy("probe_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    shortlist = (
+        adc.withColumn("arnk", F.row_number().over(w_adc))
+        .where(F.col("arnk") <= refine)
+        .select("probe_id", "neighbor_id")
+    )
+    # exact re-rank of the shortlist: probes x refine rows broadcast against
+    # the float vectors (point lookups at serving scale — the only stage
+    # that ever touches candidate floats)
+    cand_v = _prep(emb, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"), F.col("nrm").alias("c_nrm")
+    )
+    probe_v = _prep(probes, id_col, vec_col).select(
+        F.col("id").alias("probe_id"), F.col("vec").alias("p_vec"), F.col("nrm").alias("p_nrm")
+    )
+    exact = (
+        cand_v.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(probe_v), "probe_id")
+        .select(
             "probe_id",
             "neighbor_id",
-            F.col("adc").cast("double").alias("adc_sim"),
+            F.round(
+                cosine(F.col("p_vec"), F.col("c_vec"), F.col("p_nrm"), F.col("c_nrm")), 6
+            )
+            .cast("decimal(9,6)")
+            .alias("cos_dec"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_dec"), F.asc("neighbor_id"))
+    return (
+        exact.select(
+            "probe_id",
+            "neighbor_id",
+            F.col("cos_dec").cast("double").alias("cos_sim"),
             F.row_number().over(w).cast("long").alias("rnk"),
         )
         .where(F.col("rnk") <= k)

@@ -3098,14 +3098,17 @@ def q117_unicode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ADC score sums DECIMALS, not doubles: associative and order-free, so
 # join/aggregation order cannot flip a rank on either engine.
 #
-# Quality contract (documented, tested): PQ preserves HIGH-similarity
-# structure — on the planted near-dup corpus ADC top-3 recovers every
-# planted partner (recall 1.0, tests/test_operators.py) — while
-# noise-level neighbor ranks (random unit vectors, cos ~0.3) are
-# quantization-dominated by design; q16/q29 are the exact paths.
+# Two-stage retrieve+refine (the production IVF-PQ shape): ADC ranks the
+# probed cells from codes alone, the top-`refine` (32) per probe survive,
+# and only those touch float vectors for an exact-cosine re-rank — so the
+# output ranks are EXACT cosines of the shortlist (q16/q29 semantics).
+# Refinement is load-bearing at scale (measured, BENCH_SCALE): ADC-only
+# top-3 recall on planted partners decays 0.86 (x1) -> 0.0 (x100) because
+# the MAX ADC error across a growing noise-candidate pool grows even
+# though the per-candidate error is constant.
 # ---------------------------------------------------------------------------
 
-_PQ_M, _PQ_KS, _PQ_DIM = 4, 16, 64
+_PQ_M, _PQ_KS, _PQ_DIM = 8, 16, 64
 
 
 def _pq_subspace_ctes(j: int, sd: int, ks: int, iters: int = 2) -> tuple[list[str], str, str]:
@@ -3178,6 +3181,7 @@ def _q118_oracle(
     n_cells: int = 16,
     nprobe: int = 4,
     k: int = 3,
+    refine: int = 64,
 ) -> str:
     from mapreduce_paper_implementation_spark.plans.queries import _ivf_build_ctes
 
@@ -3229,16 +3233,33 @@ def _q118_oracle(
   GROUP BY 1, 2
 )""",
     ]
+    ctes += [
+        f"""short AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT probe_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY s DESC, neighbor_id) AS arnk
+    FROM adc
+  ) WHERE arnk <= {refine}
+)""",
+        """ex AS (
+  SELECT sh.probe_id, sh.neighbor_id,
+         CAST(ROUND(list_dot_product(pv.vec, cv.vec) / (pv.nrm * cv.nrm), 6)
+              AS DECIMAL(9,6)) AS cos_dec
+  FROM short sh
+  JOIN vv pv ON pv.vec_id = sh.probe_id
+  JOIN vv cv ON cv.vec_id = sh.neighbor_id
+)""",
+    ]
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
-SELECT probe_id, neighbor_id, CAST(s AS DOUBLE) AS adc_sim,
+SELECT probe_id, neighbor_id, CAST(cos_dec AS DOUBLE) AS cos_sim,
        CAST(rnk AS BIGINT) AS rnk
 FROM (
-  SELECT probe_id, neighbor_id, s,
-         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY s DESC, neighbor_id) AS rnk
-  FROM adc
+  SELECT probe_id, neighbor_id, cos_dec,
+         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_dec DESC, neighbor_id) AS rnk
+  FROM ex
 )
 WHERE rnk <= {k}
 ORDER BY probe_id, rnk

@@ -349,6 +349,12 @@ def run_pagerank(spark, events_dir: str, n_batches: int) -> dict:
         PageRankMaintainer,
     )
 
+    # NOTE: the BASE fixture stream, not the replicated scale dir — whole-copy
+    # replication repeats the same (user_id, props.k) edges under fresh
+    # event_ids, so every slice after the first would be an edge-set NO-OP
+    # (warm_iters=1 trivially: measured before this fix). The original
+    # stream's contiguous slices keep adding fresh edges, which is the
+    # scenario the warm-start claim is about.
     edges = (
         load_table(spark, events_dir, "events")
         .select(
@@ -412,11 +418,27 @@ def main() -> None:
         "#9: the x100 run — 500k docs in 10 batches — without re-running "
         "the factor-10 maintainer rows)",
     )
+    ap.add_argument(
+        "--pagerank-only",
+        action="store_true",
+        help="re-run ONLY the pagerank_index section (base-fixture event "
+        "stream) and merge it into the standing artifact",
+    )
     args = ap.parse_args()
 
     ds_dir = os.path.join(args.out_dir, f"x{args.factor:g}")
     if not os.path.exists(os.path.join(ds_dir, "truth.json")):
         generate(args.factor, args.out_dir)
+
+    if args.pagerank_only:
+        spark = get_spark("bench_ingest")
+        pr = run_pagerank(spark, "/root/testdata/sf0.1", args.batches)
+        result = _load_or_empty(args.out)
+        result["pagerank_index"] = pr
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(json.dumps({"pagerank_index": pr}))
+        return
 
     if args.topology_only:
         spark = get_spark("bench_ingest")
@@ -439,7 +461,7 @@ def main() -> None:
         "compact_every": args.compact_every,
         "maintainers": run(spark, ds_dir, events_dir, args.batches, args.compact_every),
         "topology": run_topology(spark, ds_dir, args.batches),
-        "pagerank_index": run_pagerank(spark, events_dir, args.batches),
+        "pagerank_index": run_pagerank(spark, "/root/testdata/sf0.1", args.batches),
     }
     # a full refresh must not drop the separately-generated topology_x*
     # sections (bench_ingest --topology-only --factor 100); carried

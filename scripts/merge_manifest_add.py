@@ -20,6 +20,10 @@ DST = "/root/repo/BENCH_SCALE.json"
 
 with open(SRC) as f:
     run = json.load(f)
+# bench_manifest_scale --out wraps its section under a "manifest" key
+# regardless of factor; unwrap if present
+if "manifest" in run and "results" not in run:
+    run = run["manifest"]
 with open(DST) as f:
     doc = json.load(f)
 
@@ -29,16 +33,22 @@ for rk, rv in run["results"].items():
     dsec = sec["results"][rk]
     dsec["wall_sec"].update(rv["wall_sec"])
     dsec["rows"].update(rv["rows"])
-    dsec.setdefault("failures", {}).update(rv.get("failures", {}))
+    rf = rv.get("failures") or {}
+    df_ = dsec.get("failures")
+    if isinstance(df_, dict):
+        df_.update(rf if isinstance(rf, dict) else dict.fromkeys(rf, "failed"))
+    elif isinstance(df_, list):
+        # some standing sections record failures as a name list
+        dsec["failures"] = sorted(set(df_) | set(rf))
+    else:
+        dsec["failures"] = rf
     dsec["total_sec"] = round(sum(dsec["wall_sec"].values()), 2)
 sec["scaling_exponent"].update(run["scaling_exponent"])
 sec["n_queries"] = len(sec["results"]["x1"]["wall_sec"])
 sec["flagged"] = sorted(
     q for q, e in sec["scaling_exponent"].items() if e >= sec["flag_threshold"]
 )
-sec["all_succeeded"] = all(
-    not r.get("failures") for r in sec["results"].values()
-)
+sec["all_succeeded"] = all(not r.get("failures") for r in sec["results"].values())
 if NOTE:
     sec["notes"] = (sec.get("notes", "") + " " + NOTE).strip()
 

@@ -823,13 +823,12 @@ def test_tokens_unicode_planted_repertoire(spark):
 
 
 def test_ivf_pq_recovers_planted_neighbors(spark):
-    """IVF-PQ's quality contract (q118): ADC top-3 recovers every planted
-    high-similarity partner. PQ distortion (m=4 subspaces, 16 codes each)
-    is ~an order of magnitude below the planted-pair separation (cos ~0.9
-    vs ~0.3 background; 0.05-sigma additive noise on 64 dims => member
-    cosines ~0.92), so real near-dup structure survives quantization;
-    noise-level neighbor ordering is quantization-dominated by design
-    (q16/q29 are the exact paths)."""
+    """IVF-PQ's quality contract (q118): the refined top-3 recovers every
+    planted high-similarity partner — ADC (m=8 subspaces, 16 codes each)
+    shortlists, exact cosine re-ranks. Planted separation: cos ~0.9 vs
+    ~0.3 background (0.05-sigma additive noise on 64 dims => member
+    cosines ~0.92); noise-level neighbor ordering below the shortlist cut
+    is quantization-dominated by design (q16/q29 are the exact paths)."""
     import numpy as np
 
     from mapreduce_paper_implementation_spark.operators.similarity import ivf_pq_topk
@@ -852,7 +851,7 @@ def test_ivf_pq_recovers_planted_neighbors(spark):
     )
     probe_ids = sorted(partners)
     got = ivf_pq_topk(
-        emb, emb.where(F.col("vec_id").isin(probe_ids)), k=3, m=4, ks=16, dim=64
+        emb, emb.where(F.col("vec_id").isin(probe_ids)), k=3
     ).collect()
     top: dict[int, set[int]] = {}
     for r in got:
