@@ -90,10 +90,20 @@ def bpe_train(
     round. Deterministic: exact integer pair counts, winner = (count DESC,
     left ASC, right ASC). Stops early (shorter table) if no adjacent pair
     remains — every word collapsed to one symbol."""
-    spark = docs.sparkSession
+    return bpe_merges_from_wordfreq(word_freq(docs, text_col), n_merges)
+
+
+def bpe_merges_from_wordfreq(wc: DataFrame, n_merges: int = 10) -> DataFrame:
+    """The training loop over an already-aggregated (w, freq) table — the
+    shared tail between batch q115 (word_freq over the corpus) and the
+    streaming twin (streaming/rollup.py:wordfreq_maintainer keeps (w, freq)
+    as additive state, and bpe_view retrains from STATE — the corpus is
+    never re-read). Because the merge table is a pure deterministic
+    function of exact integer word counts, served == batch bit-exactly
+    whenever the maintained counts equal the corpus counts."""
+    spark = wc.sparkSession
     vocab = (
-        word_freq(docs, text_col)
-        .select("w", "freq", _wrap_chars(F.col("w")).alias("symstr"))
+        wc.select("w", "freq", _wrap_chars(F.col("w")).alias("symstr"))
         .localCheckpoint()
     )
 

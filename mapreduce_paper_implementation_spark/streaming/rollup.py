@@ -688,3 +688,46 @@ def benford_view(state: DataFrame) -> DataFrame:
     from mapreduce_paper_implementation_spark.operators.serving import benford_readout
 
     return benford_readout(state)
+
+
+def wordfreq_maintainer(spark: SparkSession, state_dir: str) -> RollupMaintainer:
+    """Streaming twin of q115's training input: maintains the corpus
+    (w, freq) word-type table as additive counter state from document
+    deltas — the cheapest monoid in the inventory (one token-hash shuffle
+    per batch, merge = partial-aggregable counter sum over state + batch,
+    state bounded by vocabulary size under Heaps' law). PRECONDITION like
+    the other additive maintainers: doc-disjoint batches (a re-sent doc
+    would double its counts).
+
+    Serving side: `bpe_view(maintainer.current_state(), n_merges)` retrains
+    the merge table FROM STATE — the corpus is never re-read at retrain
+    time, which is the whole point: tokenizer retraining after a day's
+    ingest costs O(vocab x rounds), not O(corpus). Pair with
+    streaming/policy.py's retrain triggers exactly like ann_index."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_paper_implementation_spark.operators.tokenizer import word_freq
+
+    def state_fn(delta: DataFrame) -> DataFrame:
+        return word_freq(delta)
+
+    def merge_fn(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.unionByName(b).groupBy("w").agg(F.sum("freq").cast("long").alias("freq"))
+        )
+
+    return RollupMaintainer(spark, state_dir, state_fn=state_fn, merge_fn=merge_fn)
+
+
+def bpe_view(state: DataFrame, n_merges: int = 10) -> DataFrame:
+    """q115's merge table from maintained (w, freq) state — the batch query
+    and this view call the SAME bpe_merges_from_wordfreq, and the merge
+    table is a pure deterministic function of exact integer counts, so
+    served == batch BIT-exactly whenever the maintained counts equal the
+    corpus counts (differentially gated after every batch in
+    tests/test_counts_maintainers.py)."""
+    from mapreduce_paper_implementation_spark.operators.tokenizer import (
+        bpe_merges_from_wordfreq,
+    )
+
+    return bpe_merges_from_wordfreq(state, n_merges)

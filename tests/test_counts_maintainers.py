@@ -431,3 +431,37 @@ def test_hll_vocab_matches_batch_sketch_exactly(spark, sf_dir, tmp_path):
     # overlapping re-ingest under a NEW batch id: idempotent registers
     m.update(docs.where(F.col("doc_id") % 2 == 0), n_batches)
     assert sorted(map(tuple, hll_vocab_view(m.current_state()).collect())) == served
+
+
+def test_wordfreq_state_serves_q115_merge_table_after_every_batch(spark, sf_dir, tmp_path):
+    """q115's streaming twin: fold doc-disjoint batches into the (w, freq)
+    counter state; after EVERY batch the merge table retrained from state
+    (bpe_view) must equal bpe_train over the documents ingested so far —
+    bit-exact, because the merge table is a pure function of exact integer
+    word counts. Also pins the replay no-op as state invariance."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_paper_implementation_spark.operators.tokenizer import bpe_train
+    from mapreduce_paper_implementation_spark.streaming.rollup import (
+        bpe_view,
+        wordfreq_maintainer,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    m = wordfreq_maintainer(spark, str(tmp_path / "wf_state"))
+    n_batches = 3
+
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    for bid in range(n_batches):
+        m.update(docs.where(F.col("doc_id") % n_batches == bid), bid)
+        seen = docs.where(F.col("doc_id") % n_batches <= bid)
+        served = rows(bpe_view(m.current_state(), n_merges=6))
+        batch = rows(bpe_train(seen, n_merges=6))
+        assert served == batch, f"batch {bid}"
+    # replay no-op: re-feeding an old batch id under ANY payload leaves
+    # the state (and therefore the served merge table) untouched
+    before = rows(m.current_state().orderBy("w"))
+    m.update(docs, 1)
+    assert rows(m.current_state().orderBy("w")) == before
