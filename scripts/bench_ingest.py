@@ -91,6 +91,7 @@ def run(spark, ds_dir: str, events_dir: str, n_batches: int, compact_every: int)
         postings_replace_maintainer,
         quality_hist_maintainer,
         user_day_maintainer,
+        wordfreq_maintainer,
     )
     from mapreduce_paper_implementation_spark.streaming.tri_index import (
         TriangleMaintainer,
@@ -211,6 +212,15 @@ def run(spark, ds_dir: str, events_dir: str, n_batches: int, compact_every: int)
         (
             "hll_vocab",
             lambda s: hll_vocab_maintainer(spark, s),
+            docs,
+            "doc_id",
+            lambda _res: 0,
+        ),
+        # q115's training input: (w, freq) counter state — merge cost is
+        # state + batch (vocabulary-bounded), never a corpus re-read
+        (
+            "wordfreq",
+            lambda s: wordfreq_maintainer(spark, s),
             docs,
             "doc_id",
             lambda _res: 0,
