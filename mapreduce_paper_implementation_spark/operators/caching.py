@@ -62,7 +62,17 @@ def persist_scope():
     frames); frames the caller registered BEFORE entering are untouched.
     streaming/rollup.py:RollupMaintainer.update wraps each state fold in
     one of these, which is what lets maintainer state_fns persist their
-    multi-consumer deltas without leaking across batches."""
+    multi-consumer deltas without leaking across batches.
+
+    SINGLE-THREAD INVARIANT (ADVICE r10): the registry is one global list
+    and the scope releases by positional mark, so scoped_persist and
+    persist_scope must be called from ONE thread — a scoped_persist from
+    another thread landing inside an open scope would be unpersisted by
+    the wrong scope at exit. Operators that submit driver threads (e.g.
+    pq_train's per-subspace fits) must do all their scoped_persist calls
+    from the coordinating thread, never inside the workers — pq_train
+    complies. If a future operator genuinely needs per-thread persist
+    scopes, make _PERSISTED a threading.local first."""
     mark = len(_PERSISTED)
     try:
         yield

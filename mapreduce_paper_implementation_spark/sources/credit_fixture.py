@@ -39,9 +39,18 @@ def sf_from_dir(sf_dir: str) -> float:
 
 
 def credit_paths(sf_dir: str) -> tuple[str, str]:
-    """(parquet_path, csv_path) for the credit fixture matching a testdata sf dir."""
-    d = fixture_dir(sf_from_dir(sf_dir))
-    return os.path.join(d, "credit_scores.parquet"), os.path.join(d, "credit_scores.csv")
+    """(parquet_path, csv_path) for the credit fixture matching a testdata sf
+    dir. Tiers above sf0.1 are NOT committed (ADVICE r10: the sf10 tier alone
+    was 64 MB of deterministically regenerable bytes in git history) — they
+    are generated on demand here, exactly like scale_data/: seed-42
+    deterministic, so an on-demand build is bit-identical to a committed one."""
+    sf = sf_from_dir(sf_dir)
+    d = fixture_dir(sf)
+    pq_path = os.path.join(d, "credit_scores.parquet")
+    csv_path = os.path.join(d, "credit_scores.csv")
+    if not (os.path.exists(pq_path) and os.path.exists(csv_path)):
+        generate(sf)
+    return pq_path, csv_path
 
 
 def generate(sf: float) -> str:

@@ -65,6 +65,12 @@ def main() -> None:
         "scale_data/sf10 tier) — the x10/x100 tier convention",
     )
     args = ap.parse_args()
+    if args.queries and not args.merge_key:
+        # fail BEFORE the (possibly hour-long) benchmark loop, not at output
+        # time (ADVICE r10) — a subset run without a merge key would
+        # overwrite the standing full-query artifact
+        ap.error("--queries without --merge-key would overwrite the "
+                 "standing full-query artifact with a subset")
 
     from mapreduce_paper_implementation_spark.plans.bucketed_catalog import (
         build_catalog,
@@ -210,9 +216,6 @@ def main() -> None:
             json.dump(standing, f, indent=1)
         print(json.dumps({args.merge_key: result}))
     else:
-        if args.queries:
-            ap.error("--queries without --merge-key would overwrite the "
-                     "standing full-query artifact with a subset")
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)
         print(json.dumps(result))

@@ -343,6 +343,13 @@ def run_topology(spark, ds_dir: str, n_batches: int) -> dict:
     }
 
 
+# The pagerank section always streams the BASE fixture events (see the NOTE
+# inside run_pagerank: replicated scale dirs are edge-set no-ops), so its
+# source is a module constant shared by both call sites rather than the
+# script's --out-dir/--factor args (ADVICE r10).
+PAGERANK_EVENTS_DIR = "/root/testdata/sf0.1"
+
+
 def run_pagerank(spark, events_dir: str, n_batches: int) -> dict:
     """PageRankMaintainer ingest (VERDICT r09 ask #3). Its cost contract
     DIFFERS from the flat-cost maintainers above: each update folds the
@@ -396,7 +403,12 @@ def run_pagerank(spark, events_dir: str, n_batches: int) -> dict:
         "batch_sec": times,
         "warm_iters": warm_iters,
         "cold_iters_full_graph": cold_iters,
-        "last_warm_vs_cold": round(warm_iters[-1] / cold_iters, 3),
+        # cold_iters is None when the cold fixpoint hit max_iter without
+        # converging — record the ratio as unavailable instead of raising
+        # after the multi-minute batch loop already ran (ADVICE r10)
+        "last_warm_vs_cold": (
+            round(warm_iters[-1] / cold_iters, 3) if cold_iters else None
+        ),
     }
 
 
@@ -442,7 +454,7 @@ def main() -> None:
 
     if args.pagerank_only:
         spark = get_spark("bench_ingest")
-        pr = run_pagerank(spark, "/root/testdata/sf0.1", args.batches)
+        pr = run_pagerank(spark, PAGERANK_EVENTS_DIR, args.batches)
         result = _load_or_empty(args.out)
         result["pagerank_index"] = pr
         with open(args.out, "w") as f:
@@ -471,7 +483,7 @@ def main() -> None:
         "compact_every": args.compact_every,
         "maintainers": run(spark, ds_dir, events_dir, args.batches, args.compact_every),
         "topology": run_topology(spark, ds_dir, args.batches),
-        "pagerank_index": run_pagerank(spark, "/root/testdata/sf0.1", args.batches),
+        "pagerank_index": run_pagerank(spark, PAGERANK_EVENTS_DIR, args.batches),
     }
     # a full refresh must not drop the separately-generated topology_x*
     # sections (bench_ingest --topology-only --factor 100); carried

@@ -84,8 +84,10 @@ def test_q10_bucketed_join_is_exchange_free(spark, sf_dir, catalog, no_broadcast
     # the join keys never appear as shuffle partitioning in the bucketed plan
     assert "Exchange hashpartitioning(o_custkey" not in bp
     assert "Exchange hashpartitioning(c_custkey" not in bp
-    # exactly the two join-side exchanges drop; agg + output sort remain
-    assert pp.count("Exchange") - bp.count("Exchange") == 2, (bp, pp)
+    # at least the two join-side exchanges drop; agg + output sort remain
+    # (>= not ==: Spark version/AQE changes may legitimately drop more —
+    # the ADVICE r09 brittleness class, relaxed like its siblings below)
+    assert pp.count("Exchange") - bp.count("Exchange") >= 2, (bp, pp)
     assert _rows(bucketed) == _rows(plain)
 
 
