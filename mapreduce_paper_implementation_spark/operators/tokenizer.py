@@ -93,6 +93,60 @@ def bpe_train(
     return bpe_merges_from_wordfreq(word_freq(docs, text_col), n_merges)
 
 
+def _round_winner(vocab: DataFrame) -> DataFrame:
+    """One training round's pair count + winner pick over the (w, freq,
+    symstr) vocab frame — the exact frames the bpe_merges_from_wordfreq
+    loop runs, exposed un-checkpointed so tests/test_plans.py can pin the
+    per-round physical shape (localCheckpoint inside the loop truncates
+    lineage, which makes PLANS.md's tree walk structurally blind to it —
+    the round-10 verdict's checkpoint-opacity note). Shape contract:
+    pair counting is a partial+final hash aggregate over symbol-pair
+    types; the 1-row winner is TakeOrderedAndProject, never a global
+    sort."""
+    sym = F.regexp_extract_all(F.col("symstr"), F.lit("<([A-Za-z]+)>"), 1)
+    pairs = (
+        vocab.select("freq", sym.alias("sym"))
+        .where(F.size("sym") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("sym") - 1),
+                    lambda i: F.struct(
+                        F.element_at("sym", i).alias("x"),
+                        F.element_at("sym", i + 1).alias("y"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("p.x", "p.y", "freq")
+    )
+    return (
+        pairs.groupBy("x", "y")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("x"), F.asc("y"))
+        .limit(1)
+    )
+
+
+def _apply_winner(vocab: DataFrame, win: DataFrame) -> DataFrame:
+    """Apply one round's winning merge to the vocab: broadcast the 1-row
+    winner, one codegen'd string replace map-side — zero shuffle
+    exchanges (the only exchange is the 1-row BroadcastExchange; pinned in
+    tests/test_plans.py)."""
+    return vocab.crossJoin(
+        F.broadcast(win.select(F.col("x").alias("_wx"), F.col("y").alias("_wy")))
+    ).select(
+        "w",
+        "freq",
+        F.replace(
+            F.col("symstr"),
+            F.concat(F.lit("<"), F.col("_wx"), F.lit("><"), F.col("_wy"), F.lit(">")),
+            F.concat(F.lit("<"), F.col("_wx"), F.col("_wy"), F.lit(">")),
+        ).alias("symstr"),
+    )
+
+
 def bpe_merges_from_wordfreq(wc: DataFrame, n_merges: int = 10) -> DataFrame:
     """The training loop over an already-aggregated (w, freq) table — the
     shared tail between batch q115 (word_freq over the corpus) and the
@@ -109,49 +163,14 @@ def bpe_merges_from_wordfreq(wc: DataFrame, n_merges: int = 10) -> DataFrame:
 
     merge_frames: list[DataFrame] = []
     for rnd in range(1, n_merges + 1):
-        sym = F.regexp_extract_all(F.col("symstr"), F.lit("<([A-Za-z]+)>"), 1)
-        pairs = (
-            vocab.select("freq", sym.alias("sym"))
-            .where(F.size("sym") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("sym") - 1),
-                        lambda i: F.struct(
-                            F.element_at("sym", i).alias("x"),
-                            F.element_at("sym", i + 1).alias("y"),
-                        ),
-                    )
-                ).alias("p"),
-            )
-            .select("p.x", "p.y", "freq")
-        )
-        win = (
-            pairs.groupBy("x", "y")
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("x"), F.asc("y"))
-            .limit(1)
-            .localCheckpoint()  # 1 row; materializes this round's agg once
-        )
+        # 1 row; localCheckpoint materializes this round's agg once
+        win = _round_winner(vocab).localCheckpoint()
         if win.isEmpty():
             break
         merge_frames.append(win.select(F.lit(rnd).cast("long").alias("rnd"), "x", "y", "cnt"))
         # map-side merge application: broadcast the 1-row winner, one
         # codegen'd replace over the vocab — the corpus is long gone
-        vocab = (
-            vocab.crossJoin(F.broadcast(win.select(F.col("x").alias("_wx"), F.col("y").alias("_wy"))))
-            .select(
-                "w",
-                "freq",
-                F.replace(
-                    F.col("symstr"),
-                    F.concat(F.lit("<"), F.col("_wx"), F.lit("><"), F.col("_wy"), F.lit(">")),
-                    F.concat(F.lit("<"), F.col("_wx"), F.col("_wy"), F.lit(">")),
-                ).alias("symstr"),
-            )
-            .localCheckpoint()
-        )
+        vocab = _apply_winner(vocab, win).localCheckpoint()
 
     if not merge_frames:
         return spark.createDataFrame(
@@ -166,6 +185,68 @@ def bpe_merges_from_wordfreq(wc: DataFrame, n_merges: int = 10) -> DataFrame:
         F.col("y").alias("right_sym"),
         F.col("cnt").cast("long").alias("pair_cnt"),
     ).orderBy("rnd")
+
+
+def bpe_apply_merges(
+    words: DataFrame, merges: DataFrame, word_col: str = "w"
+) -> DataFrame:
+    """Apply a LEARNED merge-table FRAME to a word frame lazily — the
+    corpus-scale serving half of the train->apply loop (q119): train
+    (bpe_merges_from_wordfreq) feeds apply in one lazy pipeline with no
+    driver round-trip.
+
+    The merge table collapses to a single array<struct> row (array_sort on
+    (rnd, left, right) — rnd leads, so order == training order) which
+    BROADCASTS onto the word frame; the apply is then one map-side
+    F.aggregate fold: start from the wrapped-char form and run the same
+    non-overlapping left-to-right replace() per merge, in training order —
+    exactly bpe_train's per-round vocab rewrite, so applying the table to
+    the training vocabulary reproduces the trainer's final symbol
+    sequences (property-gated in tests/test_properties.py).
+
+    Scale shape: zero shuffles and zero collect() in the apply — the merge
+    table is n_merges rows (a broadcast-nested-loop join of a 1-row frame),
+    the fold is O(n_merges) string replaces per word TYPE (vocabulary-
+    sized input, never the raw corpus), and the result stays lazy for
+    whatever aggregation follows. The F.aggregate HOF is interpreted
+    (CodegenFallback) but touches only the tiny per-row symstr; there is
+    no Python boundary.
+
+    Returns `words` plus `subwords array<string>`.
+    """
+    ms = merges.agg(
+        F.array_sort(
+            F.collect_list(F.struct("rnd", "left_sym", "right_sym"))
+        ).alias("_ms")
+    )
+    return (
+        words.crossJoin(F.broadcast(ms))
+        .withColumn(
+            "subwords",
+            F.regexp_extract_all(
+                F.aggregate(
+                    "_ms",
+                    _wrap_chars(F.col(word_col)),
+                    lambda acc, m: F.replace(
+                        acc,
+                        F.concat(
+                            F.lit("<"),
+                            m["left_sym"],
+                            F.lit("><"),
+                            m["right_sym"],
+                            F.lit(">"),
+                        ),
+                        F.concat(
+                            F.lit("<"), m["left_sym"], m["right_sym"], F.lit(">")
+                        ),
+                    ),
+                ),
+                F.lit("<([A-Za-z]+)>"),
+                1,
+            ),
+        )
+        .drop("_ms")
+    )
 
 
 def bpe_segment(vocab_words: DataFrame, merges: list[tuple[str, str]], word_col: str = "w") -> DataFrame:

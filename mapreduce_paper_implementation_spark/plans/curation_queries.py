@@ -2896,7 +2896,12 @@ def q114_vocab_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q115_MERGES = 10
 
 
-def _q115_oracle(n_merges: int = _Q115_MERGES) -> str:
+def _q115_train_ctes(n_merges: int = _Q115_MERGES) -> list[str]:
+    """The unrolled BPE training rounds as a CTE list — shared by q115 (the
+    merge table) and q119 (train + corpus-scale APPLY): both oracles replay
+    the identical rounds, so the learned table q119 segments under cannot
+    drift from the one q115 gates. s{n_merges} is the final vocabulary
+    symbol-sequence table (w, freq, symstr)."""
     ctes = [
         f"""wc AS MATERIALIZED (
   SELECT t AS w, COUNT(*) AS freq
@@ -2932,6 +2937,11 @@ def _q115_oracle(n_merges: int = _Q115_MERGES) -> str:
   FROM s{p} s CROSS JOIN w{r} wr
 )""",
         ]
+    return ctes
+
+
+def _q115_oracle(n_merges: int = _Q115_MERGES) -> str:
+    ctes = _q115_train_ctes(n_merges)
     unions = "\nUNION ALL\n".join(
         f"SELECT {r} AS rnd, x AS left_sym, y AS right_sym, cnt AS pair_cnt FROM w{r}"
         for r in range(1, n_merges + 1)
@@ -3084,7 +3094,7 @@ def q117_unicode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q118 IVF-PQ quantized ANN (VERDICT r09 stretch #7) — the memory-bound
 # 100-TB retrieval path: q29's trained coarse probe with the candidates
-# represented ONLY by m=4 product-quantization codes (per-subspace k-means
+# represented ONLY by m=8 product-quantization codes (per-subspace k-means
 # codebooks over normalized vectors) and scored by ADC — the query's
 # (sub_j, code) -> partial-dot lookup table, summed. Candidate float
 # vectors are never touched at query time (Jégou et al. 2011).
@@ -3099,7 +3109,7 @@ def q117_unicode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join/aggregation order cannot flip a rank on either engine.
 #
 # Two-stage retrieve+refine (the production IVF-PQ shape): ADC ranks the
-# probed cells from codes alone, the top-`refine` (32) per probe survive,
+# probed cells from codes alone, the top-`refine` (64) per probe survive,
 # and only those touch float vectors for an exact-cosine re-rank — so the
 # output ranks are EXACT cosines of the shortlist (q16/q29 semantics).
 # Refinement is load-bearing at scale (measured, BENCH_SCALE): ADC-only
@@ -3281,4 +3291,152 @@ def q118_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_M,
         ks=_PQ_KS,
         dim=_PQ_DIM,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q119 corpus-scale BPE segmentation under the q115-learned merge table —
+# the APPLY half of the tokenizer train->apply loop (VERDICT r10 ask #1):
+# q115 learns the merges; this query segments the corpus under that exact
+# table, train feeding apply in ONE lazy pipeline, and reports the
+# per-source subword statistics a tokenizer rollout would monitor
+# (fertility = subword occurrences per word occurrence, distinct-subword
+# inventory, top subwords). Reference analog: mrapps/wc.go:21-42 — the
+# learned tokenizer is now the thing that actually tokenizes.
+#
+# Scale shape (operators/tokenizer.py:bpe_apply_merges): the corpus crosses
+# ONE shuffle total — the (source, word) count; training re-aggregates the
+# GLOBAL word-freq table from that same frame (no second corpus scan), and
+# the apply is map-only over the vocabulary-sized (source, word) table:
+# the n_merges-row merge table collapses to one broadcast array row and a
+# per-word F.aggregate fold runs the same non-overlapping left-to-right
+# replace() chain as training — zero collect(), zero Python. The stats
+# tail aggregates over (source x subword) types, bounded by vocabulary,
+# never by corpus volume.
+#
+# The oracle extends q115's unrolled training CTEs (_q115_train_ctes —
+# LITERALLY the same rounds, so the applied table cannot drift from the
+# gated one) with the apply side: the final s{N} vocabulary symstr table
+# joined onto per-source word counts and the identical stats aggregation.
+# Assumes n_merges rounds complete at the tested SFs (same contract as
+# q115; the sf0.01 corpus has thousands of distinct pairs).
+# ---------------------------------------------------------------------------
+
+_Q119_TOP_K = 3
+
+
+def _q119_oracle(n_merges: int = _Q115_MERGES, top_k: int = _Q119_TOP_K) -> str:
+    ctes = _q115_train_ctes(n_merges)
+    ctes += [
+        f"""swc AS MATERIALIZED (
+  SELECT source, t AS w, COUNT(*) AS freq
+  FROM (SELECT source, unnest({sql_tokens('text')}) AS t FROM documents)
+  GROUP BY 1, 2
+)""",
+        f"""seg AS MATERIALIZED (
+  SELECT sw.source, sw.freq,
+         regexp_extract_all(s.symstr, '<([A-Za-z]+)>', 1) AS sub
+  FROM swc sw JOIN s{n_merges} s ON s.w = sw.w
+)""",
+        """wstats AS (
+  SELECT source,
+         CAST(SUM(freq) AS BIGINT) AS n_words,
+         CAST(SUM(freq * len(sub)) AS BIGINT) AS n_subwords
+  FROM seg GROUP BY source
+)""",
+        """persub AS (
+  SELECT source, subword, CAST(SUM(freq) AS BIGINT) AS n
+  FROM (SELECT source, unnest(sub) AS subword, freq FROM seg)
+  GROUP BY 1, 2
+)""",
+        f"""sstats AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_subwords,
+         string_agg(CASE WHEN rk <= {top_k} THEN subword END, ','
+                    ORDER BY rk) AS top_subwords
+  FROM (SELECT source, subword,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n DESC, subword ASC) AS rk
+        FROM persub)
+  GROUP BY source
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT w.source, w.n_words, w.n_subwords,
+       ROUND(CAST(w.n_subwords AS DOUBLE) / CAST(w.n_words AS DOUBLE), 6)
+         AS fertility,
+       s.n_distinct_subwords, s.top_subwords
+FROM wstats w JOIN sstats s ON s.source = w.source
+ORDER BY w.source
+"""
+    )
+
+
+@query("q119_bpe_segment", _q119_oracle())
+def q119_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+    from mapreduce_paper_implementation_spark.operators.tokenizer import (
+        bpe_apply_merges,
+        bpe_merges_from_wordfreq,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # ONE corpus pass: the (source, word) count; the global training input
+    # re-aggregates from it map-side instead of re-reading documents.
+    # scoped_persist: swc feeds BOTH the training re-agg (materialized
+    # immediately by the training loop's first localCheckpoint) and the
+    # apply join — without it the corpus tokenize/explode/count replays
+    # per consumer (the q97 recompute class).
+    swc = scoped_persist(
+        docs.select("source", F.explode(tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("freq"))
+    )
+    wc = swc.groupBy("w").agg(F.sum("freq").cast("long").alias("freq"))
+    merges = bpe_merges_from_wordfreq(wc, _Q115_MERGES)
+    # seg feeds two aggregations (word-level stats, exploded subword stats)
+    seg = scoped_persist(bpe_apply_merges(swc, merges, word_col="w"))
+    wstats = seg.groupBy("source").agg(
+        F.sum("freq").cast("long").alias("n_words"),
+        F.sum(F.col("freq") * F.size("subwords")).cast("long").alias("n_subwords"),
+    )
+    persub = (
+        seg.select("source", F.explode("subwords").alias("subword"), "freq")
+        .groupBy("source", "subword")
+        .agg(F.sum("freq").cast("long").alias("n"))
+    )
+    sstats = persub.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_distinct_subwords"),
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct((-F.col("n")).alias("nn"), F.col("subword").alias("s"))
+                        )
+                    ),
+                    lambda t: t["s"],
+                ),
+                1,
+                _Q119_TOP_K,
+            ),
+            ",",
+        ).alias("top_subwords"),
+    )
+    return (
+        wstats.join(sstats, "source")
+        .select(
+            "source",
+            "n_words",
+            "n_subwords",
+            F.round(
+                F.col("n_subwords").cast("double") / F.col("n_words").cast("double"), 6
+            ).alias("fertility"),
+            "n_distinct_subwords",
+            "top_subwords",
+        )
+        .orderBy("source")
     )

@@ -909,3 +909,82 @@ def test_bpe_train_matches_python(spark, words, n_merges):
     )
     got_seg = {r["w"]: list(r["subwords"]) for r in seg.collect()}
     assert got_seg == want_vocab
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    # (source, word) occurrences: per-source corpora over a tiny alphabet so
+    # sources share subwords and the stats exercise cross-source weighting
+    occs=st.lists(
+        st.tuples(
+            st.sampled_from(["web", "wiki"]),
+            st.text(alphabet="abAB", min_size=1, max_size=6),
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    n_merges=st.integers(min_value=1, max_value=5),
+)
+def test_bpe_apply_corpus_stats_matches_python(spark, occs, n_merges):
+    """q119's corpus-level train->apply stats vs a pure-Python replay:
+    train on the GLOBAL word counts, segment every (source, word) type
+    under the learned table, and check n_words / n_subwords / fertility /
+    distinct-subword inventory / top-subword ranking per source."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_paper_implementation_spark.operators.tokenizer import (
+        bpe_apply_merges,
+        bpe_merges_from_wordfreq,
+    )
+
+    words = [w for _, w in occs]
+    want_merges, want_vocab = _py_bpe(words, n_merges)
+
+    swc_rows = Counter(occs)
+    swc = spark.createDataFrame(
+        [(s, w, c) for (s, w), c in swc_rows.items()],
+        "source string, w string, freq long",
+    )
+    wc = swc.groupBy("w").agg(F.sum("freq").alias("freq"))
+    merges = bpe_merges_from_wordfreq(wc, n_merges)
+    got_merges = [
+        (r["rnd"], r["left_sym"], r["right_sym"], r["pair_cnt"])
+        for r in merges.collect()
+    ]
+    assert got_merges == want_merges
+
+    seg = bpe_apply_merges(swc, merges, word_col="w")
+    got = {
+        (r["source"], r["w"]): list(r["subwords"]) for r in seg.collect()
+    }
+    # apply under the learned table == the trainer's final segmentation
+    for (s, w), sub in got.items():
+        assert sub == want_vocab[w], (s, w, sub, want_vocab[w])
+
+    # per-source corpus stats (the q119 output shape) vs the Python replay
+    py_stats: dict[str, dict] = {}
+    for (s, w), c in swc_rows.items():
+        st_ = py_stats.setdefault(s, {"nw": 0, "nsw": 0, "sub": Counter()})
+        st_["nw"] += c
+        st_["nsw"] += c * len(want_vocab[w])
+        for t in want_vocab[w]:
+            st_["sub"][t] += c
+    wstats = seg.groupBy("source").agg(
+        F.sum("freq").cast("long").alias("n_words"),
+        F.sum(F.col("freq") * F.size("subwords")).cast("long").alias("n_subwords"),
+    )
+    for r in wstats.collect():
+        assert r["n_words"] == py_stats[r["source"]]["nw"]
+        assert r["n_subwords"] == py_stats[r["source"]]["nsw"]
+    persub = (
+        seg.select("source", F.explode("subwords").alias("t"), "freq")
+        .groupBy("source", "t")
+        .agg(F.sum("freq").cast("long").alias("n"))
+    )
+    got_sub: dict[str, Counter] = {}
+    for r in persub.collect():
+        got_sub.setdefault(r["source"], Counter())[r["t"]] = r["n"]
+    for s, st_ in py_stats.items():
+        assert got_sub[s] == st_["sub"]
