@@ -1133,6 +1133,23 @@ def semantic_decontaminate(
         F.col("nrm").alias("e_nrm"),
     )
     tr = assigned.where(F.col("id") % eval_mod != 0)
+    return decontam_probe(tr, ev, threshold).orderBy("vec_id")
+
+
+def decontam_probe(tr: DataFrame, ev: DataFrame, threshold: float) -> DataFrame:
+    """The shared probe tail of q116 AND its streaming twin
+    (streaming/decontam_index.py): training rows (id, cell, vec, nrm)
+    stream map-side against the BROADCAST cell-assigned eval index
+    (cell, eval_id, e_vec, e_nrm); per-(train, eval) best cosine is
+    ROUND(,6) DECIMAL (multi-cell duplicates collapse to MAX — identical
+    values), threshold on the decimal, per-train rollup. Because every
+    output row is a pure function of ONE training vector and the (frozen)
+    eval index, any partition of the corpus into batches unions to the
+    one-shot result BIT-exactly — the property the streaming twin's
+    differential test pins. Unordered: one-shot q116 adds its manifest
+    ORDER BY; the maintainer stores deltas unordered."""
+    from mapreduce_paper_implementation_spark.functions.vectors import cosine
+
     best = (
         tr.join(F.broadcast(ev), "cell")
         .select(
@@ -1154,5 +1171,4 @@ def semantic_decontaminate(
             F.count("*").cast("long").alias("n_eval_hits"),
             F.max("c").cast("double").alias("max_eval_cos"),
         )
-        .orderBy("vec_id")
     )

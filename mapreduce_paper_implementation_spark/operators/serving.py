@@ -449,3 +449,28 @@ def benford_readout(state: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous-value frame (q120 + quantile_sketch_maintainer)
+#
+# The rank-sketch scenario needs a value column with UNBOUNDED precision —
+# the whole point is that no round-then-histogram bin domain exists (the
+# q80/q110/q112 trick assumes cents / round-6 scores). events.value alone
+# is cents-grained, so the scenario derives v = value + user_id/97: a
+# deterministic, engine-identical IEEE computation (one divide, one add —
+# both engines bit-agree) whose fractional part is dense enough that no
+# bounded histogram could carry it exactly.
+# ---------------------------------------------------------------------------
+
+SQL_CONTINUOUS_V = "(value + CAST(user_id AS DOUBLE) / CAST(97 AS DOUBLE))"
+
+
+def continuous_value_frame(events: DataFrame) -> DataFrame:
+    """(event_type, v DOUBLE) — shared by batch q120 and the streaming
+    quantile_sketch_maintainer's state_fn, so batch and served sketches
+    summarize the IDENTICAL value stream."""
+    return events.select(
+        "event_type",
+        (F.col("value") + F.col("user_id").cast("double") / F.lit(97).cast("double")).alias("v"),
+    )

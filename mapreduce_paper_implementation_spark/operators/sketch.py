@@ -107,3 +107,224 @@ def count_min_sketch(df: DataFrame, key_col: str, eps: float = 0.001, conf: floa
     return df.agg(
         F.count_min_sketch(F.col(key_col), F.lit(eps), F.lit(conf), F.lit(seed)).alias("cms")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable rank/quantile sketch over UNBOUNDED-precision values (VERDICT
+# r10 ask #2). The histogram quantile family (q80/q110/q112/q113) is exact
+# but assumes a bounded value domain (cents, round-6 scores); continuous
+# doubles (losses, rewards, latencies) have no bounded bin domain, and the
+# scale path there is a mergeable rank sketch: per-partition bounded
+# summaries, associative merge, rank query — the same partial/final
+# decomposition as every combiner.
+#
+# The sketch is the multi-level compactor family (Munro & Paterson 1980;
+# Manku/Rajagopalan/Lindsay 1998; the KLL structure of Karnin/Lang/Liberty
+# 2016 with uniform level capacity and DETERMINISTIC alternating
+# compaction instead of KLL's random coin — determinism is a repo-wide
+# contract and the accuracy claim here is MEASURED, via the q120 bracket
+# oracle + the hypothesis merge-property replay, not asserted from the
+# randomized-analysis bound). Level ℓ holds items of weight 2^ℓ; a full
+# level sorts, promotes every other item (offset alternating per
+# compaction), and keeps an odd leftover in place, so TOTAL WEIGHT IS
+# PRESERVED EXACTLY: sum(len(level_ℓ) * 2^ℓ) == n always (asserted in
+# tests — the sketch never loses or invents mass, only rank precision).
+#
+# Memory is O(k * log(n/k)) per group per partition; the serialized state
+# is one row per (group, level) with an array<double> payload — small
+# enough to broadcast, mergeable enough for streaming maintenance
+# (streaming/rollup.py:quantile_sketch_maintainer).
+# ---------------------------------------------------------------------------
+
+_QSK_K = 512  # level capacity: rank error measured ~0.1% at n=6e5 (q120)
+
+
+class _QSketch:
+    """Deterministic multi-level compactor sketch. Plain Python on purpose:
+    instances live inside Arrow-batched pandas UDFs (per partition / per
+    group), never on the driver hot path."""
+
+    __slots__ = ("k", "levels", "coins")
+
+    def __init__(self, k: int = _QSK_K):
+        self.k = k
+        self.levels: list[list[float]] = [[]]
+        self.coins: list[int] = [0]
+
+    def _ensure(self, lvl: int) -> None:
+        while len(self.levels) <= lvl:
+            self.levels.append([])
+            self.coins.append(0)
+
+    def _compact(self, lvl: int) -> None:
+        buf = sorted(self.levels[lvl])
+        m = (len(buf) // 2) * 2
+        promoted = buf[self.coins[lvl] % 2 : m : 2]
+        self.coins[lvl] += 1
+        self.levels[lvl] = buf[m:]  # odd leftover keeps its level (weight exact)
+        self._ensure(lvl + 1)
+        self.levels[lvl + 1].extend(promoted)
+
+    def _compress(self) -> None:
+        lvl = 0
+        while lvl < len(self.levels):
+            if len(self.levels[lvl]) >= self.k:
+                self._compact(lvl)
+            else:
+                lvl += 1
+
+    def update_many(self, values) -> None:
+        self.levels[0].extend(float(v) for v in values)
+        self._compress()
+
+    def merge(self, other: "_QSketch") -> None:
+        """Associative within rank-error bounds; weight-exact always."""
+        self._ensure(len(other.levels) - 1)
+        for lvl, items in enumerate(other.levels):
+            self.levels[lvl].extend(items)
+            self.coins[lvl] += other.coins[lvl]
+        self._compress()
+
+    def total_weight(self) -> int:
+        return sum(len(items) << lvl for lvl, items in enumerate(self.levels))
+
+    def quantile(self, phi: float) -> float:
+        """Smallest retained item whose estimated rank reaches
+        ceil(phi * W) — the weighted order statistic over the summary."""
+        pairs = sorted(
+            (v, 1 << lvl) for lvl, items in enumerate(self.levels) for v in items
+        )
+        if not pairs:
+            raise ValueError("empty sketch")
+        import math
+
+        target = max(1, math.ceil(phi * self.total_weight()))
+        cum = 0
+        for v, w in pairs:
+            cum += w
+            if cum >= target:
+                return v
+        return pairs[-1][0]
+
+    # -- row serialization (the state/shuffle format) -----------------------
+    def to_rows(self) -> list[tuple[int, int, list[float]]]:
+        return [
+            (lvl, self.coins[lvl], list(items))
+            for lvl, items in enumerate(self.levels)
+            if items or lvl == 0
+        ]
+
+    @classmethod
+    def from_rows(cls, rows, k: int = _QSK_K) -> "_QSketch":
+        sk = cls(k)
+        for lvl, coin, items in rows:
+            sk._ensure(int(lvl))
+            sk.levels[int(lvl)].extend(float(v) for v in items)
+            sk.coins[int(lvl)] += int(coin)
+        return sk
+
+
+_QSK_STATE_COLS = "level int, coin long, items array<double>"
+
+
+def quantile_sketch_state(
+    df: DataFrame, group_col: str, value_col: str, k: int = _QSK_K
+) -> DataFrame:
+    """(group, level, coin, items) mergeable sketch state over a continuous
+    value column — the partial/final decomposition: each PARTITION folds
+    its rows into per-group sketches (mapInPandas, memory O(groups x
+    k log n)), then per-group partials merge (applyInPandas over the
+    partial ROWS — sketch-sized input, never the data). Partials carry
+    their partition id and the merge folds in (pid, level) order, so the
+    state is deterministic for a fixed input layout; rank accuracy is
+    merge-order-insensitive either way (the q120 bracket gates it)."""
+    import pandas as pd
+
+    def local(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        acc: dict[object, _QSketch] = {}
+        for pdf in it:
+            for g, vals in pdf.groupby(group_col, dropna=False)[value_col]:
+                acc.setdefault(g, _QSketch(k)).update_many(vals.to_numpy())
+        rows = []
+        for g, sk in acc.items():
+            for lvl, coin, items in sk.to_rows():
+                rows.append((g, pid, lvl, coin, items))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[group_col, "_pid", "level", "coin", "items"]
+            )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_pid", "level"], kind="mergesort")
+        sk = _QSketch(k)
+        for pid in pdf["_pid"].unique():
+            part = pdf[pdf["_pid"] == pid]
+            sk.merge(
+                _QSketch.from_rows(
+                    zip(part["level"], part["coin"], part["items"]), k
+                )
+            )
+        g = pdf[group_col].iloc[0]
+        return pd.DataFrame(
+            [(g, lvl, coin, items) for lvl, coin, items in sk.to_rows()],
+            columns=[group_col, "level", "coin", "items"],
+        )
+
+    partial_schema = f"{group_col} string, _pid int, {_QSK_STATE_COLS}"
+    state_schema = f"{group_col} string, {_QSK_STATE_COLS}"
+    partials = df.select(
+        F.col(group_col).cast("string").alias(group_col), F.col(value_col)
+    ).mapInPandas(local, schema=partial_schema)
+    return partials.groupBy(group_col).applyInPandas(merge_group, schema=state_schema)
+
+
+def merge_quantile_states(a: DataFrame, b: DataFrame, group_col: str, k: int = _QSK_K) -> DataFrame:
+    """Fold two sketch-state frames into one — the maintainer merge_fn.
+    Sides are tagged so the fold order (a then b) is deterministic."""
+    import pandas as pd
+
+    u = a.select(group_col, "level", "coin", "items", F.lit(0).alias("_side")).unionByName(
+        b.select(group_col, "level", "coin", "items", F.lit(1).alias("_side"))
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_side", "level"], kind="mergesort")
+        sk = _QSketch(k)
+        for side in pdf["_side"].unique():
+            part = pdf[pdf["_side"] == side]
+            sk.merge(
+                _QSketch.from_rows(zip(part["level"], part["coin"], part["items"]), k)
+            )
+        g = pdf[group_col].iloc[0]
+        return pd.DataFrame(
+            [(g, lvl, coin, items) for lvl, coin, items in sk.to_rows()],
+            columns=[group_col, "level", "coin", "items"],
+        )
+
+    return u.groupBy(group_col).applyInPandas(
+        merge_group, schema=f"{group_col} string, {_QSK_STATE_COLS}"
+    )
+
+
+def quantiles_from_sketch(
+    state: DataFrame, group_col: str, phis: tuple[float, ...], k: int = _QSK_K
+) -> DataFrame:
+    """(group, phi, est) rank-query readout from sketch state — O(sketch)
+    per group, independent of how many rows ever streamed through (the
+    flat from-state serving path, benched in BENCH_SCALE)."""
+    import pandas as pd
+
+    def readout(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = _QSketch.from_rows(zip(pdf["level"], pdf["coin"], pdf["items"]), k)
+        g = pdf[group_col].iloc[0]
+        return pd.DataFrame(
+            [(g, p, sk.quantile(p)) for p in phis],
+            columns=[group_col, "phi", "est"],
+        )
+
+    return state.groupBy(group_col).applyInPandas(
+        readout, schema=f"{group_col} string, phi double, est double"
+    )

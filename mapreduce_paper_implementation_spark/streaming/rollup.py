@@ -731,3 +731,53 @@ def bpe_view(state: DataFrame, n_merges: int = 10) -> DataFrame:
     )
 
     return bpe_merges_from_wordfreq(state, n_merges)
+
+
+def quantile_sketch_maintainer(
+    spark: SparkSession, state_dir: str, k: int | None = None
+) -> RollupMaintainer:
+    """Streaming twin of q120's rank sketch: maintains one mergeable
+    deterministic compactor sketch per event_type over the continuous
+    value stream (operators/sketch.py:_QSketch — level capacity k, weight-
+    exact: total sketch weight always equals the exact event count, which
+    the differential test pins per batch). Unlike every other maintainer
+    in this file the state is APPROXIMATE in rank (not in mass): merge is
+    associative within the sketch's rank-error envelope rather than
+    bit-identically, so the serving gate is the q34/q114-style bracket —
+    served quantile estimates must sit within the error envelope of the
+    exact order statistic — not bit-equality with batch. State is
+    O(groups x k log n) REGARDLESS of stream volume: the bounded-state
+    answer for value domains the exact histogram maintainers
+    (histogram_maintainer, day_value_hist_maintainer) cannot bin.
+
+    Serving side: `quantile_view(maintainer.current_state(), phis)` — an
+    O(sketch) readout; no value history is ever re-read."""
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        continuous_value_frame,
+    )
+    from mapreduce_paper_implementation_spark.operators.sketch import (
+        _QSK_K,
+        merge_quantile_states,
+        quantile_sketch_state,
+    )
+
+    kk = k or _QSK_K
+    return RollupMaintainer(
+        spark,
+        state_dir,
+        state_fn=lambda delta: quantile_sketch_state(
+            continuous_value_frame(delta), "event_type", "v", kk
+        ),
+        merge_fn=lambda a, b: merge_quantile_states(a, b, "event_type", kk),
+    )
+
+
+def quantile_view(state: DataFrame, phis: tuple[float, ...] = (0.5, 0.95, 0.99)) -> DataFrame:
+    """(event_type, phi, est) from maintained sketch state — the same
+    quantiles_from_sketch readout batch q120 runs, so served == batch
+    structurally; accuracy is gated by the q120 bracket contract."""
+    from mapreduce_paper_implementation_spark.operators.sketch import (
+        quantiles_from_sketch,
+    )
+
+    return quantiles_from_sketch(state, "event_type", phis)

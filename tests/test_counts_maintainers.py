@@ -465,3 +465,58 @@ def test_wordfreq_state_serves_q115_merge_table_after_every_batch(spark, sf_dir,
     before = rows(m.current_state().orderBy("w"))
     m.update(docs, 1)
     assert rows(m.current_state().orderBy("w")) == before
+
+
+def test_quantile_sketch_maintainer_weight_exact_and_bracket(spark, sf_dir, tmp_path):
+    """q120's streaming twin (VERDICT r10 ask #2): after every batch the
+    maintained sketch's TOTAL WEIGHT per event_type equals the exact
+    ingested count (the sketch algebra is mass-preserving — only rank is
+    approximate), and every served quantile estimate sits within the q120
+    bracket (rank error <= 2%) of the exact order statistic over the
+    ingested prefix. Replay is a no-op (versioned-pointer discipline)."""
+    import math
+
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        continuous_value_frame,
+    )
+    from mapreduce_paper_implementation_spark.streaming.rollup import (
+        quantile_sketch_maintainer,
+        quantile_view,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    m = quantile_sketch_maintainer(spark, str(tmp_path / "qsk"))
+    n_batches = 3
+    phis = (0.5, 0.95, 0.99)
+    seen = None
+    for bid in range(n_batches):
+        b = events.where(F.col("event_id") % n_batches == bid)
+        m.update(b, bid)
+        seen = b if seen is None else seen.unionByName(b)
+        state = m.current_state()
+        got_w = {
+            r["event_type"]: r["w"]
+            for r in state.groupBy("event_type")
+            .agg(
+                F.sum(
+                    F.expr("size(items) * shiftleft(CAST(1 AS BIGINT), level)")
+                ).alias("w")
+            )
+            .collect()
+        }
+        exact_vals: dict[str, list[float]] = {}
+        for r in continuous_value_frame(seen).collect():
+            exact_vals.setdefault(r["event_type"], []).append(r["v"])
+        assert got_w == {g: len(v) for g, v in exact_vals.items()}, f"batch {bid}"
+        for r in quantile_view(state, phis).collect():
+            vals = sorted(exact_vals[r["event_type"]])
+            n = len(vals)
+            rank = sum(1 for v in vals if v <= r["est"])
+            target = max(1, math.ceil(r["phi"] * n))
+            assert abs(rank - target) <= max(1, 0.02 * n), (
+                r["event_type"], r["phi"], rank, target, n,
+            )
+    # replay no-op
+    before = sorted(map(tuple, m.current_state().collect()))
+    m.update(events.where(F.col("event_id") % n_batches == 0), 0)
+    assert sorted(map(tuple, m.current_state().collect())) == before

@@ -988,3 +988,50 @@ def test_bpe_apply_corpus_stats_matches_python(spark, occs, n_merges):
         got_sub.setdefault(r["source"], Counter())[r["t"]] = r["n"]
     for s, st_ in py_stats.items():
         assert got_sub[s] == st_["sub"]
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.lists(
+        st.floats(
+            allow_nan=False, allow_infinity=False, min_value=-1e6, max_value=1e6
+        ),
+        min_size=1,
+        max_size=400,
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=400), max_size=4),
+    k=st.sampled_from([8, 16, 64]),
+)
+def test_quantile_sketch_merge_property(data, cuts, k):
+    """The VERDICT r10 merge-property replay for the rank sketch, pure
+    Python (no Spark): split the stream at arbitrary cut points, sketch
+    each part, merge — (a) total weight is EXACTLY n regardless of split
+    (mass is never lost or invented), (b) every quantile estimate's exact
+    rank is within the deterministic compactor envelope (~2·L·n/k for L
+    levels), for BOTH merge directions (associativity within bounds)."""
+    import math
+
+    from mapreduce_paper_implementation_spark.operators.sketch import _QSketch
+
+    n = len(data)
+    bounds = sorted({min(c, n) for c in cuts} | {0, n})
+    parts = [data[a:b] for a, b in zip(bounds, bounds[1:]) if b > a] or [data]
+
+    def build(order):
+        sk = _QSketch(k)
+        for p in order:
+            part = _QSketch(k)
+            part.update_many(p)
+            sk.merge(part)
+        return sk
+
+    s = sorted(data)
+    for sk in (build(parts), build(list(reversed(parts)))):
+        assert sk.total_weight() == n
+        levels = len(sk.levels)
+        bound = max(1.0, 2.0 * levels * n / k)
+        for phi in (0.01, 0.5, 0.9, 0.99):
+            est = sk.quantile(phi)
+            rank = sum(1 for v in s if v <= est)
+            target = max(1, math.ceil(phi * n))
+            assert abs(rank - target) <= bound, (phi, rank, target, bound, k, n)
