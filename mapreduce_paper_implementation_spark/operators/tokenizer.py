@@ -262,3 +262,162 @@ def bpe_segment(vocab_words: DataFrame, merges: list[tuple[str, str]], word_col:
         F.col(word_col).alias("w"),
         F.regexp_extract_all(symstr, F.lit("<([A-Za-z]+)>"), 1).alias("subwords"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer training (VERDICT r10 stretch #7) — the OTHER
+# production tokenizer family (SentencePiece unigram, Kudo 2018): instead
+# of greedy pair merging, fit a unigram language model over a bounded
+# candidate-piece vocabulary by EM and keep the top pieces. This
+# implementation is the deterministic hard-EM (Viterbi) variant: the
+# E-step segments each word TYPE into its maximum-likelihood piece
+# sequence under the current piece distribution (deterministic tie-breaks:
+# higher log-prob sum, then FEWER pieces, then lexicographically smaller
+# sequence), the M-step re-estimates piece probabilities from the
+# freq-weighted segment counts, and the final prune keeps the top
+# `vocab_size` pieces (all single characters always survive, so coverage
+# is total by construction).
+#
+# Scale shape (the q115 discipline, different algorithm):
+#   - the corpus is touched ONCE — the word-count shuffle producing the
+#     (w, freq) word-TYPE table (Heaps-bounded);
+#   - candidate extraction is a codegen'd substring explode over the vocab
+#     + one partial/final hash agg, truncated to a BOUNDED candidate table
+#     (TakeOrderedAndProject, cand_factor x vocab_size rows);
+#   - each EM round BROADCASTS the bounded candidate table (a
+#     kmeans-centroid-class bounded collect: piece table, never data) and
+#     runs the Viterbi E-step as ONE Arrow-batched pass over the word-type
+#     frame (a deliberate Python boundary — per-word DP is sequential in
+#     word length and inexpressible as relational ops), followed by a
+#     partial/final count agg. Per-round cost is O(vocab x max_len^2),
+#     independent of corpus size.
+#
+# No DuckDB oracle — Viterbi DP is not SQL-expressible; q121 is a
+# rows-only manifest entry and the correctness gate is the pure-Python EM
+# replay in tests/test_properties.py (identical algorithm, naive
+# single-process implementation) over hypothesis-generated corpora.
+# ---------------------------------------------------------------------------
+
+
+def _viterbi_segment(w: str, logp: dict[str, float], max_len: int) -> list[str]:
+    """Best piece sequence for one word under piece log-probs: maximize
+    sum(logp), tie -> fewer pieces, tie -> lexicographically smallest
+    sequence. Pieces absent from `logp` are unusable; single chars are
+    always present by construction so a path always exists."""
+    n = len(w)
+    # best[i] = (neg_total_logp, n_pieces, seq) for w[:i], minimized
+    best: list[tuple[float, int, tuple[str, ...]] | None] = [None] * (n + 1)
+    best[0] = (0.0, 0, ())
+    for i in range(n):
+        if best[i] is None:
+            continue
+        for l in range(1, min(max_len, n - i) + 1):
+            piece = w[i : i + l]
+            lp = logp.get(piece)
+            if lp is None:
+                continue
+            cand = (
+                best[i][0] - lp,
+                best[i][1] + 1,
+                best[i][2] + (piece,),
+            )
+            if best[i + l] is None or cand < best[i + l]:
+                best[i + l] = cand
+    assert best[n] is not None, f"no segmentation for {w!r}"
+    return list(best[n][2])
+
+
+def unigram_train(
+    wc: DataFrame,
+    vocab_size: int = 200,
+    max_len: int = 4,
+    em_rounds: int = 2,
+    cand_factor: int = 4,
+) -> DataFrame:
+    """Fit the unigram tokenizer over an aggregated (w, freq) word-type
+    table; returns the final piece table (piece STRING, cnt BIGINT —
+    freq-weighted Viterbi segment counts after the last round), pruned to
+    `vocab_size` pieces with all single characters retained. Deterministic
+    end-to-end: exact integer counts, float log-probs derived from them
+    identically on every executor, and total-order tie-breaks at every
+    selection point."""
+    import math
+
+    import pandas as pd
+
+    spark = wc.sparkSession
+    wc = wc.select("w", F.col("freq").cast("long").alias("freq")).localCheckpoint()
+
+    # bounded candidate table: all substrings up to max_len, freq-weighted
+    # occurrence counts, truncated to cand_factor x vocab_size by
+    # (cnt DESC, piece ASC); single chars always unioned back in
+    subs = wc.select(
+        "freq",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(F.lit(max_len), F.length("w") - i + 1),
+                        ),
+                        lambda l: F.substring(F.col("w"), i, l),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    counts = subs.groupBy("piece").agg(F.sum("freq").alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("piece")).limit(
+        cand_factor * vocab_size
+    )
+    chars = counts.where(F.length("piece") == 1)
+    cand = top.unionByName(chars).groupBy("piece").agg(F.max("cnt").alias("cnt"))
+
+    def em_round(cand_rows: list[tuple[str, int]]) -> DataFrame:
+        total = sum(c for _, c in cand_rows)
+        logp = {p: math.log(c) - math.log(total) for p, c in cand_rows if c > 0}
+        # zero-count survivors (chars that never won a segment) stay usable
+        # at a floor one order below the rarest real piece, so coverage
+        # never dies mid-training
+        floor = min(logp.values(), default=0.0) - math.log(10.0)
+        for p, c in cand_rows:
+            if c == 0:
+                logp[p] = floor
+
+        def estep(it):
+            from collections import Counter
+
+            acc: Counter = Counter()
+            for pdf in it:
+                for w, f in zip(pdf["w"], pdf["freq"]):
+                    for piece in _viterbi_segment(w, logp, max_len):
+                        acc[piece] += int(f)
+            if acc:
+                yield pd.DataFrame(
+                    {"piece": list(acc.keys()), "cnt": list(acc.values())}
+                )
+
+        return (
+            wc.mapInPandas(estep, schema="piece string, cnt long")
+            .groupBy("piece")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+
+    # EM rounds: candidate table is a BOUNDED collect (piece table, the
+    # kmeans-centroid class), E-step is one Arrow pass over the vocab
+    rows = [(r["piece"], int(r["cnt"])) for r in cand.collect()]
+    pieces = {p for p, _ in rows}
+    for _ in range(em_rounds):
+        counted = {r["piece"]: int(r["cnt"]) for r in em_round(rows).collect()}
+        rows = [(p, counted.get(p, 0)) for p in sorted(pieces)]
+
+    # final prune: all single chars + the top multi-char pieces by
+    # (cnt DESC, piece ASC) up to vocab_size total
+    chars_f = [(p, c) for p, c in rows if len(p) == 1]
+    multi = [(p, c) for p, c in rows if len(p) > 1 and c > 0]
+    multi.sort(key=lambda pc: (-pc[1], pc[0]))
+    keep = chars_f + multi[: max(0, vocab_size - len(chars_f))]
+    keep.sort()
+    return spark.createDataFrame(keep, "piece string, cnt long")

@@ -3555,3 +3555,34 @@ def q120_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "phi")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q121 unigram-LM tokenizer training (VERDICT r10 stretch #7) — the
+# SentencePiece-unigram family next to q115's BPE: bounded candidate-piece
+# extraction (codegen'd substring explode + partial/final agg +
+# TakeOrderedAndProject truncation), deterministic hard-EM rounds
+# (broadcast bounded piece table, one Arrow Viterbi pass over the
+# Heaps-bounded word-TYPE frame per round, partial/final count agg), and
+# a deterministic final prune. See operators/tokenizer.py:unigram_train
+# for the full scale-shape argument.
+#
+# NO DuckDB oracle — the Viterbi E-step is not SQL-expressible (the one
+# rows-only entry class the driver records as a weaker check, like the
+# streaming differentials). The correctness gate is the pure-Python EM
+# replay over hypothesis corpora (tests/test_properties.py) plus the
+# deterministic-output pin in tests/test_round11_additions.py.
+# ---------------------------------------------------------------------------
+
+
+@query("q121_unigram_train")
+def q121_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.tokenizer import (
+        unigram_train,
+        word_freq,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_train(
+        word_freq(docs), vocab_size=200, max_len=4, em_rounds=2
+    ).orderBy("piece")

@@ -1035,3 +1035,68 @@ def test_quantile_sketch_merge_property(data, cuts, k):
             rank = sum(1 for v in s if v <= est)
             target = max(1, math.ceil(phi * n))
             assert abs(rank - target) <= bound, (phi, rank, target, bound, k, n)
+
+
+def _py_unigram(wordfreq: dict[str, int], vocab_size: int, max_len: int, rounds: int, cand_factor: int = 4):
+    """Naive single-process replay of operators/tokenizer.py:unigram_train —
+    same candidate extraction, same hard-EM (Viterbi) with the identical
+    tie-breaks, same prune. Independent of the Spark plumbing (no frames,
+    no Arrow): what it checks is that the distributed candidate agg,
+    broadcast piece table, and per-round partial/final count aggregation
+    compose to the same table."""
+    import math
+
+    from mapreduce_paper_implementation_spark.operators.tokenizer import (
+        _viterbi_segment,
+    )
+
+    cand: dict[str, int] = {}
+    for w, f in wordfreq.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_len, len(w) - i) + 1):
+                p = w[i : i + l]
+                cand[p] = cand.get(p, 0) + f
+    top = sorted(cand.items(), key=lambda pc: (-pc[1], pc[0]))[: cand_factor * vocab_size]
+    pieces = {p for p, _ in top} | {p for p in cand if len(p) == 1}
+    rows = sorted((p, cand[p]) for p in pieces)
+    for _ in range(rounds):
+        total = sum(c for _, c in rows)
+        logp = {p: math.log(c) - math.log(total) for p, c in rows if c > 0}
+        floor = min(logp.values(), default=0.0) - math.log(10.0)
+        for p, c in rows:
+            if c == 0:
+                logp[p] = floor
+        counted: dict[str, int] = {}
+        for w, f in wordfreq.items():
+            for piece in _viterbi_segment(w, logp, max_len):
+                counted[piece] = counted.get(piece, 0) + f
+        rows = [(p, counted.get(p, 0)) for p in sorted(pieces)]
+    chars_f = [(p, c) for p, c in rows if len(p) == 1]
+    multi = [(p, c) for p, c in rows if len(p) > 1 and c > 0]
+    multi.sort(key=lambda pc: (-pc[1], pc[0]))
+    keep = chars_f + multi[: max(0, vocab_size - len(chars_f))]
+    return sorted(keep)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    words=st.lists(
+        st.text(alphabet="abAB", min_size=1, max_size=7), min_size=1, max_size=14
+    ),
+    vocab_size=st.integers(min_value=6, max_value=24),
+    rounds=st.integers(min_value=1, max_value=3),
+)
+def test_unigram_train_matches_python(spark, words, vocab_size, rounds):
+    from mapreduce_paper_implementation_spark.operators.tokenizer import (
+        unigram_train,
+    )
+
+    wf = dict(Counter(words))
+    wc = spark.createDataFrame(list(wf.items()), "w string, freq long")
+    got = sorted(
+        (r["piece"], r["cnt"])
+        for r in unigram_train(
+            wc, vocab_size=vocab_size, max_len=3, em_rounds=rounds
+        ).collect()
+    )
+    assert got == _py_unigram(wf, vocab_size, 3, rounds)

@@ -1,0 +1,85 @@
+"""Round-11 pins: q119 (BPE corpus apply), q120 (rank-sketch bracket),
+q121 (unigram-LM training) — the shape/determinism gates that complement
+the driver's oracle diff and the hypothesis replays."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_paper_implementation_spark.plans.queries import QUERIES
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_q119_apply_is_map_only_with_broadcast_merges(spark):
+    """The train->apply contract: applying a learned merge table to a word
+    frame adds ZERO shuffle exchanges — the merge table collapses to one
+    broadcast array row (BroadcastExchange + BroadcastNestedLoopJoin) and
+    the fold is map-side."""
+    from mapreduce_paper_implementation_spark.operators.tokenizer import (
+        bpe_apply_merges,
+    )
+
+    words = spark.createDataFrame(
+        [("web", "abab", 3), ("wiki", "aab", 2)], "source string, w string, freq long"
+    )
+    merges = spark.createDataFrame(
+        [(1, "a", "b", 5), (2, "ab", "ab", 2)],
+        "rnd long, left_sym string, right_sym string, pair_cnt long",
+    ).localCheckpoint()  # stands in for the trained table; apply plan only
+    applied = bpe_apply_merges(words, merges, word_col="w")
+    plan = applied._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastExchange" in plan and "BroadcastNestedLoopJoin" in plan, plan
+    got = {r["w"]: list(r["subwords"]) for r in applied.collect()}
+    assert got == {"abab": ["abab"], "aab": ["a", "ab"]}
+
+
+def test_q120_bracket_holds(spark, sf_dir):
+    """Every (event_type, phi) row's est_ok must be TRUE — the sketch's
+    measured headroom is ~6x inside the 2% bracket, so a false here is a
+    real accuracy regression, not noise."""
+    out = QUERIES["q120_sketch_quantiles"](spark, sf_dir).collect()
+    assert out and all(r["est_ok"] for r in out), [
+        (r["event_type"], r["phi"]) for r in out if not r["est_ok"]
+    ]
+
+
+def test_q121_deterministic_across_runs(spark, sf_dir):
+    """Unigram training is a rows-only manifest entry (no SQL oracle), so
+    pin determinism explicitly: two independent runs produce identical
+    piece tables, single-character coverage is total, and counts conserve
+    the freq-weighted piece mass of a Viterbi segmentation (every word's
+    pieces concatenate to the word, so summed piece LENGTH x count mass
+    equals total character mass of segmented words)."""
+    a = _rows(QUERIES["q121_unigram_train"](spark, sf_dir))
+    b = _rows(QUERIES["q121_unigram_train"](spark, sf_dir))
+    assert a == b
+    assert len(a) > 0
+    chars = {p for p, _ in a if len(p) == 1}
+    from mapreduce_paper_implementation_spark.operators.tokenizer import word_freq
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+    wf = word_freq(load_table(spark, sf_dir, "documents"))
+    corpus_chars = {
+        r["c"]
+        for r in wf.select(
+            F.explode(F.split("w", "(?!^)(?=.)")).alias("c")
+        ).collect()
+    }
+    assert corpus_chars <= chars  # single-char coverage survives the prune
+    # mass conservation: sum(len(piece) * cnt) == total chars of all word
+    # occurrences (each occurrence segmented exactly once in the last
+    # round). Equality holds when the prune dropped nothing (table under
+    # the vocab budget — true at the test SF); a pruned piece removes its
+    # mass, so in general the table's mass is a lower bound.
+    total_piece_chars = sum(len(p) * c for p, c in a)
+    total_word_chars = wf.select(
+        F.sum(F.length("w") * F.col("freq")).alias("s")
+    ).collect()[0]["s"]
+    if len(a) < 200:  # nothing pruned: q121's vocab_size budget unfilled
+        assert total_piece_chars == total_word_chars
+    else:
+        assert total_piece_chars <= total_word_chars
