@@ -59,8 +59,15 @@ k-means cells, eval side broadcast, corpus never shuffles); q117 pins the
 Unicode category-L tokenize path against a planted multilingual fixture;
 q118 is IVF-PQ quantized ANN (per-subspace codebooks, exact-decimal ADC
 scoring inside the q29 coarse probe; the deepest unrolled oracle in the
-manifest).
-All queries are DuckDB-oracle-backed — including q34,
+manifest); q119 segments the corpus under the q115-learned merge table
+(train feeding apply in one lazy pipeline — map-only broadcast-merge
+apply, per-source subword/fertility stats; oracle shares q115's unrolled
+training CTEs); q120 is the mergeable rank sketch for unbounded-precision
+quantiles (deterministic compactor, weight-exact merge, bracket-pinned
+vs the exact order statistic); q121 is unigram-LM tokenizer training
+(SentencePiece-unigram hard-EM — rows-only: Viterbi is not
+SQL-expressible; gated by a pure-Python EM replay).
+All queries except q121 are DuckDB-oracle-backed — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design).
 """

@@ -568,7 +568,11 @@ def run_factor(
     # state is days x bins / types x bins rows AT EVERY FACTOR, so the
     # post-histogram stages must come out ~flat (exponent ~0) — the
     # claim "the expansion input is days x bins, never the events".
-    if want("q110_hist_tiles") or want("q112_rolling_p95"):
+    if (
+        want("q110_hist_tiles")
+        or want("q112_rolling_p95")
+        or want("q120_sketch_quantiles")
+    ):
         n_events = int(200_000 * factor)
         _ensure_scale_events(spark, ds_dir, n_events)
         cent, day, tidx = _events_truth_arrays(n_events)
@@ -642,6 +646,74 @@ def run_factor(
             "state_rows": len(hist_pdf),
         }
         done("q112_readout_from_state", dt2)
+
+    # q120 — mergeable rank sketch over unbounded-precision values
+    # (VERDICT r10 ask #2). Over the same deterministic events table:
+    # v = value + user_id/97 (dense fractional part — no bounded bin
+    # domain exists, unlike the cents ops above), so numpy replays the
+    # exact order statistics bit-for-bit and the full query's (n, exact_q)
+    # must match EXACTLY with est_ok TRUE at every factor. Second wall:
+    # the rank-query readout from MAINTAINED sketch state (a local frame,
+    # no events lineage) — state is O(k log n) rows per group at every
+    # factor, so the from-state readout must come out ~flat (exponent ~0),
+    # with every estimate's exact rank inside the 2% bracket.
+    if want("q120_sketch_quantiles"):
+        import math as _math
+
+        from mapreduce_paper_implementation_spark.operators.sketch import (
+            quantile_sketch_state,
+            quantiles_from_sketch,
+        )
+        from mapreduce_paper_implementation_spark.plans.queries import QUERIES
+
+        vvals = cent.astype(np.float64) / 100.0 + (
+            (np.arange(n_events, dtype=np.int64) % 1000).astype(np.float64) / 97.0
+        )
+        dt, rows = _timed(
+            lambda: QUERIES["q120_sketch_quantiles"](spark, ds_dir).collect()
+        )
+        got = {(r.event_type, r.phi): (r.n, r.exact_q, r.est_ok) for r in rows}
+        want120: dict = {}
+        for t in range(_EV_TYPES):
+            sel = np.sort(vvals[tidx == t])
+            n = int(sel.size)
+            for phi in (0.5, 0.95, 0.99):
+                kk = int(_math.ceil(phi * n))
+                want120[(f"t{t}", phi)] = (n, float(sel[kk - 1]), True)
+        checks["q120_sketch_quantiles"] = {
+            "exact_match": got == want120,
+            "n_groups": _EV_TYPES,
+            "n_events": n_events,
+        }
+        done("q120_sketch_quantiles", dt)
+
+        ev = load_table(spark, ds_dir, "events")
+        from mapreduce_paper_implementation_spark.operators.serving import (
+            continuous_value_frame,
+        )
+
+        state_pdf = quantile_sketch_state(
+            continuous_value_frame(ev), "event_type", "v"
+        ).toPandas()
+        state = spark.createDataFrame(state_pdf)  # local: no events lineage
+        dt2, est_rows = _timed(
+            lambda: quantiles_from_sketch(
+                state, "event_type", (0.5, 0.95, 0.99)
+            ).collect()
+        )
+        ok = True
+        for r in est_rows:
+            t = int(r.event_type[1:])
+            sel = np.sort(vvals[tidx == t])
+            n = int(sel.size)
+            rank = int(np.searchsorted(sel, r.est, side="right"))
+            if abs(rank - _math.ceil(r.phi * n)) > max(1, 0.02 * n):
+                ok = False
+        checks["q120_readout_from_state"] = {
+            "bracket_ok": ok,
+            "state_rows": int(len(state_pdf)),
+        }
+        done("q120_readout_from_state", dt2)
 
     # q105 — exact n-gram containment (asymmetric rung; shares q20's
     # inverted-index skeleton). Exact operator: recall must be 1.0 and

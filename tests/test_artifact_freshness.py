@@ -157,9 +157,12 @@ def test_baseline_md_table_covers_registry_exactly():
 
 
 # Queries deliberately shipped WITHOUT an oracle (rows-only driver check).
-# Empty today — adding a name here must be a conscious, documented choice,
-# never a forgotten oracle (the r06 staleness class, oracle edition).
-ROWS_ONLY_ALLOWED: set[str] = set()
+# Adding a name here must be a conscious, documented choice, never a
+# forgotten oracle (the r06 staleness class, oracle edition).
+# q121: unigram-LM training — the Viterbi E-step is not SQL-expressible
+# (documented in SURVEY §2D and the q121 block comment); gated instead by
+# the pure-Python EM replay + determinism/coverage/mass pins.
+ROWS_ONLY_ALLOWED: set[str] = {"q121_unigram_train"}
 
 
 def test_oracle_contract_is_total():
