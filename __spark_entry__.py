@@ -66,7 +66,15 @@ training CTEs); q120 is the mergeable rank sketch for unbounded-precision
 quantiles (deterministic compactor, weight-exact merge, bracket-pinned
 vs the exact order statistic); q121 is unigram-LM tokenizer training
 (SentencePiece-unigram hard-EM — rows-only: Viterbi is not
-SQL-expressible; gated by a pure-Python EM replay).
+SQL-expressible; gated by a pure-Python EM replay); q122 is corpus-scale
+greedy longest-match segmentation (the WordPiece apply rule) under the
+deterministic unigram SEED vocabulary — q121's apply side, fully
+oracle-gated (jump-table join + recursive-CTE walk), with the EM-trained
+table covered by the same operator's pure-Python differential; q124 is
+the leakage-safe train/valid/test split (q56's hash rule applied at the
+q41 near-dup-CLUSTER granularity so no near-dup pair straddles the
+train/eval boundary — doc-rule leakage reported side-by-side, cluster
+rule pinned to zero; oracle shares q41's recursive-CTE closure).
 All queries except q121 are DuckDB-oracle-backed — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design).

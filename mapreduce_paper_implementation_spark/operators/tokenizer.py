@@ -299,6 +299,129 @@ def bpe_segment(vocab_words: DataFrame, merges: list[tuple[str, str]], word_col:
 # ---------------------------------------------------------------------------
 
 
+def unigram_candidates(
+    wc: DataFrame,
+    vocab_size: int = 200,
+    max_len: int = 4,
+    cand_factor: int = 4,
+) -> DataFrame:
+    """Bounded candidate-piece table (piece STRING, cnt BIGINT): all
+    substrings of the word types up to `max_len` chars, freq-weighted
+    occurrence counts, truncated to cand_factor x vocab_size rows by the
+    total order (cnt DESC, piece ASC), with every single character always
+    retained so any word stays segmentable. This is the unigram-EM seed
+    vocabulary (Kudo 2018 §3.2's "reasonably big seed vocabulary" step)
+    and the deterministic, SQL-replayable vocabulary q122 segments under.
+
+    Scale shape: the substring explode + partial/final hash agg runs over
+    the Heaps-bounded word-TYPE frame (never the corpus); truncation is
+    TakeOrderedAndProject (parallel per-partition heaps, bounded driver
+    merge), never a global sort."""
+    subs = wc.select(
+        "freq",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(F.lit(max_len), F.length("w") - i + 1),
+                        ),
+                        lambda l: F.substring(F.col("w"), i, l),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    counts = subs.groupBy("piece").agg(F.sum("freq").alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("piece")).limit(
+        cand_factor * vocab_size
+    )
+    chars = counts.where(F.length("piece") == 1)
+    return top.unionByName(chars).groupBy("piece").agg(F.max("cnt").alias("cnt"))
+
+
+def greedy_segment(
+    words: DataFrame, vocab: DataFrame, max_len: int = 4, word_col: str = "w"
+) -> DataFrame:
+    """Greedy longest-match segmentation (the WordPiece apply rule, Wu et
+    al. 2016 §4.1: at each position take the LONGEST vocabulary piece that
+    prefixes the remainder, advance, repeat) of each word type under a
+    piece vocabulary that contains at least every single character of
+    every word. Returns (word_col, subwords ARRAY<STRING>).
+
+    Scale shape — closed-form, zero iteration, zero Python: the longest
+    match at position p is a function of (word, p) alone — never of how
+    the walk reached p — so the whole jump table computes in ONE pass:
+    a codegen'd position x length explode over the Heaps-bounded word-TYPE
+    frame, an equi-join against the BROADCAST piece table, and a
+    partial/final MAX agg. The left-to-right walk is then a fold over the
+    per-word step array (interpreted HOF by §8.1 pricing, but per-element
+    work is one comparison + one array index + one substring over
+    already-materialized values, over word types only). Single characters
+    in the vocabulary guarantee every position has a step, so the fold
+    always consumes the word exactly.
+
+    The DuckDB oracle twin (plans/curation_queries.py:q122) replays the
+    identical jump table in SQL and walks it with a recursive CTE —
+    string and integer ops only, so the gate is an exact value hash."""
+    w = F.col(word_col)
+    pos = words.select(
+        word_col, F.explode(F.sequence(F.lit(0), F.length(w) - 1)).alias("p")
+    )
+    cand = pos.select(
+        word_col,
+        "p",
+        F.explode(
+            F.sequence(F.lit(1), F.least(F.lit(max_len), F.length(w) - F.col("p")))
+        ).alias("l"),
+    ).select(
+        word_col, "p", "l", w.substr(F.col("p") + F.lit(1), F.col("l")).alias("piece")
+    )
+    jump = (
+        cand.join(F.broadcast(vocab.select("piece")), "piece")
+        .groupBy(word_col, "p")
+        .agg(F.max("l").alias("step"))
+    )
+    # steps[p+1] = longest matching piece length at 0-based position p
+    # (array_sort on struct(p, step) orders by p; positions are unique)
+    jarr = jump.groupBy(word_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "step"))), lambda t: t["step"]
+        ).alias("steps")
+    )
+    steps = F.col("steps")
+    return jarr.select(
+        word_col,
+        F.aggregate(
+            F.sequence(F.lit(0), F.length(w) - 1),
+            F.struct(
+                F.lit(0).cast("int").alias("cur"),
+                F.array().cast("array<string>").alias("pieces"),
+            ),
+            lambda acc, i: F.when(
+                i == acc["cur"],
+                F.struct(
+                    (acc["cur"] + F.element_at(steps, acc["cur"] + 1))
+                    .cast("int")
+                    .alias("cur"),
+                    F.concat(
+                        acc["pieces"],
+                        F.array(
+                            w.substr(
+                                acc["cur"] + F.lit(1),
+                                F.element_at(steps, acc["cur"] + 1),
+                            )
+                        ),
+                    ).alias("pieces"),
+                ),
+            ).otherwise(acc),
+            lambda acc: acc["pieces"],
+        ).alias("subwords"),
+    )
+
+
 def _viterbi_segment(w: str, logp: dict[str, float], max_len: int) -> list[str]:
     """Best piece sequence for one word under piece log-probs: maximize
     sum(logp), tie -> fewer pieces, tie -> lexicographically smallest
@@ -348,32 +471,9 @@ def unigram_train(
     spark = wc.sparkSession
     wc = wc.select("w", F.col("freq").cast("long").alias("freq")).localCheckpoint()
 
-    # bounded candidate table: all substrings up to max_len, freq-weighted
-    # occurrence counts, truncated to cand_factor x vocab_size by
-    # (cnt DESC, piece ASC); single chars always unioned back in
-    subs = wc.select(
-        "freq",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("w")),
-                    lambda i: F.transform(
-                        F.sequence(
-                            F.lit(1),
-                            F.least(F.lit(max_len), F.length("w") - i + 1),
-                        ),
-                        lambda l: F.substring(F.col("w"), i, l),
-                    ),
-                )
-            )
-        ).alias("piece"),
+    cand = unigram_candidates(
+        wc, vocab_size=vocab_size, max_len=max_len, cand_factor=cand_factor
     )
-    counts = subs.groupBy("piece").agg(F.sum("freq").alias("cnt"))
-    top = counts.orderBy(F.desc("cnt"), F.asc("piece")).limit(
-        cand_factor * vocab_size
-    )
-    chars = counts.where(F.length("piece") == 1)
-    cand = top.unionByName(chars).groupBy("piece").agg(F.max("cnt").alias("cnt"))
 
     def em_round(cand_rows: list[tuple[str, int]]) -> DataFrame:
         total = sum(c for _, c in cand_rows)

@@ -3376,6 +3376,56 @@ ORDER BY w.source
     )
 
 
+def _subword_source_stats(seg: DataFrame, top_k: int) -> DataFrame:
+    """Per-source subword statistics from a segmented word-type frame
+    (source, freq, subwords ARRAY<STRING>): word/subword totals, fertility
+    (= subwords per word, the standard tokenizer-quality readout), distinct
+    subword count, and the top-k subwords by (freq DESC, subword ASC).
+    SHARED by q119 (BPE apply) and q122 (greedy longest-match apply) — one
+    expression tree, so the two apply surfaces cannot drift (§8.27)."""
+    wstats = seg.groupBy("source").agg(
+        F.sum("freq").cast("long").alias("n_words"),
+        F.sum(F.col("freq") * F.size("subwords")).cast("long").alias("n_subwords"),
+    )
+    persub = (
+        seg.select("source", F.explode("subwords").alias("subword"), "freq")
+        .groupBy("source", "subword")
+        .agg(F.sum("freq").cast("long").alias("n"))
+    )
+    sstats = persub.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_distinct_subwords"),
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct((-F.col("n")).alias("nn"), F.col("subword").alias("s"))
+                        )
+                    ),
+                    lambda t: t["s"],
+                ),
+                1,
+                top_k,
+            ),
+            ",",
+        ).alias("top_subwords"),
+    )
+    return (
+        wstats.join(sstats, "source")
+        .select(
+            "source",
+            "n_words",
+            "n_subwords",
+            F.round(
+                F.col("n_subwords").cast("double") / F.col("n_words").cast("double"), 6
+            ).alias("fertility"),
+            "n_distinct_subwords",
+            "top_subwords",
+        )
+        .orderBy("source")
+    )
+
+
 @query("q119_bpe_segment", _q119_oracle())
 def q119_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
@@ -3400,47 +3450,7 @@ def q119_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_merges_from_wordfreq(wc, _Q115_MERGES)
     # seg feeds two aggregations (word-level stats, exploded subword stats)
     seg = scoped_persist(bpe_apply_merges(swc, merges, word_col="w"))
-    wstats = seg.groupBy("source").agg(
-        F.sum("freq").cast("long").alias("n_words"),
-        F.sum(F.col("freq") * F.size("subwords")).cast("long").alias("n_subwords"),
-    )
-    persub = (
-        seg.select("source", F.explode("subwords").alias("subword"), "freq")
-        .groupBy("source", "subword")
-        .agg(F.sum("freq").cast("long").alias("n"))
-    )
-    sstats = persub.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_distinct_subwords"),
-        F.array_join(
-            F.slice(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct((-F.col("n")).alias("nn"), F.col("subword").alias("s"))
-                        )
-                    ),
-                    lambda t: t["s"],
-                ),
-                1,
-                _Q119_TOP_K,
-            ),
-            ",",
-        ).alias("top_subwords"),
-    )
-    return (
-        wstats.join(sstats, "source")
-        .select(
-            "source",
-            "n_words",
-            "n_subwords",
-            F.round(
-                F.col("n_subwords").cast("double") / F.col("n_words").cast("double"), 6
-            ).alias("fertility"),
-            "n_distinct_subwords",
-            "top_subwords",
-        )
-        .orderBy("source")
-    )
+    return _subword_source_stats(seg, _Q119_TOP_K)
 
 
 # ---------------------------------------------------------------------------
@@ -3586,3 +3596,331 @@ def q121_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_train(
         word_freq(docs), vocab_size=200, max_len=4, em_rounds=2
     ).orderBy("piece")
+
+
+# ---------------------------------------------------------------------------
+# Q122 corpus-scale greedy longest-match segmentation — the APPLY side of
+# the unigram family, closing q121's train->apply loop the way q119 closed
+# q115's (VERDICT r10 ask #1 pattern). The segmentation rule is WordPiece's
+# (Wu et al. 2016 §4.1: at each position take the LONGEST vocabulary piece
+# prefixing the remainder); the vocabulary is the deterministic unigram
+# SEED table (operators/tokenizer.py:unigram_candidates — Kudo 2018 §3.2's
+# seed-vocabulary step, all substrings <= max_len truncated to
+# cand_factor x vocab_size by exact-integer counts), which unlike the
+# EM-trained table is fully SQL-derivable, so the WHOLE pipeline —
+# vocabulary construction, jump table, walk, per-source stats — sits under
+# an exact value-hash oracle. Segmentation under the EM-TRAINED q121 table
+# uses the SAME greedy_segment operator and is differentially gated against
+# a pure-Python replay in tests/test_greedy_segment.py.
+#
+# Scale shape: corpus crosses ONE shuffle (the (source, word) count, like
+# q119); vocabulary construction and the jump table run over the
+# Heaps-bounded word-TYPE frame with the bounded piece table BROADCAST;
+# the walk is a closed-form per-word fold (greedy longest-match at
+# position p depends only on (w, p), never on the walk's history — so
+# there is NO per-round iteration at all, unlike BPE's merge loop).
+#
+# Oracle: identical vocabulary CTEs (exact integer counts, total-order
+# truncation), identical jump table, and a recursive CTE walking
+# (w, pos) -> pos + step — string/integer ops only, hash-exact.
+# ---------------------------------------------------------------------------
+
+_Q122_VOCAB_SIZE = 200
+_Q122_MAX_LEN = 4
+_Q122_CAND_FACTOR = 4
+_Q122_TOP_K = 3
+
+
+def _q122_oracle(
+    vocab_size: int = _Q122_VOCAB_SIZE,
+    max_len: int = _Q122_MAX_LEN,
+    cand_factor: int = _Q122_CAND_FACTOR,
+    top_k: int = _Q122_TOP_K,
+) -> str:
+    ctes = [
+        f"""wc AS MATERIALIZED (
+  SELECT t AS w, COUNT(*) AS freq
+  FROM (SELECT unnest({sql_tokens('text')}) AS t FROM documents)
+  GROUP BY 1
+)""",
+        f"""swc AS MATERIALIZED (
+  SELECT source, t AS w, COUNT(*) AS freq
+  FROM (SELECT source, unnest({sql_tokens('text')}) AS t FROM documents)
+  GROUP BY 1, 2
+)""",
+        f"""pexp AS (
+  SELECT w, freq, i,
+         unnest(range(1, least({max_len}, length(w) - i + 1) + 1)) AS l
+  FROM (SELECT w, freq, unnest(range(1, length(w) + 1)) AS i FROM wc)
+)""",
+        """cnts AS MATERIALIZED (
+  SELECT substring(w, i, l) AS piece, SUM(freq) AS cnt FROM pexp GROUP BY 1
+)""",
+        f"""topp AS (
+  SELECT piece, cnt FROM cnts
+  ORDER BY cnt DESC, piece ASC LIMIT {cand_factor * vocab_size}
+)""",
+        """vocab AS MATERIALIZED (
+  SELECT piece, MAX(cnt) AS cnt FROM (
+    SELECT * FROM topp
+    UNION ALL SELECT piece, cnt FROM cnts WHERE length(piece) = 1
+  ) GROUP BY 1
+)""",
+        f"""pcand AS (
+  SELECT w, p, unnest(range(1, least({max_len}, length(w) - p) + 1)) AS l
+  FROM (SELECT w, unnest(range(0, length(w))) AS p FROM wc)
+)""",
+        """jump AS MATERIALIZED (
+  SELECT c.w, c.p, MAX(c.l) AS step
+  FROM (SELECT w, p, l, substring(w, p + 1, l) AS piece FROM pcand) c
+  JOIN vocab v ON v.piece = c.piece
+  GROUP BY 1, 2
+)""",
+        """walk AS MATERIALIZED (
+  WITH RECURSIVE r(w, nxt, piece) AS (
+    SELECT j.w, j.step, substring(j.w, 1, j.step) FROM jump j WHERE j.p = 0
+    UNION ALL
+    SELECT r.w, r.nxt + j.step, substring(r.w, r.nxt + 1, j.step)
+    FROM r JOIN jump j ON j.w = r.w AND j.p = r.nxt
+  )
+  SELECT w, piece FROM r
+)""",
+        """wseg AS (
+  SELECT w, COUNT(*) AS n_pieces FROM walk GROUP BY w
+)""",
+        """wstats AS (
+  SELECT s.source, CAST(SUM(s.freq) AS BIGINT) AS n_words,
+         CAST(SUM(s.freq * g.n_pieces) AS BIGINT) AS n_subwords
+  FROM swc s JOIN wseg g ON g.w = s.w GROUP BY 1
+)""",
+        """persub AS (
+  SELECT s.source, k.piece AS subword, CAST(SUM(s.freq) AS BIGINT) AS n
+  FROM swc s JOIN walk k ON k.w = s.w GROUP BY 1, 2
+)""",
+        f"""sstats AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_subwords,
+         string_agg(CASE WHEN rk <= {top_k} THEN subword END, ','
+                    ORDER BY rk) AS top_subwords
+  FROM (SELECT source, subword,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n DESC, subword ASC) AS rk
+        FROM persub)
+  GROUP BY source
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT w.source, w.n_words, w.n_subwords,
+       ROUND(CAST(w.n_subwords AS DOUBLE) / CAST(w.n_words AS DOUBLE), 6)
+         AS fertility,
+       s.n_distinct_subwords, s.top_subwords
+FROM wstats w JOIN sstats s ON s.source = w.source
+ORDER BY w.source
+"""
+    )
+
+
+@query("q122_greedy_segment", _q122_oracle())
+def q122_greedy_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+    from mapreduce_paper_implementation_spark.operators.tokenizer import (
+        greedy_segment,
+        unigram_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # ONE corpus pass (the q119 discipline): swc feeds the global word-type
+    # re-agg AND the per-source stats join; wc feeds BOTH the vocabulary
+    # substring explode and the jump table — each is multiply consumed, so
+    # each is persisted (the q97 recompute class). Both frames are
+    # Heaps-bounded word-type tables, never the corpus.
+    swc = scoped_persist(
+        docs.select("source", F.explode(tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("freq"))
+    )
+    wc = scoped_persist(
+        swc.groupBy("w").agg(F.sum("freq").cast("long").alias("freq"))
+    )
+    vocab = unigram_candidates(
+        wc,
+        vocab_size=_Q122_VOCAB_SIZE,
+        max_len=_Q122_MAX_LEN,
+        cand_factor=_Q122_CAND_FACTOR,
+    )
+    seg_words = greedy_segment(wc.select("w"), vocab, max_len=_Q122_MAX_LEN)
+    seg = scoped_persist(
+        swc.join(seg_words, "w").select("source", "freq", "subwords")
+    )
+    return _subword_source_stats(seg, _Q122_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Q124 leakage-safe train/valid/test split — the cluster-granular upgrade
+# of q56's doc-granular hash split. A near-dup PAIR straddling the
+# train/eval boundary is memorization leakage (the same failure family
+# q55/q116 decontaminate against, arising INSIDE one corpus): q56's rule
+# hashes each doc independently, so ~2 x split-share of near-dup pairs
+# straddle. The fix is standard (split at the deduplication-cluster
+# granularity): assign every doc the SPLIT OF ITS CLUSTER — cluster id =
+# min doc_id of its q41 connected component, singletons their own id —
+# so members travel together and cluster_leak_pairs is structurally zero.
+# The output reports both rules side by side: doc_leak_pairs (what q56
+# would have leaked, nonzero by construction whenever near-dup pairs
+# exist) vs cluster_leak_pairs (pinned 0 per split by BOTH engines).
+#
+# Scale shape: composes three proven paths — the q20/q41 banded pair graph
+# + iterative min-label CC (inverted-index joins, never all-pairs), the
+# q56 map-only md5 split arithmetic (one expression tree, shared via
+# split_of/sql_split per §8.27), and the q109 leak-join discipline (the
+# DERIVED pair set broadcasts; the corpus-sized labeled map streams —
+# never the reverse). Per-split stats are one bounded partial/final agg.
+#
+# Oracle: the SAME recursive-CTE closure q41 gates against
+# (plans/queries.py:Q41_GRAPH_CTES, shared text), then the same split
+# CASE and leak counts — exact integers and strings end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def _q124_oracle() -> str:
+    from mapreduce_paper_implementation_spark.plans.pipeline_queries import (
+        sql_split,
+    )
+    from mapreduce_paper_implementation_spark.plans.queries import Q41_GRAPH_CTES
+
+    return f"""
+WITH {Q41_GRAPH_CTES},
+assign AS MATERIALIZED (
+  SELECT d.doc_id, len({sql_tokens('text')}) AS tc,
+         COALESCE(r.component, d.doc_id) AS cluster_id,
+         r.id IS NOT NULL AS is_dup
+  FROM documents d LEFT JOIN rec r ON r.id = d.doc_id
+),
+labeled AS MATERIALIZED (
+  SELECT doc_id, tc, cluster_id, is_dup,
+         {sql_split('cluster_id')} AS split_c,
+         {sql_split('doc_id')} AS split_d
+  FROM assign
+),
+stats AS (
+  SELECT split_c AS split,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tc) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+  FROM labeled GROUP BY 1
+),
+pl AS MATERIALIZED (
+  SELECT la.split_c AS ca, lb.split_c AS cb, la.split_d AS da, lb.split_d AS db
+  FROM pairs p JOIN labeled la ON la.doc_id = p.id_a
+               JOIN labeled lb ON lb.doc_id = p.id_b
+),
+leak_c AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT ca AS split FROM pl WHERE ca <> cb
+    UNION ALL SELECT cb AS split FROM pl WHERE ca <> cb
+  ) GROUP BY 1
+),
+leak_d AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT da AS split FROM pl WHERE da <> db
+    UNION ALL SELECT db AS split FROM pl WHERE da <> db
+  ) GROUP BY 1
+)
+SELECT s.split, s.n_docs, s.n_tokens, s.n_clusters, s.n_dup_docs,
+       COALESCE(c.n, 0) AS cluster_leak_pairs,
+       COALESCE(d.n, 0) AS doc_leak_pairs
+FROM stats s LEFT JOIN leak_c c ON c.split = s.split
+             LEFT JOIN leak_d d ON d.split = s.split
+ORDER BY s.split
+"""
+
+
+@query("q124_leakage_safe_split", _q124_oracle())
+def q124_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.functions.text import token_count
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+    from mapreduce_paper_implementation_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from mapreduce_paper_implementation_spark.operators.graph import (
+        connected_components,
+    )
+    from mapreduce_paper_implementation_spark.plans.pipeline_queries import split_of
+
+    docs = load_table(spark, sf_dir, "documents")
+    # pairs feeds BOTH the component closure and the leak joins; labeled
+    # feeds the stats agg and both leak joins (the q97 recompute class)
+    pairs = scoped_persist(ngram_jaccard_pairs(docs, threshold=0.1))
+    cc = connected_components(pairs)
+    labeled = scoped_persist(
+        docs.select("doc_id", token_count("text").alias("tc"))
+        .join(cc, F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id",
+            "tc",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+            F.col("id").isNotNull().alias("is_dup"),
+        )
+        .withColumn("split_c", split_of(F.col("cluster_id")))
+        .withColumn("split_d", split_of(F.col("doc_id")))
+    )
+    stats = labeled.groupBy(F.col("split_c").alias("split")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("tc").cast("long").alias("n_tokens"),
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_dup_docs"),
+    )
+    # leak joins: broadcast the DERIVED pair set, stream the corpus-sized
+    # labeled map (the q109 discipline — never broadcast the corpus side)
+    pl = (
+        F.broadcast(pairs)
+        .join(
+            labeled.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("split_c").alias("ca"),
+                F.col("split_d").alias("da"),
+            ),
+            "id_a",
+        )
+        .join(
+            labeled.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("split_c").alias("cb"),
+                F.col("split_d").alias("db"),
+            ),
+            "id_b",
+        )
+    )
+
+    def _leak(a: str, b: str) -> DataFrame:
+        return (
+            pl.where(F.col(a) != F.col(b))
+            .select(F.explode(F.array(a, b)).alias("split"))
+            .groupBy("split")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+
+    leak_c = _leak("ca", "cb").withColumnRenamed("n", "cluster_leak_pairs")
+    leak_d = _leak("da", "db").withColumnRenamed("n", "doc_leak_pairs")
+    return (
+        stats.join(leak_c, "split", "left")
+        .join(leak_d, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_tokens",
+            "n_clusters",
+            "n_dup_docs",
+            F.coalesce("cluster_leak_pairs", F.lit(0).cast("long")).alias(
+                "cluster_leak_pairs"
+            ),
+            F.coalesce("doc_leak_pairs", F.lit(0).cast("long")).alias(
+                "doc_leak_pairs"
+            ),
+        )
+        .orderBy("split")
+    )

@@ -89,7 +89,30 @@ def q55_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so splits never leak when data is re-ingested.
 # ---------------------------------------------------------------------------
 
-_SQL_BUCKET = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+def sql_bucket(col: str) -> str:
+    """First 8 hex chars of md5(col) as an integer mod 100 — DuckDB side."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+    )
+
+
+def sql_split(col: str) -> str:
+    b = sql_bucket(col)
+    return f"CASE WHEN {b} < 90 THEN 'train' WHEN {b} < 95 THEN 'valid' ELSE 'test' END"
+
+
+def split_of(c: F.Column) -> F.Column:
+    """The q56 split rule as a Spark expression over ANY integer key —
+    SHARED by q56 (doc-granular) and q124 (cluster-granular), one
+    expression tree per §8.27 so the two split surfaces cannot drift."""
+    bucket = (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+    return F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
+
+
+_SQL_BUCKET = sql_bucket("doc_id")
 
 _Q56_ORACLE = f"""
 SELECT CASE WHEN {_SQL_BUCKET} < 90 THEN 'train'
@@ -107,14 +130,7 @@ ORDER BY split, source
 @query("q56_split_assign", _Q56_ORACLE)
 def q56_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    )
-    split = (
-        F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
-    )
+    split = split_of(F.col("doc_id"))
     return (
         docs.select(split.alias("split"), "source", token_count("text").alias("tc"))
         .groupBy("split", "source")

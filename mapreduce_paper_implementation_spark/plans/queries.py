@@ -2230,8 +2230,10 @@ def q54_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (min reachable label per vertex), then the same cluster summary. Members
 # concatenate as STRINGS in both engines (Spark sort_array on cast-to-string,
 # DuckDB ORDER BY CAST AS VARCHAR), so the lexicographic member order agrees.
-_Q41_ORACLE = f"""
-WITH sh AS (
+# The CTE prefix (shingles -> pair graph -> recursive closure, ending at
+# `rec(id, component)`) is SHARED with q124's leakage-safe split oracle so
+# the cluster structure both queries gate against cannot drift.
+Q41_GRAPH_CTES = f"""sh AS (
   SELECT doc_id, list_distinct(
     list_transform(
       range(1, greatest(len({sql_tokens('text')}) - 1, 1)),
@@ -2273,7 +2275,10 @@ rec AS (
     SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
   )
   SELECT id, MIN(lbl) AS component FROM reach GROUP BY id
-)
+)"""
+
+_Q41_ORACLE = f"""
+WITH {Q41_GRAPH_CTES}
 SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
        string_agg(CAST(id AS VARCHAR), ',' ORDER BY CAST(id AS VARCHAR)) AS members
 FROM rec GROUP BY component ORDER BY component

@@ -733,6 +733,59 @@ def bpe_view(state: DataFrame, n_merges: int = 10) -> DataFrame:
     return bpe_merges_from_wordfreq(state, n_merges)
 
 
+def unigram_view(
+    state: DataFrame,
+    vocab_size: int = 200,
+    max_len: int = 4,
+    em_rounds: int = 2,
+) -> DataFrame:
+    """q121's trained piece table from the SAME maintained (w, freq) state
+    wordfreq_maintainer feeds bpe_view — one counter state serves BOTH
+    tokenizer families' retrains. unigram_train is a pure deterministic
+    function of exact integer word counts (every float inside derives from
+    them identically on every run), so served == batch BIT-exactly whenever
+    the maintained counts equal the corpus counts. Retrain-from-state cost
+    is O(vocab x em_rounds), never O(corpus) — the corpus is not re-read."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_paper_implementation_spark.operators.tokenizer import (
+        unigram_train,
+    )
+
+    return unigram_train(
+        state.select("w", F.col("freq").cast("long").alias("freq")),
+        vocab_size=vocab_size,
+        max_len=max_len,
+        em_rounds=em_rounds,
+    )
+
+
+def greedy_segment_view(
+    state: DataFrame,
+    vocab_size: int = 200,
+    max_len: int = 4,
+    cand_factor: int = 4,
+) -> DataFrame:
+    """q122's segmented word-type table (w, subwords) from maintained
+    (w, freq) state: rebuild the deterministic seed vocabulary
+    (unigram_candidates) from the counters and greedy-segment the word
+    types under it — the SAME two operators the batch query calls, so
+    served segmentation == batch bit-exactly (strings and integers only).
+    Like unigram_view this costs O(vocab), never O(corpus)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_paper_implementation_spark.operators.tokenizer import (
+        greedy_segment,
+        unigram_candidates,
+    )
+
+    wc = state.select("w", F.col("freq").cast("long").alias("freq"))
+    vocab = unigram_candidates(
+        wc, vocab_size=vocab_size, max_len=max_len, cand_factor=cand_factor
+    )
+    return greedy_segment(wc.select("w"), vocab, max_len=max_len)
+
+
 def quantile_sketch_maintainer(
     spark: SparkSession, state_dir: str, k: int | None = None
 ) -> RollupMaintainer:

@@ -520,3 +520,57 @@ def test_quantile_sketch_maintainer_weight_exact_and_bracket(spark, sf_dir, tmp_
     before = sorted(map(tuple, m.current_state().collect()))
     m.update(events.where(F.col("event_id") % n_batches == 0), 0)
     assert sorted(map(tuple, m.current_state().collect())) == before
+
+
+def test_wordfreq_state_serves_unigram_family_after_every_batch(spark, sf_dir, tmp_path):
+    """q121/q122's streaming twins over the SAME wordfreq counter state
+    that serves bpe_view: after every doc-disjoint batch, the unigram piece
+    table retrained from state (unigram_view) and the greedy segmentation
+    under the state-derived seed vocabulary (greedy_segment_view) must each
+    equal their batch counterparts over the documents ingested so far —
+    bit-exact, because both are pure functions of exact integer word
+    counts. One counter state, three tokenizer serving surfaces."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_paper_implementation_spark.operators.tokenizer import (
+        greedy_segment,
+        unigram_candidates,
+        unigram_train,
+        word_freq,
+    )
+    from mapreduce_paper_implementation_spark.streaming.rollup import (
+        greedy_segment_view,
+        unigram_view,
+        wordfreq_maintainer,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(300)
+        .localCheckpoint()
+    )
+    m = wordfreq_maintainer(spark, str(tmp_path / "wf_state"))
+    n_batches = 2
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    for bid in range(n_batches):
+        m.update(docs.where(F.col("doc_id") % n_batches == bid), bid)
+        seen = docs.where(F.col("doc_id") % n_batches <= bid)
+        wc = word_freq(seen).localCheckpoint()
+        served_pieces = rows(unigram_view(m.current_state(), vocab_size=80, em_rounds=1))
+        batch_pieces = rows(unigram_train(wc, vocab_size=80, max_len=4, em_rounds=1))
+        assert served_pieces == batch_pieces, f"unigram batch {bid}"
+        served_seg = rows(
+            greedy_segment_view(m.current_state(), vocab_size=80).select(
+                "w", F.array_join("subwords", " ")
+            )
+        )
+        batch_seg = rows(
+            greedy_segment(
+                wc.select("w"), unigram_candidates(wc, vocab_size=80), max_len=4
+            ).select("w", F.array_join("subwords", " "))
+        )
+        assert served_seg == batch_seg, f"greedy batch {bid}"

