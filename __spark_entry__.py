@@ -74,7 +74,10 @@ table covered by the same operator's pure-Python differential; q124 is
 the leakage-safe train/valid/test split (q56's hash rule applied at the
 q41 near-dup-CLUSTER granularity so no near-dup pair straddles the
 train/eval boundary — doc-rule leakage reported side-by-side, cluster
-rule pinned to zero; oracle shares q41's recursive-CTE closure).
+rule pinned to zero; oracle shares q41's recursive-CTE closure); q125 is
+balanced training-shard export (rank striping under the md5 permutation
+via the TeraSort-shaped global rank — exact ±1 balance, contrasted with
+hash sharding's binomial spread in the same output).
 All queries except q121 are DuckDB-oracle-backed — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design).

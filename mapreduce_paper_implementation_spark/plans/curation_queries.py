@@ -3924,3 +3924,96 @@ def q124_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q125 balanced training-shard export — the WRITE side of the pipeline: after
+# curation/split/mixture, training data ships as N shards that must be (a)
+# deterministically shuffled (reproducible data order — no RNG) and (b)
+# SIZE-BALANCED (stragglers in the training loader are set by the largest
+# shard). Two standard rules compared side by side in one output:
+#
+#   hash sharding  — shard = md5-bucket(doc_id) % N: map-only, but shard
+#                    sizes are binomial (observed spread reported here);
+#   rank striping  — shard = (global rank under the md5 permutation) % N:
+#                    EXACTLY balanced (max-min <= 1 docs, pinned), at the
+#                    cost of the TeraSort-shaped two-pass rank.
+#
+# The md5 key doubles as the deterministic permutation (the "shuffle" a
+# training run needs), so rank striping hands the loader both properties.
+#
+# Scale shape: the rank side is operators/sort.py:global_rank — one range
+# exchange, per-partition local ranks, an n_partitions-row broadcast offset
+# join; NEVER a single-task row_number over the corpus (the q47/§8.7
+# discipline). The (doc_id, tc, k) projection is persisted once and feeds
+# both sharding rules; per-shard stats are bounded partial/final aggs.
+#
+# Oracle: DuckDB's naive ROW_NUMBER window is the truth (fine at oracle
+# scale — the SPARK side is the one that must never do that), same md5
+# string order (both engines emit lowercase hex, binary collation), same
+# exact-integer modulo arithmetic.
+# ---------------------------------------------------------------------------
+
+_Q125_SHARDS = 16
+
+
+def _q125_oracle(n_shards: int = _Q125_SHARDS) -> str:
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, len({sql_tokens('text')}) AS tc,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+),
+r AS (
+  SELECT tc, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rnk FROM d
+),
+stripe AS (
+  SELECT CAST((rnk - 1) % {n_shards} AS BIGINT) AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_rank,
+         CAST(SUM(tc) AS BIGINT) AS n_tokens_rank
+  FROM r GROUP BY 1
+),
+hashed AS (
+  SELECT CAST(CAST(('0x' || substr(k, 1, 8)) AS BIGINT) % {n_shards} AS BIGINT)
+           AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_hash,
+         CAST(SUM(tc) AS BIGINT) AS n_tokens_hash
+  FROM d GROUP BY 1
+)
+SELECT s.shard, s.n_docs_rank, s.n_tokens_rank, h.n_docs_hash, h.n_tokens_hash
+FROM stripe s JOIN hashed h ON h.shard = s.shard
+ORDER BY s.shard
+"""
+
+
+@query("q125_shard_export", _q125_oracle())
+def q125_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.functions.text import token_count
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+    from mapreduce_paper_implementation_spark.operators.sort import global_rank
+
+    n = _Q125_SHARDS
+    docs = load_table(spark, sf_dir, "documents")
+    d = scoped_persist(
+        docs.select(
+            "doc_id",
+            token_count("text").alias("tc"),
+            F.md5(F.col("doc_id").cast("string")).alias("k"),
+        )
+    )
+    ranked = global_rank(d, [F.col("k"), F.col("doc_id")], rank_col="rnk")
+    stripe = (
+        ranked.groupBy(((F.col("rnk") - 1) % n).cast("long").alias("shard"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs_rank"),
+            F.sum("tc").cast("long").alias("n_tokens_rank"),
+        )
+    )
+    hash_shard = (
+        F.conv(F.substring("k", 1, 8), 16, 10).cast("bigint") % n
+    ).cast("long")
+    hashed = d.groupBy(hash_shard.alias("shard")).agg(
+        F.count("*").cast("long").alias("n_docs_hash"),
+        F.sum("tc").cast("long").alias("n_tokens_hash"),
+    )
+    return stripe.join(hashed, "shard").orderBy("shard")

@@ -112,3 +112,42 @@ def test_q124_plan_broadcasts_pair_set(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q125_rank_stripe_exactly_balanced(spark, sf_dir):
+    """q125's load-bearing contrast: rank-striped shard doc counts differ by
+    at most 1 (exact balance — the property hash sharding cannot give),
+    every shard id 0..15 is present, and both rules partition the corpus."""
+    rows = QUERIES["q125_shard_export"](spark, sf_dir).collect()
+    assert sorted(r["shard"] for r in rows) == list(range(16))
+    docs_rank = [r["n_docs_rank"] for r in rows]
+    assert max(docs_rank) - min(docs_rank) <= 1
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(docs_rank) == n
+    assert sum(r["n_docs_hash"] for r in rows) == n
+
+
+def test_q125_plan_uses_range_partition_never_single_task_window(spark, sf_dir):
+    """The rank side must be the TeraSort shape: a range exchange feeds the
+    per-partition window; no WindowExec may consume the corpus in a single
+    task (the §8.7 discipline — windows are either partitioned by the range
+    pid or run over the n_partitions-row offsets frame)."""
+    from mapreduce_paper_implementation_spark.testing.planwalk import iter_plan
+
+    df = QUERIES["q125_shard_export"](spark, sf_dir)
+    root = df._jdf.queryExecution().executedPlan()
+    plan = root.toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    windows = [
+        n for n in iter_plan(root) if n.getClass().getSimpleName() == "WindowExec"
+    ]
+    assert windows, "expected the local-rank and offsets windows"
+    for node in windows:
+        head = node.toString().splitlines()[0]
+        if "_pid" in head:
+            continue  # the per-range-partition local rank — parallel
+        # the only unpartitioned window allowed is the offsets prefix sum,
+        # which must sit on the n_partitions-row counts AGGREGATE, never
+        # on the data
+        assert "HashAggregate" in node.toString(), head
