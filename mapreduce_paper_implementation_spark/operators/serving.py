@@ -49,6 +49,70 @@ def variant_is_a(user_col: str = "user_id") -> Column:
     return F.when(folded < 50, 1).otherwise(0)
 
 
+# ---------------------------------------------------------------------------
+# The q56 train/valid/test hash rule + the q124 cluster-granular assignment
+# tail — housed here (not in plans/) because serving views reuse them:
+# cluster_split_view (streaming/cc_index.py) over maintained CC labels and
+# the batch q124/q56 call the same expression trees (§8.27).
+# ---------------------------------------------------------------------------
+
+
+def sql_bucket(col: str) -> str:
+    """First 8 hex chars of md5(col) as an integer mod 100 — DuckDB side."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+    )
+
+
+def sql_split(col: str) -> str:
+    b = sql_bucket(col)
+    return f"CASE WHEN {b} < 90 THEN 'train' WHEN {b} < 95 THEN 'valid' ELSE 'test' END"
+
+
+def split_of(c: Column) -> Column:
+    """The q56 split rule as a Spark expression over ANY integer key —
+    shared by q56 (doc-granular), q124 (cluster-granular), and the
+    streaming cluster_split_view, so the split surfaces cannot drift."""
+    bucket = (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+    return F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
+
+
+def cluster_split_assign(docs: DataFrame, labels: DataFrame | None) -> DataFrame:
+    """q124's per-doc cluster-granular split assignment from ANY
+    (id, component) label table: (doc_id, tc, cluster_id, is_dup,
+    split_c, split_d). The batch query passes
+    connected_components(pairs); the serving twin passes
+    ComponentsMaintainer.labels() (streaming/cc_index.py) — ONE
+    expression tree, so served assignments equal batch bit-exactly
+    whenever the label tables agree (which tests/test_cc_index.py gates
+    after every batch). `labels` None/empty → every doc is a singleton
+    cluster of itself. NOTE the serving caveat (documented, by design):
+    labels only ever DECREASE as edges arrive, so a doc's cluster id —
+    and therefore its split — can change when components merge;
+    production pins splits at release cuts, it does not stream them."""
+    from mapreduce_paper_implementation_spark.functions.text import token_count
+
+    base = docs.select("doc_id", token_count("text").alias("tc"))
+    if labels is None:
+        labeled = base.select(
+            "doc_id", "tc", F.col("doc_id").alias("cluster_id"),
+            F.lit(False).alias("is_dup"),
+        )
+    else:
+        labeled = base.join(labels, F.col("doc_id") == F.col("id"), "left").select(
+            "doc_id",
+            "tc",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+            F.col("id").isNotNull().alias("is_dup"),
+        )
+    return labeled.withColumn("split_c", split_of(F.col("cluster_id"))).withColumn(
+        "split_d", split_of(F.col("doc_id"))
+    )
+
+
 def ab_readout(u: DataFrame) -> DataFrame:
     """From a per-user frame with (user_id, conv) — conv already the 0/1
     conversion flag — to q104's single-row readout: BIGINT variant

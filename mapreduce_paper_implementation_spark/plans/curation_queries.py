@@ -3786,9 +3786,7 @@ def q122_greedy_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q124_oracle() -> str:
-    from mapreduce_paper_implementation_spark.plans.pipeline_queries import (
-        sql_split,
-    )
+    from mapreduce_paper_implementation_spark.operators.serving import sql_split
     from mapreduce_paper_implementation_spark.plans.queries import Q41_GRAPH_CTES
 
     return f"""
@@ -3841,7 +3839,6 @@ ORDER BY s.split
 
 @query("q124_leakage_safe_split", _q124_oracle())
 def q124_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_paper_implementation_spark.functions.text import token_count
     from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
     from mapreduce_paper_implementation_spark.operators.dedup import (
         ngram_jaccard_pairs,
@@ -3849,25 +3846,18 @@ def q124_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_paper_implementation_spark.operators.graph import (
         connected_components,
     )
-    from mapreduce_paper_implementation_spark.plans.pipeline_queries import split_of
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        cluster_split_assign,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     # pairs feeds BOTH the component closure and the leak joins; labeled
     # feeds the stats agg and both leak joins (the q97 recompute class)
     pairs = scoped_persist(ngram_jaccard_pairs(docs, threshold=0.1))
     cc = connected_components(pairs)
-    labeled = scoped_persist(
-        docs.select("doc_id", token_count("text").alias("tc"))
-        .join(cc, F.col("doc_id") == F.col("id"), "left")
-        .select(
-            "doc_id",
-            "tc",
-            F.coalesce("component", "doc_id").alias("cluster_id"),
-            F.col("id").isNotNull().alias("is_dup"),
-        )
-        .withColumn("split_c", split_of(F.col("cluster_id")))
-        .withColumn("split_d", split_of(F.col("doc_id")))
-    )
+    # the assignment tail is operators/serving.py:cluster_split_assign —
+    # shared with the streaming cluster_split_view over maintained CC labels
+    labeled = scoped_persist(cluster_split_assign(docs, cc))
     stats = labeled.groupBy(F.col("split_c").alias("split")).agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("tc").cast("long").alias("n_tokens"),

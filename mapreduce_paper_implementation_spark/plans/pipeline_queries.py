@@ -89,28 +89,13 @@ def q55_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so splits never leak when data is re-ingested.
 # ---------------------------------------------------------------------------
 
-def sql_bucket(col: str) -> str:
-    """First 8 hex chars of md5(col) as an integer mod 100 — DuckDB side."""
-    return (
-        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
-    )
-
-
-def sql_split(col: str) -> str:
-    b = sql_bucket(col)
-    return f"CASE WHEN {b} < 90 THEN 'train' WHEN {b} < 95 THEN 'valid' ELSE 'test' END"
-
-
-def split_of(c: F.Column) -> F.Column:
-    """The q56 split rule as a Spark expression over ANY integer key —
-    SHARED by q56 (doc-granular) and q124 (cluster-granular), one
-    expression tree per §8.27 so the two split surfaces cannot drift."""
-    bucket = (
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
-        % 100
-    )
-    return F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
-
+# the split rule lives in operators/serving.py (shared with q124 and the
+# streaming cluster_split_view — §8.27 one-expression-tree discipline)
+from mapreduce_paper_implementation_spark.operators.serving import (  # noqa: E402
+    split_of,
+    sql_bucket,
+    sql_split,
+)
 
 _SQL_BUCKET = sql_bucket("doc_id")
 

@@ -200,3 +200,26 @@ class ComponentsMaintainer:
                 os.path.join(self.state_dir, f"v{v:010d}"), ignore_errors=True
             )
         return superseded
+
+
+def cluster_split_view(labels: "DataFrame | None", docs: "DataFrame") -> "DataFrame":
+    """q124's leakage-safe per-doc split assignment served from MAINTAINED
+    component labels: pass ComponentsMaintainer.labels() (or None before
+    the first batch) and the current document corpus; the tail is the SAME
+    operators/serving.py:cluster_split_assign the batch query runs, so
+    served assignments equal the batch recompute bit-exactly whenever the
+    label tables agree — which the per-batch differential in
+    tests/test_cc_index.py pins for the maintainer.
+
+    Serving caveat (by design, not a bug): component labels only ever
+    DECREASE as edge batches arrive, so a doc's cluster id — and with it
+    its split — can CHANGE when two components merge. A production
+    pipeline therefore pins the split at a release cut (materializes this
+    view once per release) rather than streaming per-doc splits; the view
+    exists so the release cut is an O(labels) readout, never a corpus
+    re-cluster."""
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        cluster_split_assign,
+    )
+
+    return cluster_split_assign(docs, labels)

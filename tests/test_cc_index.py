@@ -121,3 +121,79 @@ def test_cc_maintainer_composes_with_dedup_index(spark, sf_dir, tmp_path):
 
     assert all_pairs, "fixture must contain cross-batch near-dups"
     assert _labels(cc.labels()) == _full(spark, all_pairs)
+
+    # ...and the release-cut readout on top: the leakage-safe split served
+    # from the maintained labels equals the batch q124 assignment over the
+    # same pair graph (cluster_split_view is an O(labels) readout — no
+    # corpus re-cluster at the cut)
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        cluster_split_assign,
+    )
+    from mapreduce_paper_implementation_spark.streaming.cc_index import (
+        cluster_split_view,
+    )
+
+    served = sorted(map(tuple, cluster_split_view(cc.labels(), docs).collect()))
+    batch = sorted(
+        map(
+            tuple,
+            cluster_split_assign(
+                docs, connected_components(spark.createDataFrame(all_pairs, SCHEMA))
+            ).collect(),
+        )
+    )
+    assert served == batch
+
+
+def test_cluster_split_view_matches_batch_assignment(spark, tmp_path):
+    """q124's serving twin: after every edge batch, the split assignment
+    served from MAINTAINED labels (cluster_split_view) equals the batch
+    assignment from a full connected_components recompute — bit-exact,
+    because both run the same cluster_split_assign tail and the label
+    tables are gated equal per batch. Also demonstrates the documented
+    serving caveat: at least one doc's split CHANGES across batches when
+    a component merge lowers its cluster id (why production pins splits
+    at release cuts)."""
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        cluster_split_assign,
+    )
+    from mapreduce_paper_implementation_spark.streaming.cc_index import (
+        cluster_split_view,
+    )
+
+    rng = random.Random(11)
+    docs = spark.createDataFrame(
+        [(i, f"doc text {i}") for i in range(120)], "doc_id long, text string"
+    ).localCheckpoint()
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    thirds = [edges[0::3], edges[1::3], edges[2::3]]
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    m = ComponentsMaintainer(spark, str(tmp_path / "state"), max_iter=60)
+    seen: list = []
+    assignments = []
+    for bid, b in enumerate(thirds):
+        m.update(spark.createDataFrame(b, SCHEMA), bid)
+        seen += b
+        served = rows(cluster_split_view(m.labels(), docs))
+        batch = rows(
+            cluster_split_assign(
+                docs, connected_components(spark.createDataFrame(seen, SCHEMA), max_iter=60)
+            )
+        )
+        assert served == batch, f"batch {bid}"
+        assignments.append({r[0]: r[4] for r in served})  # doc_id -> split_c
+    moved = any(
+        assignments[i][d] != assignments[i + 1][d]
+        for i in range(len(assignments) - 1)
+        for d in assignments[i]
+    )
+    merged_any = len(_labels(m.labels())) > 0
+    # with 60 random edges folded in two increments over 120 docs, some
+    # component merge that changes a min label (and crosses a split
+    # boundary) is overwhelmingly likely under this seed; pin it so the
+    # caveat stays demonstrated rather than asserted
+    assert merged_any and moved
