@@ -77,8 +77,14 @@ train/eval boundary — doc-rule leakage reported side-by-side, cluster
 rule pinned to zero; oracle shares q41's recursive-CTE closure); q125 is
 balanced training-shard export (rank striping under the md5 permutation
 via the TeraSort-shaped global rank — exact ±1 balance, contrasted with
-hash sharding's binomial spread in the same output).
-All queries except q121 are DuckDB-oracle-backed — including q34,
+hash sharding's binomial spread in the same output); q123 segments the
+corpus under the EM-TRAINED q121 table (rows-only like q121 — same
+greedy operator and stats tail q122 hash-gates; trained fertility
+pinned >= seed fertility); q126 is the residual cross-split
+contamination audit (8-gram overlap across the train/eval boundary for
+BOTH split rules — the measured residue q124's cluster split leaves and
+the q55 gate then scrubs).
+All queries except q121 and q123 are DuckDB-oracle-backed — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design).
 """

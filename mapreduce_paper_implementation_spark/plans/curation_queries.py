@@ -4007,3 +4007,207 @@ def q125_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tc").cast("long").alias("n_tokens_hash"),
     )
     return stripe.join(hashed, "shard").orderBy("shard")
+
+
+# ---------------------------------------------------------------------------
+# Q126 residual cross-split contamination audit — the MEASUREMENT that
+# closes the q124 story. q124's cluster-granular split makes NEAR-DUP-PAIR
+# leakage structurally zero, but near-dup has a threshold: sub-threshold
+# overlaps (a quoted paragraph, shared boilerplate) still cross the
+# train/eval boundary. This query measures that residue the way production
+# decontamination defines it (q55's posture, lifted to the split boundary):
+# an eval-split doc is residually contaminated iff it shares >= 1 distinct
+# 8-word shingle with ANY train-split doc. Both split rules are audited
+# side by side — (rule='cluster') the q124 assignment and (rule='doc') the
+# q56 assignment — so the cluster rule's effect on residual contamination
+# is a measured number, not an argument. What this query finds is exactly
+# what a pipeline then scrubs with the q55 gate applied at the boundary.
+#
+# Scale shape: the split assignment reuses cluster_split_assign (in
+# production, read from the cc_index release cut — bench_q124_cut.py
+# prices that at ~0.4 s vs 5.9 s inline at sf0.1); the 8-gram audit is an
+# inverted-index SHUFFLE join on the shingle key (the q20 class — both
+# sides are corpus-scale, so neither broadcasts; partial aggregation
+# collapses per-doc hits map-side). The (doc, shingle, splits) frame is
+# persisted once and feeds all four rule branches.
+#
+# Oracle: q41's shared closure CTEs + the shared split CASE + the same
+# 8-gram construction and set-semantics joins — integers and strings only.
+# ---------------------------------------------------------------------------
+
+_Q126_N = 8
+
+
+def _q126_oracle(n: int = _Q126_N) -> str:
+    from mapreduce_paper_implementation_spark.operators.serving import sql_split
+    from mapreduce_paper_implementation_spark.plans.queries import Q41_GRAPH_CTES
+
+    toks = sql_tokens("text")
+    return f"""
+WITH {Q41_GRAPH_CTES},
+assign AS MATERIALIZED (
+  SELECT d.doc_id, COALESCE(r.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN rec r ON r.id = d.doc_id
+),
+labeled AS MATERIALIZED (
+  SELECT doc_id, {sql_split('cluster_id')} AS split_c,
+         {sql_split('doc_id')} AS split_d
+  FROM assign
+),
+sh8 AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      range(1, greatest(len({toks}) - {n - 2}, 1)),
+      i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')
+    ))) AS shingle
+  FROM documents
+  WHERE len({toks}) >= {n}
+),
+shl AS MATERIALIZED (
+  SELECT s.doc_id, s.shingle, l.split_c, l.split_d
+  FROM sh8 s JOIN labeled l ON l.doc_id = s.doc_id
+),
+branches AS (
+  SELECT 'cluster' AS rule, e.split_c AS split, e.doc_id,
+         COUNT(*) AS hits
+  FROM shl e
+  JOIN (SELECT DISTINCT shingle FROM shl WHERE split_c = 'train') t
+    ON t.shingle = e.shingle
+  WHERE e.split_c <> 'train'
+  GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT 'doc', e.split_d, e.doc_id, COUNT(*)
+  FROM shl e
+  JOIN (SELECT DISTINCT shingle FROM shl WHERE split_d = 'train') t
+    ON t.shingle = e.shingle
+  WHERE e.split_d <> 'train'
+  GROUP BY 1, 2, 3
+),
+members AS (
+  SELECT 'cluster' AS rule, split_c AS split,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM labeled WHERE split_c <> 'train' GROUP BY 1, 2
+  UNION ALL
+  SELECT 'doc', split_d, CAST(COUNT(*) AS BIGINT)
+  FROM labeled WHERE split_d <> 'train' GROUP BY 1, 2
+)
+SELECT m.rule, m.split, m.n_docs,
+       CAST(COALESCE(b.contaminated_docs, 0) AS BIGINT) AS contaminated_docs,
+       CAST(COALESCE(b.shared_8gram_hits, 0) AS BIGINT) AS shared_8gram_hits
+FROM members m
+LEFT JOIN (
+  SELECT rule, split, COUNT(*) AS contaminated_docs, SUM(hits) AS shared_8gram_hits
+  FROM branches GROUP BY 1, 2
+) b ON b.rule = m.rule AND b.split = m.split
+ORDER BY m.rule, m.split
+"""
+
+
+@query("q126_residual_contamination", _q126_oracle())
+def q126_residual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.functions.text import word_shingles
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+    from mapreduce_paper_implementation_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from mapreduce_paper_implementation_spark.operators.graph import (
+        connected_components,
+    )
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        cluster_split_assign,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # labeled feeds the shingle join AND both rules' member counts; without
+    # the persist each consumer replays the whole pair-graph + CC build
+    labeled = scoped_persist(
+        cluster_split_assign(
+            docs, connected_components(ngram_jaccard_pairs(docs, threshold=0.1))
+        ).select("doc_id", "split_c", "split_d")
+    )
+    sh8 = docs.select(
+        "doc_id", F.explode(word_shingles("text", _Q126_N)).alias("shingle")
+    )
+    # one (doc, shingle, splits) frame feeds the train-set build AND the
+    # eval probe of BOTH rules (the q97 recompute class)
+    shl = scoped_persist(sh8.join(labeled, "doc_id"))
+
+    def branch(rule: str, col: str):
+        train = shl.where(F.col(col) == "train").select("shingle").distinct()
+        hits = (
+            shl.where(F.col(col) != "train")
+            .join(train, "shingle")
+            .groupBy(F.col("doc_id"), F.col(col).alias("split"))
+            .agg(F.count("*").alias("hits"))
+        )
+        agg = hits.groupBy("split").agg(
+            F.count("*").cast("long").alias("contaminated_docs"),
+            F.sum("hits").cast("long").alias("shared_8gram_hits"),
+        )
+        members = (
+            labeled.where(F.col(col) != "train")
+            .groupBy(F.col(col).alias("split"))
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .select(F.lit(rule).alias("rule"), "split", "n_docs")
+        )
+        return members.join(agg, "split", "left").select(
+            "rule",
+            "split",
+            "n_docs",
+            F.coalesce("contaminated_docs", F.lit(0).cast("long")).alias(
+                "contaminated_docs"
+            ),
+            F.coalesce("shared_8gram_hits", F.lit(0).cast("long")).alias(
+                "shared_8gram_hits"
+            ),
+        )
+
+    return (
+        branch("cluster", "split_c")
+        .unionByName(branch("doc", "split_d"))
+        .orderBy("rule", "split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q123 corpus-scale segmentation under the EM-TRAINED unigram table — the
+# trained-apply rung between q122 (seed-vocabulary apply, fully
+# oracle-gated) and q121 (the training loop): the SAME greedy_segment
+# operator and the SAME _subword_source_stats tail as q122, applied under
+# q121's trained piece table, so a user gets per-source fertility stats
+# for the tokenizer they would actually ship. Registered WITHOUT an
+# oracle (rows-only, like q121): the trained table is Viterbi-derived and
+# not SQL-expressible; the correctness chain is q121's pure-Python EM
+# replay + greedy_segment's hypothesis replay + the trained-table greedy
+# differential (tests/test_greedy_segment.py) + q122's hash gate on the
+# identical apply/stats path.
+#
+# Scale shape = q122's: one corpus shuffle for the (source, word) count,
+# training on the Heaps-bounded word-type re-agg, broadcast piece table,
+# closed-form jump-table apply, shared stats tail.
+# ---------------------------------------------------------------------------
+
+
+@query("q123_trained_segment")
+def q123_trained_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+    from mapreduce_paper_implementation_spark.operators.tokenizer import (
+        greedy_segment,
+        unigram_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    swc = scoped_persist(
+        docs.select("source", F.explode(tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("freq"))
+    )
+    wc = scoped_persist(
+        swc.groupBy("w").agg(F.sum("freq").cast("long").alias("freq"))
+    )
+    trained = unigram_train(wc, vocab_size=200, max_len=4, em_rounds=2)
+    seg_words = greedy_segment(wc.select("w"), trained.select("piece"), max_len=4)
+    seg = scoped_persist(
+        swc.join(seg_words, "w").select("source", "freq", "subwords")
+    )
+    return _subword_source_stats(seg, _Q122_TOP_K)

@@ -151,3 +151,40 @@ def test_q125_plan_uses_range_partition_never_single_task_window(spark, sf_dir):
         # which must sit on the n_partitions-row counts AGGREGATE, never
         # on the data
         assert "HashAggregate" in node.toString(), head
+
+
+def test_q123_deterministic_and_consistent_with_q122_shape(spark, sf_dir):
+    """q123 (trained-table apply, rows-only) must be run-to-run
+    deterministic — the unigram trainer and greedy apply are pure
+    functions of exact integer counts — and carry exactly q122's output
+    schema (the shared _subword_source_stats tail). Fertility under the
+    TRAINED table must not exceed fertility under the SEED vocabulary
+    (training only ever keeps the highest-count pieces, every single char
+    survives, and greedy longest-match under a SUBSET vocabulary can only
+    split words into at least as many pieces — so seed >= trained would
+    invert only if training ADDED pieces, which it cannot)."""
+    a = QUERIES["q123_trained_segment"](spark, sf_dir).collect()
+    b = QUERIES["q123_trained_segment"](spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    q122 = {r["source"]: r for r in QUERIES["q122_greedy_segment"](spark, sf_dir).collect()}
+    assert {r["source"] for r in a} == set(q122)
+    for r in a:
+        assert r["n_words"] == q122[r["source"]]["n_words"]
+        assert r["fertility"] >= q122[r["source"]]["fertility"]
+
+
+def test_q126_cluster_rule_never_leaks_more_than_doc_rule_on_planted(spark, sf_dir):
+    """q126's demonstration, pinned on the fixture: the planted near-dups
+    share long n-gram spans, so the cluster-granular split (which moves
+    near-dup partners together) must show no MORE residual 8-gram
+    contamination than the doc-granular rule, summed over eval splits —
+    and the row grain/keys must be the 2-rule x 2-eval-split matrix."""
+    rows = QUERIES["q126_residual_contamination"](spark, sf_dir).collect()
+    assert {(r["rule"], r["split"]) for r in rows} == {
+        ("cluster", "valid"), ("cluster", "test"), ("doc", "valid"), ("doc", "test"),
+    }
+    tot = {
+        rule: sum(r["contaminated_docs"] for r in rows if r["rule"] == rule)
+        for rule in ("cluster", "doc")
+    }
+    assert tot["cluster"] <= tot["doc"]
