@@ -162,7 +162,12 @@ def test_baseline_md_table_covers_registry_exactly():
 # q121: unigram-LM training — the Viterbi E-step is not SQL-expressible
 # (documented in SURVEY §2D and the q121 block comment); gated instead by
 # the pure-Python EM replay + determinism/coverage/mass pins.
-ROWS_ONLY_ALLOWED: set[str] = {"q121_unigram_train"}
+# q123: segmentation under the q121-TRAINED table — rows-only for the same
+# reason (the trained table is Viterbi-derived); the apply/stats path is
+# hash-gated via q122 (identical operator + tail under the SQL-derivable
+# seed vocabulary) and the trained-table differential in
+# tests/test_greedy_segment.py.
+ROWS_ONLY_ALLOWED: set[str] = {"q121_unigram_train", "q123_trained_segment"}
 
 
 def test_oracle_contract_is_total():
