@@ -79,8 +79,8 @@ balanced training-shard export (rank striping under the md5 permutation
 via the TeraSort-shaped global rank — exact ±1 balance, contrasted with
 hash sharding's binomial spread in the same output); q123 segments the
 corpus under the EM-TRAINED q121 table (rows-only like q121 — same
-greedy operator and stats tail q122 hash-gates; trained fertility
-pinned >= seed fertility); q126 is the residual cross-split
+greedy operator and stats tail q122 hash-gates; deterministic, word
+totals pinned equal to q122's); q126 is the residual cross-split
 contamination audit (8-gram overlap across the train/eval boundary for
 BOTH split rules — the measured residue q124's cluster split leaves and
 the q55 gate then scrubs).

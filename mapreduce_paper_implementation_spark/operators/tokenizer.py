@@ -365,8 +365,19 @@ def greedy_segment(
 
     The DuckDB oracle twin (plans/curation_queries.py:q122) replays the
     identical jump table in SQL and walks it with a recursive CTE —
-    string and integer ops only, so the gate is an exact value hash."""
+    string and integer ops only, so the gate is an exact value hash.
+
+    PRECONDITION GUARDS (single-char coverage): a word missing EVERY
+    character from the vocabulary matches no position and is silently
+    absent from the output (the inner join drops it — count outputs if a
+    hand-built vocabulary cannot guarantee coverage); a word missing only
+    SOME characters would leave holes in the step array and misalign the
+    fold, so the result is validated — pieces must concatenate back to
+    the word — and raises instead of returning corrupt segmentations.
+    Empty-string words are filtered up front (F.sequence(0, -1) is the
+    DESCENDING [0,-1] array, the word_shingles landmine, not empty)."""
     w = F.col(word_col)
+    words = words.where(F.length(w) > 0)
     pos = words.select(
         word_col, F.explode(F.sequence(F.lit(0), F.length(w) - 1)).alias("p")
     )
@@ -392,7 +403,7 @@ def greedy_segment(
         ).alias("steps")
     )
     steps = F.col("steps")
-    return jarr.select(
+    seg = jarr.select(
         word_col,
         F.aggregate(
             F.sequence(F.lit(0), F.length(w) - 1),
@@ -403,7 +414,7 @@ def greedy_segment(
             lambda acc, i: F.when(
                 i == acc["cur"],
                 F.struct(
-                    (acc["cur"] + F.element_at(steps, acc["cur"] + 1))
+                    (acc["cur"] + F.try_element_at(steps, acc["cur"] + 1))
                     .cast("int")
                     .alias("cur"),
                     F.concat(
@@ -411,7 +422,7 @@ def greedy_segment(
                         F.array(
                             w.substr(
                                 acc["cur"] + F.lit(1),
-                                F.element_at(steps, acc["cur"] + 1),
+                                F.try_element_at(steps, acc["cur"] + 1),
                             )
                         ),
                     ).alias("pieces"),
@@ -419,6 +430,24 @@ def greedy_segment(
             ).otherwise(acc),
             lambda acc: acc["pieces"],
         ).alias("subwords"),
+    )
+    # corruption guard: an incomplete vocabulary (missing chars) leaves
+    # holes in the step array and misaligns the fold — fail loudly, never
+    # return a segmentation that does not concatenate back to its word
+    return seg.select(
+        word_col,
+        F.when(
+            F.concat_ws("", F.col("subwords")) == w, F.col("subwords")
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("greedy_segment: vocabulary misses characters of "),
+                    w,
+                )
+            )
+        )
+        .alias("subwords"),
     )
 
 

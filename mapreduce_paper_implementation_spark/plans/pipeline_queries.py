@@ -93,16 +93,12 @@ def q55_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming cluster_split_view — §8.27 one-expression-tree discipline)
 from mapreduce_paper_implementation_spark.operators.serving import (  # noqa: E402
     split_of,
-    sql_bucket,
     sql_split,
 )
 
-_SQL_BUCKET = sql_bucket("doc_id")
 
 _Q56_ORACLE = f"""
-SELECT CASE WHEN {_SQL_BUCKET} < 90 THEN 'train'
-            WHEN {_SQL_BUCKET} < 95 THEN 'valid'
-            ELSE 'test' END AS split,
+SELECT {sql_split('doc_id')} AS split,
        source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(len({sql_tokens('text')})) AS BIGINT) AS n_tokens

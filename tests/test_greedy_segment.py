@@ -95,3 +95,26 @@ def test_q122_plan_broadcasts_vocab_no_python(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_greedy_segment_raises_on_incomplete_vocab(spark):
+    """The corruption guard: a vocabulary missing SOME characters of a
+    word (holes in the step array) must raise, never return a
+    segmentation that doesn't concatenate back to the word; empty-string
+    words are filtered; a word with NO matching position at all is
+    absent from the output (documented silent-drop case)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce_paper_implementation_spark.operators.tokenizer import (
+        greedy_segment,
+    )
+
+    words = spark.createDataFrame([("abc",), ("",)], "w string")
+    # vocab covers 'a','c' but not 'b': position 1 has no step -> guard
+    vocab = spark.createDataFrame([("a",), ("c",)], "piece string")
+    with pytest.raises(Exception, match="vocabulary misses characters"):
+        greedy_segment(words, vocab, max_len=4).collect()
+    # a word matching NOTHING is dropped (inner join), empty string filtered
+    none_vocab = spark.createDataFrame([("z",)], "piece string")
+    assert greedy_segment(words, none_vocab, max_len=4).count() == 0

@@ -87,18 +87,22 @@ def test_q121_deterministic_across_runs(spark, sf_dir):
 
 def test_q124_cluster_split_invariants(spark, sf_dir):
     """q124's load-bearing invariants beyond the oracle hash: the
-    cluster-granular rule leaks ZERO near-dup pairs in every split while
-    the doc-granular rule (run side-by-side in the same query) leaks a
-    positive total whenever near-dup pairs exist; doc counts partition the
-    corpus; and each split's docs do not outnumber its clusters."""
+    cluster-granular rule leaks ZERO near-dup pairs in every split; doc
+    counts partition the corpus; clusters never outnumber docs; and the
+    doc-rule leak column obeys its structural parity — every straddling
+    pair contributes one endpoint-count to EXACTLY two splits, so the
+    total is even (an always-true `>= 0` here would be vacuous; evenness
+    actually fails if the leak join ever double- or half-counts). The
+    positive doc-rule contrast itself is pinned at sf0.01 by the q126
+    fixture numbers (doc 4 docs/151 hits vs cluster 0/0), not here —
+    at tiny SFs all pairs can legitimately land inside one split."""
     rows = QUERIES["q124_leakage_safe_split"](spark, sf_dir).collect()
     assert {r["split"] for r in rows} <= {"train", "valid", "test"}
     assert all(r["cluster_leak_pairs"] == 0 for r in rows)
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert sum(r["n_docs"] for r in rows) == n_docs
     assert all(r["n_clusters"] <= r["n_docs"] for r in rows)
-    if sum(r["n_dup_docs"] for r in rows) > 0:
-        assert sum(r["doc_leak_pairs"] for r in rows) >= 0
+    assert sum(r["doc_leak_pairs"] for r in rows) % 2 == 0
 
 
 def test_q124_plan_broadcasts_pair_set(spark, sf_dir):
@@ -157,12 +161,13 @@ def test_q123_deterministic_and_consistent_with_q122_shape(spark, sf_dir):
     """q123 (trained-table apply, rows-only) must be run-to-run
     deterministic — the unigram trainer and greedy apply are pure
     functions of exact integer counts — and carry exactly q122's output
-    schema (the shared _subword_source_stats tail). Fertility under the
-    TRAINED table must not exceed fertility under the SEED vocabulary
-    (training only ever keeps the highest-count pieces, every single char
-    survives, and greedy longest-match under a SUBSET vocabulary can only
-    split words into at least as many pieces — so seed >= trained would
-    invert only if training ADDED pieces, which it cannot)."""
+    schema and word totals (the shared _subword_source_stats tail over
+    the same corpus). NOTE deliberately NOT asserted: a fertility
+    ordering between trained and seed vocabularies. Greedy longest-match
+    is not monotone under vocabulary subsetting (dropping a long piece
+    can REROUTE a walk onto longer matches downstream: seed {aba,ab,abc}
+    segments 'ababc' as aba|b|c but the subset {ab,abc} as ab|abc), so
+    neither direction is an invariant."""
     a = QUERIES["q123_trained_segment"](spark, sf_dir).collect()
     b = QUERIES["q123_trained_segment"](spark, sf_dir).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
@@ -170,7 +175,8 @@ def test_q123_deterministic_and_consistent_with_q122_shape(spark, sf_dir):
     assert {r["source"] for r in a} == set(q122)
     for r in a:
         assert r["n_words"] == q122[r["source"]]["n_words"]
-        assert r["fertility"] >= q122[r["source"]]["fertility"]
+        assert r["fertility"] >= 1.0  # every word yields >= 1 piece
+        assert r["n_subwords"] >= r["n_words"]
 
 
 def test_q126_cluster_rule_never_leaks_more_than_doc_rule_on_planted(spark, sf_dir):
