@@ -65,8 +65,11 @@ apply, per-source subword/fertility stats; oracle shares q115's unrolled
 training CTEs); q120 is the mergeable rank sketch for unbounded-precision
 quantiles (deterministic compactor, weight-exact merge, bracket-pinned
 vs the exact order statistic); q121 is unigram-LM tokenizer training
-(SentencePiece-unigram hard-EM — rows-only: Viterbi is not
-SQL-expressible; gated by a pure-Python EM replay); q122 is corpus-scale
+(SentencePiece-unigram hard-EM; since round 12 the query emits the
+invariant READOUT — SQL-exact anchors + pinned-TRUE coverage/mass/bound
+booleans, the q120 est_ok pattern — so it is fully oracle-gated while
+the Viterbi-derived piece table stays differential-gated by a
+pure-Python EM replay); q122 is corpus-scale
 greedy longest-match segmentation (the WordPiece apply rule) under the
 deterministic unigram SEED vocabulary — q121's apply side, fully
 oracle-gated (jump-table join + recursive-CTE walk), with the EM-trained
@@ -78,15 +81,21 @@ rule pinned to zero; oracle shares q41's recursive-CTE closure); q125 is
 balanced training-shard export (rank striping under the md5 permutation
 via the TeraSort-shaped global rank — exact ±1 balance, contrasted with
 hash sharding's binomial spread in the same output); q123 segments the
-corpus under the EM-TRAINED q121 table (rows-only like q121 — same
-greedy operator and stats tail q122 hash-gates; deterministic, word
-totals pinned equal to q122's); q126 is the residual cross-split
-contamination audit (8-gram overlap across the train/eval boundary for
-BOTH split rules — the measured residue q124's cluster split leaves and
-the q55 gate then scrubs).
-All queries except q121 and q123 are DuckDB-oracle-backed — including q34,
+corpus under the EM-TRAINED q121 table (since round 12 it emits the
+per-source invariant readout — exact word/char totals the oracle
+recomputes, the totals the round-11 pytest pinned equal to q122's, plus
+pinned-TRUE piece-bracket and vocabulary-membership booleans — same
+greedy operator q122 hash-gates end-to-end); q126 is the residual
+cross-split contamination audit (8-gram overlap across the train/eval
+boundary for BOTH split rules — the measured residue q124's cluster
+split leaves and the q55 gate then scrubs; the corpus-scale join moves
+xxhash64 gram hashes, the text-joined oracle doubling as the collision
+audit).
+ALL queries are DuckDB-oracle-backed (since round 12) — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
-sketch estimate itself is estimator-specific by design).
+sketch estimate itself is estimator-specific by design), and q121/q123,
+whose non-SQL-expressible trained tables are gated through their
+SQL-expressible invariant readouts.
 """
 
 from __future__ import annotations

@@ -367,15 +367,22 @@ def greedy_segment(
     identical jump table in SQL and walks it with a recursive CTE —
     string and integer ops only, so the gate is an exact value hash.
 
-    PRECONDITION GUARDS (single-char coverage): a word missing EVERY
-    character from the vocabulary matches no position and is silently
-    absent from the output (the inner join drops it — count outputs if a
-    hand-built vocabulary cannot guarantee coverage); a word missing only
-    SOME characters would leave holes in the step array and misalign the
-    fold, so the result is validated — pieces must concatenate back to
-    the word — and raises instead of returning corrupt segmentations.
-    Empty-string words are filtered up front (F.sequence(0, -1) is the
-    DESCENDING [0,-1] array, the word_shingles landmine, not empty)."""
+    PRECONDITION GUARD (single-char coverage, UNIFORM failure contract —
+    ADVICE r11): any word the vocabulary cannot cover RAISES. A word
+    missing only SOME characters leaves holes in the step array and
+    misaligns the fold; a word missing EVERY character matches no jump
+    position at all — the output is built by LEFT-joining the input frame
+    onto the jump table, so such a word survives with NULL steps rather
+    than being dropped by the inner join, and both cases funnel into the
+    same validation: pieces must concatenate back to the word, else
+    raise_error. No silent drops with a hand-built vocabulary.
+
+    Row contract: output rows == input rows with length > 0 (duplicate
+    words in `words` each get their segmentation — the jump table is
+    computed once per word TYPE via groupBy, then joined back to the
+    input frame). Empty-string words are filtered up front
+    (F.sequence(0, -1) is the DESCENDING [0,-1] array, the word_shingles
+    landmine, not empty)."""
     w = F.col(word_col)
     words = words.where(F.length(w) > 0)
     pos = words.select(
@@ -403,7 +410,11 @@ def greedy_segment(
         ).alias("steps")
     )
     steps = F.col("steps")
-    seg = jarr.select(
+    # LEFT join back to the input frame: preserves duplicate input rows
+    # (one output row per input row) and keeps fully-uncovered words —
+    # NULL steps poison the fold into pieces that cannot concatenate back
+    # to the word, so the corruption guard below raises uniformly
+    seg = words.join(jarr, word_col, "left").select(
         word_col,
         F.aggregate(
             F.sequence(F.lit(0), F.length(w) - 1),
@@ -479,42 +490,43 @@ def _viterbi_segment(w: str, logp: dict[str, float], max_len: int) -> list[str]:
     return list(best[n][2])
 
 
-def unigram_train(
-    wc: DataFrame,
-    vocab_size: int = 200,
-    max_len: int = 4,
-    em_rounds: int = 2,
-    cand_factor: int = 4,
-) -> DataFrame:
-    """Fit the unigram tokenizer over an aggregated (w, freq) word-type
-    table; returns the final piece table (piece STRING, cnt BIGINT —
-    freq-weighted Viterbi segment counts after the last round), pruned to
-    `vocab_size` pieces with all single characters retained. Deterministic
-    end-to-end: exact integer counts, float log-probs derived from them
-    identically on every executor, and total-order tie-breaks at every
-    selection point."""
+def _piece_logp(cand_rows: list[tuple[str, int]]) -> dict[str, float]:
+    """Piece log-prob table from exact integer counts — derived identically
+    on every executor. Zero-count survivors (chars that never won a
+    segment) stay usable at a floor one order below the rarest real piece,
+    so coverage never dies mid-training."""
     import math
 
+    total = sum(c for _, c in cand_rows)
+    logp = {p: math.log(c) - math.log(total) for p, c in cand_rows if c > 0}
+    floor = min(logp.values(), default=0.0) - math.log(10.0)
+    for p, c in cand_rows:
+        if c == 0:
+            logp[p] = floor
+    return logp
+
+
+def _em_state(
+    wc: DataFrame,
+    vocab_size: int,
+    max_len: int,
+    em_rounds: int,
+    cand_factor: int,
+) -> tuple[DataFrame, list[tuple[str, int]], dict[str, float]]:
+    """The hard-EM loop shared by unigram_train and unigram_train_audit.
+    Returns (checkpointed wc, rows_last, logp_last) where rows_last is the
+    FINAL E-step's distributed per-piece count agg (sorted by piece, zero-
+    filled over the full candidate set) and logp_last is the log-prob table
+    that final E-step segmented under — the audit replays an independent
+    count under exactly this table."""
     import pandas as pd
 
-    spark = wc.sparkSession
     wc = wc.select("w", F.col("freq").cast("long").alias("freq")).localCheckpoint()
-
     cand = unigram_candidates(
         wc, vocab_size=vocab_size, max_len=max_len, cand_factor=cand_factor
     )
 
-    def em_round(cand_rows: list[tuple[str, int]]) -> DataFrame:
-        total = sum(c for _, c in cand_rows)
-        logp = {p: math.log(c) - math.log(total) for p, c in cand_rows if c > 0}
-        # zero-count survivors (chars that never won a segment) stay usable
-        # at a floor one order below the rarest real piece, so coverage
-        # never dies mid-training
-        floor = min(logp.values(), default=0.0) - math.log(10.0)
-        for p, c in cand_rows:
-            if c == 0:
-                logp[p] = floor
-
+    def em_round(logp: dict[str, float]) -> DataFrame:
         def estep(it):
             from collections import Counter
 
@@ -538,15 +550,129 @@ def unigram_train(
     # kmeans-centroid class), E-step is one Arrow pass over the vocab
     rows = [(r["piece"], int(r["cnt"])) for r in cand.collect()]
     pieces = {p for p, _ in rows}
+    logp: dict[str, float] = {}
     for _ in range(em_rounds):
-        counted = {r["piece"]: int(r["cnt"]) for r in em_round(rows).collect()}
+        logp = _piece_logp(rows)
+        counted = {r["piece"]: int(r["cnt"]) for r in em_round(logp).collect()}
         rows = [(p, counted.get(p, 0)) for p in sorted(pieces)]
+    return wc, rows, logp
 
-    # final prune: all single chars + the top multi-char pieces by
-    # (cnt DESC, piece ASC) up to vocab_size total
+
+def _prune(rows: list[tuple[str, int]], vocab_size: int) -> list[tuple[str, int]]:
+    """Final prune: all single chars + the top multi-char pieces by
+    (cnt DESC, piece ASC) up to vocab_size total, sorted by piece."""
     chars_f = [(p, c) for p, c in rows if len(p) == 1]
     multi = [(p, c) for p, c in rows if len(p) > 1 and c > 0]
     multi.sort(key=lambda pc: (-pc[1], pc[0]))
     keep = chars_f + multi[: max(0, vocab_size - len(chars_f))]
     keep.sort()
-    return spark.createDataFrame(keep, "piece string, cnt long")
+    return keep
+
+
+def unigram_train(
+    wc: DataFrame,
+    vocab_size: int = 200,
+    max_len: int = 4,
+    em_rounds: int = 2,
+    cand_factor: int = 4,
+) -> DataFrame:
+    """Fit the unigram tokenizer over an aggregated (w, freq) word-type
+    table; returns the final piece table (piece STRING, cnt BIGINT —
+    freq-weighted Viterbi segment counts after the last round), pruned to
+    `vocab_size` pieces with all single characters retained. Deterministic
+    end-to-end: exact integer counts, float log-probs derived from them
+    identically on every executor, and total-order tie-breaks at every
+    selection point."""
+    spark = wc.sparkSession
+    _, rows, _ = _em_state(wc, vocab_size, max_len, em_rounds, cand_factor)
+    return spark.createDataFrame(_prune(rows, vocab_size), "piece string, cnt long")
+
+
+def unigram_train_audit(
+    wc: DataFrame,
+    vocab_size: int = 200,
+    max_len: int = 4,
+    em_rounds: int = 2,
+    cand_factor: int = 4,
+) -> DataFrame:
+    """Invariant readout for unigram_train (VERDICT r11 #2 — the
+    q34/q114/q120 est_ok bracket pattern applied to the tokenizer): runs
+    the SAME training loop and emits ONE row of SQL-expressible exact
+    anchors plus pinned-TRUE booleans, so the whole training run sits
+    under an exact value-hash oracle even though the trained table itself
+    (Viterbi-derived) is not SQL-expressible:
+
+      n_word_types / n_chars / total_freq — exact integers the oracle
+        recomputes from the corpus (word types, distinct single chars,
+        total token occurrences);
+      chars_covered   — every character of every word type survives into
+        the trained table (distributed anti-join is empty);
+      n_pieces_ok     — n_chars <= |pieces| <= max(vocab_size, n_chars);
+      mass_conserved  — the final E-step's distributed per-piece count agg
+        sums to the freq-weighted Viterbi piece count recomputed by an
+        INDEPENDENT Arrow pass under the same log-prob table (per-
+        partition scalar totals, a different shuffle path — so a lost or
+        double-counted row in the hash agg breaks the boolean);
+      multi_pieces_positive — the prune kept no zero-count multi-char
+        piece.
+
+    The trained pieces themselves stay differential-gated by the
+    pure-Python EM replay (tests/test_properties.py)."""
+    import pandas as pd
+
+    spark = wc.sparkSession
+    wc_ck, rows, logp_last = _em_state(
+        wc, vocab_size, max_len, em_rounds, cand_factor
+    )
+    keep = _prune(rows, vocab_size)
+    trained = spark.createDataFrame(keep, "piece string, cnt long")
+
+    # LHS: the distributed per-piece hash agg the training loop shipped
+    lhs_mass = sum(c for _, c in rows)
+
+    # RHS: independent freq-weighted piece count under the SAME final
+    # log-prob table — per-partition scalar totals, no per-piece shuffle
+    def count_pieces(it):
+        for pdf in it:
+            tot = 0
+            for w, f in zip(pdf["w"], pdf["freq"]):
+                tot += int(f) * len(_viterbi_segment(w, logp_last, max_len))
+            yield pd.DataFrame({"t": [tot]})
+
+    rhs_mass = (
+        wc_ck.mapInPandas(count_pieces, schema="t long")
+        .agg(F.sum("t").alias("s"))
+        .collect()[0]["s"]
+        or 0
+    )
+
+    # distributed coverage anti-join: corpus chars not in the trained table
+    corpus_chars = (
+        wc_ck.select(F.explode(F.split("w", "(?!^)(?=.)")).alias("piece"))
+        .where(F.length("piece") > 0)
+        .distinct()
+    )
+    n_chars = corpus_chars.count()
+    n_missing = corpus_chars.join(
+        F.broadcast(trained.select("piece")), "piece", "anti"
+    ).count()
+    n_word_types = wc_ck.count()
+    total_freq = wc_ck.agg(F.sum("freq").alias("s")).collect()[0]["s"] or 0
+
+    n_pieces = len(keep)
+    return spark.createDataFrame(
+        [
+            (
+                int(n_word_types),
+                int(n_chars),
+                int(total_freq),
+                n_missing == 0,
+                n_chars <= n_pieces <= max(vocab_size, n_chars),
+                lhs_mass == rhs_mass,
+                all(c > 0 for p, c in keep if len(p) > 1),
+            )
+        ],
+        "n_word_types bigint, n_chars bigint, total_freq bigint, "
+        "chars_covered boolean, n_pieces_ok boolean, mass_conserved boolean, "
+        "multi_pieces_positive boolean",
+    )

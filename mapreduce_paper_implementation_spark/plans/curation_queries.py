@@ -3577,25 +3577,51 @@ def q120_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a deterministic final prune. See operators/tokenizer.py:unigram_train
 # for the full scale-shape argument.
 #
-# NO DuckDB oracle — the Viterbi E-step is not SQL-expressible (the one
-# rows-only entry class the driver records as a weaker check, like the
-# streaming differentials). The correctness gate is the pure-Python EM
-# replay over hypothesis corpora (tests/test_properties.py) plus the
-# deterministic-output pin in tests/test_round11_additions.py.
+# ORACLE (VERDICT r11 #2 — flipped from rows-only): the trained table
+# itself is Viterbi-derived and not SQL-expressible, but its INVARIANTS
+# are — so the query emits the q34/q114/q120-style readout: exact
+# SQL-recomputable anchors (word-type count, distinct-char inventory,
+# total token mass) plus booleans the oracle pins TRUE (single-char
+# coverage, vocab-size bracket, freq-mass conservation between the
+# E-step's per-piece hash agg and an independent per-partition recount,
+# no zero-count multi piece survives the prune). The trained pieces stay
+# differential-gated by the pure-Python EM replay
+# (tests/test_properties.py) and the determinism pin
+# (tests/test_round11_additions.py, now over the operator output).
 # ---------------------------------------------------------------------------
 
 
-@query("q121_unigram_train")
+def _q121_oracle() -> str:
+    toks = sql_tokens("text")
+    return f"""
+WITH wt AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({toks}) AS w FROM documents)
+  GROUP BY w
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM wt) AS n_word_types,
+  (SELECT CAST(COUNT(DISTINCT c) AS BIGINT)
+     FROM (SELECT unnest(string_split(w, '')) AS c FROM wt)) AS n_chars,
+  (SELECT CAST(SUM(freq) AS BIGINT) FROM wt) AS total_freq,
+  TRUE AS chars_covered,
+  TRUE AS n_pieces_ok,
+  TRUE AS mass_conserved,
+  TRUE AS multi_pieces_positive
+"""
+
+
+@query("q121_unigram_train", _q121_oracle())
 def q121_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_paper_implementation_spark.operators.tokenizer import (
-        unigram_train,
+        unigram_train_audit,
         word_freq,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return unigram_train(
+    return unigram_train_audit(
         word_freq(docs), vocab_size=200, max_len=4, em_rounds=2
-    ).orderBy("piece")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3837,14 +3863,38 @@ ORDER BY s.split
 """
 
 
-@query("q124_leakage_safe_split", _q124_oracle())
-def q124_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+def _split_labels(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The (id, component) near-dup cluster label map the q124/q126 split
+    rides on. PRODUCTION DEFAULT (VERDICT r11 #1): read the MATERIALIZED
+    release cut — the label table streaming/cc_index.py maintains
+    incrementally and a release publishes — when one is exported via the
+    SPARK_GRAFT_CC_CUT env var (a parquet dir of (id, component) rows for
+    THIS corpus; the publisher owns that match). Fallback: rebuild inline
+    (banded pair graph + iterative min-label CC). The two inputs yield
+    bit-identical assignments whenever the label tables agree —
+    scripts/bench_q124_cut.py asserts it and prices the gap (0.39 s cut
+    vs 5.9 s inline at sf0.1); tests/test_round12_additions.py gates the
+    env-var path end-to-end."""
+    import os as _os
+
     from mapreduce_paper_implementation_spark.operators.dedup import (
         ngram_jaccard_pairs,
     )
     from mapreduce_paper_implementation_spark.operators.graph import (
         connected_components,
+    )
+
+    cut = _os.environ.get("SPARK_GRAFT_CC_CUT")
+    if cut and _os.path.isdir(cut):
+        return spark.read.parquet(cut)
+    return connected_components(ngram_jaccard_pairs(docs, threshold=0.1))
+
+
+@query("q124_leakage_safe_split", _q124_oracle())
+def q124_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+    from mapreduce_paper_implementation_spark.operators.dedup import (
+        ngram_jaccard_pairs,
     )
     from mapreduce_paper_implementation_spark.operators.serving import (
         cluster_split_assign,
@@ -3852,9 +3902,23 @@ def q124_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # pairs feeds BOTH the component closure and the leak joins; labeled
-    # feeds the stats agg and both leak joins (the q97 recompute class)
+    # feeds the stats agg and both leak joins (the q97 recompute class).
+    # NOTE the leak joins need the PAIR GRAPH regardless of where the
+    # labels come from, so q124 always builds pairs; only the label map
+    # itself defaults to the release cut (_split_labels).
     pairs = scoped_persist(ngram_jaccard_pairs(docs, threshold=0.1))
-    cc = connected_components(pairs)
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_CC_CUT"):
+        cc = _split_labels(spark, docs)
+    else:
+        from mapreduce_paper_implementation_spark.operators.graph import (
+            connected_components,
+        )
+
+        # reuse the PERSISTED pairs frame for the closure (not
+        # _split_labels, which would rebuild the pair graph from scratch)
+        cc = connected_components(pairs)
     # the assignment tail is operators/serving.py:cluster_split_assign —
     # shared with the streaming cluster_split_view over maintained CC labels
     labeled = scoped_persist(cluster_split_assign(docs, cc))
@@ -3970,8 +4034,10 @@ hashed AS (
          CAST(SUM(tc) AS BIGINT) AS n_tokens_hash
   FROM d GROUP BY 1
 )
-SELECT s.shard, s.n_docs_rank, s.n_tokens_rank, h.n_docs_hash, h.n_tokens_hash
-FROM stripe s JOIN hashed h ON h.shard = s.shard
+SELECT s.shard, s.n_docs_rank, s.n_tokens_rank,
+       COALESCE(h.n_docs_hash, 0) AS n_docs_hash,
+       COALESCE(h.n_tokens_hash, 0) AS n_tokens_hash
+FROM stripe s LEFT JOIN hashed h ON h.shard = s.shard
 ORDER BY s.shard
 """
 
@@ -4006,7 +4072,23 @@ def q125_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs_hash"),
         F.sum("tc").cast("long").alias("n_tokens_hash"),
     )
-    return stripe.join(hashed, "shard").orderBy("shard")
+    # LEFT join stripe->hashed (ADVICE r11): rank striping guarantees every
+    # shard id 0..n-1 is populated, but hash sharding's binomial spread can
+    # leave a shard empty at small corpora — an inner join would then drop
+    # the stripe row and both engines would silently under-report
+    return (
+        stripe.join(hashed, "shard", "left")
+        .select(
+            "shard",
+            "n_docs_rank",
+            "n_tokens_rank",
+            F.coalesce("n_docs_hash", F.lit(0).cast("long")).alias("n_docs_hash"),
+            F.coalesce("n_tokens_hash", F.lit(0).cast("long")).alias(
+                "n_tokens_hash"
+            ),
+        )
+        .orderBy("shard")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4023,16 +4105,21 @@ def q125_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is a measured number, not an argument. What this query finds is exactly
 # what a pipeline then scrubs with the q55 gate applied at the boundary.
 #
-# Scale shape: the split assignment reuses cluster_split_assign (in
-# production, read from the cc_index release cut — bench_q124_cut.py
-# prices that at ~0.4 s vs 5.9 s inline at sf0.1); the 8-gram audit is an
-# inverted-index SHUFFLE join on the shingle key (the q20 class — both
-# sides are corpus-scale, so neither broadcasts; partial aggregation
-# collapses per-doc hits map-side). The (doc, shingle, splits) frame is
-# persisted once and feeds all four rule branches.
+# Scale shape: the split assignment reuses cluster_split_assign over
+# _split_labels (DEFAULT: the materialized cc_index release cut when
+# published via SPARK_GRAFT_CC_CUT — bench_q124_cut.py prices that at
+# ~0.4 s vs 5.9 s inline at sf0.1; inline CC rebuild as fallback); the
+# 8-gram audit is an inverted-index SHUFFLE join on the xxhash64 GRAM
+# HASH (the q20 class — both sides are corpus-scale, so neither
+# broadcasts; partial aggregation collapses per-doc hits map-side; the
+# ~50-byte gram text never crosses an exchange — the q75/q86 discipline,
+# plan-pinned in tests/test_round12_additions.py). The (doc, gram-hash,
+# splits) frame is persisted once and feeds all four rule branches.
 #
 # Oracle: q41's shared closure CTEs + the shared split CASE + the same
-# 8-gram construction and set-semantics joins — integers and strings only.
+# 8-gram construction and set-semantics joins ON GRAM TEXT — integers and
+# strings only, which makes the gate double as the xxhash64 collision
+# audit (engine counts hashed grams, oracle counts the strings).
 # ---------------------------------------------------------------------------
 
 _Q126_N = 8
@@ -4105,38 +4192,54 @@ ORDER BY m.rule, m.split
 
 @query("q126_residual_contamination", _q126_oracle())
 def q126_residual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q126_frame(spark, sf_dir, hashed=True)
+
+
+def _q126_frame(spark: SparkSession, sf_dir: str, hashed: bool) -> DataFrame:
+    """q126 body with the gram-key representation as a knob: hashed=True is
+    the REGISTERED production shape (xxhash64 keys cross the shuffle);
+    hashed=False keeps the raw gram text as the join key — kept ONLY for
+    scripts/bench_q126_hash.py to price the delta (wall + shuffle bytes)
+    honestly. Results are identical unless xxhash64 collides, which the
+    text-joined DuckDB oracle would catch."""
     from mapreduce_paper_implementation_spark.functions.text import word_shingles
     from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
-    from mapreduce_paper_implementation_spark.operators.dedup import (
-        ngram_jaccard_pairs,
-    )
-    from mapreduce_paper_implementation_spark.operators.graph import (
-        connected_components,
-    )
     from mapreduce_paper_implementation_spark.operators.serving import (
         cluster_split_assign,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     # labeled feeds the shingle join AND both rules' member counts; without
-    # the persist each consumer replays the whole pair-graph + CC build
+    # the persist each consumer replays the whole label build. The label
+    # map itself defaults to the MATERIALIZED release cut when published
+    # (_split_labels; inline CC rebuild as fallback).
     labeled = scoped_persist(
-        cluster_split_assign(
-            docs, connected_components(ngram_jaccard_pairs(docs, threshold=0.1))
-        ).select("doc_id", "split_c", "split_d")
+        cluster_split_assign(docs, _split_labels(spark, docs)).select(
+            "doc_id", "split_c", "split_d"
+        )
     )
+    # HASHED gram key (VERDICT r11 #1, the q75/q86 discipline): the
+    # inverted-index join is corpus-scale on BOTH sides, so the shuffle
+    # must move the fixed-width xxhash64 of the 8-gram, never the ~50-byte
+    # gram TEXT — the string is projected away before any exchange. The
+    # DuckDB oracle keeps joining on gram TEXT, so the value-hash gate
+    # doubles as the hash-collision audit (a colliding pair of distinct
+    # grams would inflate a count and break the gate).
     sh8 = docs.select(
         "doc_id", F.explode(word_shingles("text", _Q126_N)).alias("shingle")
+    ).select(
+        "doc_id",
+        (F.xxhash64("shingle") if hashed else F.col("shingle")).alias("gh"),
     )
-    # one (doc, shingle, splits) frame feeds the train-set build AND the
+    # one (doc, gram-hash, splits) frame feeds the train-set build AND the
     # eval probe of BOTH rules (the q97 recompute class)
     shl = scoped_persist(sh8.join(labeled, "doc_id"))
 
     def branch(rule: str, col: str):
-        train = shl.where(F.col(col) == "train").select("shingle").distinct()
+        train = shl.where(F.col(col) == "train").select("gh").distinct()
         hits = (
             shl.where(F.col(col) != "train")
-            .join(train, "shingle")
+            .join(train, "gh")
             .groupBy(F.col("doc_id"), F.col(col).alias("split"))
             .agg(F.count("*").alias("hits"))
         )
@@ -4173,22 +4276,50 @@ def q126_residual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q123 corpus-scale segmentation under the EM-TRAINED unigram table — the
 # trained-apply rung between q122 (seed-vocabulary apply, fully
 # oracle-gated) and q121 (the training loop): the SAME greedy_segment
-# operator and the SAME _subword_source_stats tail as q122, applied under
-# q121's trained piece table, so a user gets per-source fertility stats
-# for the tokenizer they would actually ship. Registered WITHOUT an
-# oracle (rows-only, like q121): the trained table is Viterbi-derived and
-# not SQL-expressible; the correctness chain is q121's pure-Python EM
-# replay + greedy_segment's hypothesis replay + the trained-table greedy
-# differential (tests/test_greedy_segment.py) + q122's hash gate on the
-# identical apply/stats path.
+# operator as q122, applied under q121's trained piece table.
+#
+# ORACLE (VERDICT r11 #2 — flipped from rows-only): per-source fertility
+# under the trained table is not SQL-expressible, but the apply's
+# INVARIANTS are, so the output is the invariant readout per source —
+# exact anchors the oracle recomputes from the corpus (n_words = total
+# token occurrences per source, n_chars_total = freq-weighted character
+# mass — the word totals the round-11 pytest pinned equal to q122's,
+# lifted into the oracle) plus pinned-TRUE booleans: subwords_bracket_ok
+# (each word yields between 1 and len(w) pieces, so per-source
+# n_words <= n_subwords <= n_chars_total) and pieces_in_vocab (every
+# emitted subword is a trained piece — the apply never invents pieces).
+# A dropped/duplicated word in the trained-apply join breaks the n_words
+# hash; a corrupt segmentation raises via greedy_segment's guard. The
+# full fertility/stats readout for the SAME apply path is hash-gated by
+# q122 under the seed vocabulary and remains available through
+# _subword_source_stats on the operator surface.
 #
 # Scale shape = q122's: one corpus shuffle for the (source, word) count,
 # training on the Heaps-bounded word-type re-agg, broadcast piece table,
-# closed-form jump-table apply, shared stats tail.
+# closed-form jump-table apply; the alien-piece check is a bounded
+# anti-join aggregated to one row and broadcast back (single-row
+# crossJoin, the kmeans-centroid class).
 # ---------------------------------------------------------------------------
 
 
-@query("q123_trained_segment")
+def _q123_oracle() -> str:
+    toks = sql_tokens("text")
+    return f"""
+WITH swc AS MATERIALIZED (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT source, unnest({toks}) AS w FROM documents)
+  GROUP BY source, w
+)
+SELECT source,
+       CAST(SUM(freq) AS BIGINT) AS n_words,
+       CAST(SUM(freq * len(w)) AS BIGINT) AS n_chars_total,
+       TRUE AS subwords_bracket_ok,
+       TRUE AS pieces_in_vocab
+FROM swc GROUP BY source ORDER BY source
+"""
+
+
+@query("q123_trained_segment", _q123_oracle())
 def q123_trained_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
     from mapreduce_paper_implementation_spark.operators.tokenizer import (
@@ -4207,7 +4338,400 @@ def q123_trained_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     trained = unigram_train(wc, vocab_size=200, max_len=4, em_rounds=2)
     seg_words = greedy_segment(wc.select("w"), trained.select("piece"), max_len=4)
+    # seg feeds the per-source agg AND the alien-piece check
     seg = scoped_persist(
-        swc.join(seg_words, "w").select("source", "freq", "subwords")
+        swc.join(seg_words, "w").select("source", "w", "freq", "subwords")
     )
-    return _subword_source_stats(seg, _Q122_TOP_K)
+    per = seg.groupBy("source").agg(
+        F.sum("freq").cast("long").alias("n_words"),
+        F.sum(F.col("freq") * F.length("w")).cast("long").alias("n_chars_total"),
+        F.sum(F.col("freq") * F.size("subwords")).cast("long").alias("_n_subwords"),
+    )
+    # every emitted piece must be a trained piece: bounded anti-join count
+    # (piece-table-sized), aggregated to ONE row and broadcast back
+    alien = (
+        seg.select(F.explode("subwords").alias("piece"))
+        .distinct()
+        .join(F.broadcast(trained.select("piece")), "piece", "anti")
+        .agg(F.count("*").cast("long").alias("_n_alien"))
+    )
+    return (
+        per.crossJoin(F.broadcast(alien))
+        .select(
+            "source",
+            "n_words",
+            "n_chars_total",
+            (
+                (F.col("n_words") <= F.col("_n_subwords"))
+                & (F.col("_n_subwords") <= F.col("n_chars_total"))
+            ).alias("subwords_bracket_ok"),
+            (F.col("_n_alien") == 0).alias("pieces_in_vocab"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q127 composed release cut (VERDICT r11 #3) — ONE lazy pipeline running
+# the production release path end-to-end off the cluster label map, so
+# cross-operator drift (the residual untested surface after every stage
+# went individually hash-green) is itself gated:
+#
+#   q124 split        — cluster-granular assignment over _split_labels
+#                       (release-cut default, inline CC fallback);
+#   q55-lifted gate   — LEXICAL decontamination at the train/eval
+#                       boundary: train docs sharing >= 1 distinct 8-gram
+#                       with ANY valid/test doc are scrubbed (the q126
+#                       hashed-gram inverted-index join — both sides
+#                       corpus-scale, xxhash64 keys, text never shuffles);
+#   q116-lifted gate  — SEMANTIC decontamination at the same boundary:
+#                       train docs with cosine >= 0.35 to a valid/test
+#                       vector within shared trained k-means cells
+#                       (q29/q72/q116's exact index build + decontam_probe
+#                       tail, eval side broadcast);
+#   q103 quality cut  — per-source bottom-quartile drop over the SURVIVING
+#                       train docs (exact histogram threshold, no per-doc
+#                       sort);
+#   q125 shard export — per-split rank striping under the md5 permutation
+#                       into _Q127_SHARDS balanced shards (global_rank +
+#                       per-split offset arithmetic — one range exchange,
+#                       NEVER a per-split single-task window).
+#
+# Valid/test pass through unscrubbed and uncut BY DESIGN: the eval sets
+# must stay fixed; the gates remove the TRAIN-side members that would
+# memorize them (q55's posture at the split boundary).
+#
+# Output grain: (split, shard) with exact docs/tokens, plus the per-split
+# scrub/cut ledger (lexical, semantic, union, quality — zeros off-train).
+#
+# Oracle: the composition of the proven fragments — Q41_GRAPH_CTES (the
+# recursive closure q124 gates against), _ivf_build_ctes + the q116 candk
+# extension (the identical Lloyd unroll), the q126-style 8-gram audit ON
+# GRAM TEXT (collision audit for the engine's xxhash64 keys), q103's
+# histogram-threshold CTEs, and q125's naive ROW_NUMBER striping — exact
+# integers and strings end-to-end.
+#
+# Scale shape: every stage is a proven 100-TB shape reused verbatim; the
+# only new plumbing is the per-split offset arithmetic (a <=3-row
+# broadcast) and the scrub ledger (single-row broadcast crossJoin, the
+# kmeans-centroid class).
+# ---------------------------------------------------------------------------
+
+_Q127_SHARDS = 4
+_Q127_SEM_THRESHOLD = 0.35
+_Q127_NASSIGN = 2
+_Q127_CELLS = 16
+
+
+def _q127_oracle() -> str:
+    from mapreduce_paper_implementation_spark.operators.serving import sql_split
+    from mapreduce_paper_implementation_spark.plans.queries import (
+        Q41_GRAPH_CTES,
+        _ivf_build_ctes,
+    )
+
+    toks = sql_tokens("text")
+    n = _Q126_N
+    nsh = _Q127_SHARDS
+    ctes = [Q41_GRAPH_CTES]
+    ctes += _ivf_build_ctes(_Q127_CELLS, 2)
+    ctes.append(
+        f"""candk AS (
+  SELECT vv.vec_id, vv.vec, vv.nrm, a.cell
+  FROM vv JOIN assigned a ON a.vec_id = vv.vec_id AND a.cell_rank <= {_Q127_NASSIGN}
+)"""
+    )
+    ctes.append(
+        f"""lab AS MATERIALIZED (
+  SELECT d.doc_id, len({toks}) AS tc,
+         {sql_split('COALESCE(r.component, d.doc_id)')} AS split
+  FROM documents d LEFT JOIN rec r ON r.id = d.doc_id
+)"""
+    )
+    ctes.append(
+        f"""g8 AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      range(1, greatest(len({toks}) - {n - 2}, 1)),
+      i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')
+    ))) AS gram
+  FROM documents
+  WHERE len({toks}) >= {n}
+)"""
+    )
+    ctes.append(
+        """g8l AS MATERIALIZED (
+  SELECT g.doc_id, g.gram, l.split FROM g8 g JOIN lab l USING (doc_id)
+)"""
+    )
+    ctes.append(
+        """lexbad AS MATERIALIZED (
+  SELECT DISTINCT t.doc_id
+  FROM g8l t
+  JOIN (SELECT DISTINCT gram FROM g8l WHERE split <> 'train') e USING (gram)
+  WHERE t.split = 'train'
+)"""
+    )
+    ctes.append(
+        """ck AS MATERIALIZED (
+  SELECT c.vec_id, c.vec, c.nrm, c.cell, l.split
+  FROM candk c JOIN lab l ON l.doc_id = c.vec_id
+)"""
+    )
+    ctes.append(
+        f"""sembad AS MATERIALIZED (
+  SELECT DISTINCT t.vec_id AS doc_id
+  FROM ck t JOIN ck e ON t.cell = e.cell
+  WHERE t.split = 'train' AND e.split <> 'train'
+    AND CAST(ROUND(list_dot_product(t.vec, e.vec) / (t.nrm * e.nrm), 6)
+             AS DECIMAL(9,6)) >= {_Q127_SEM_THRESHOLD}
+)"""
+    )
+    ctes.append(
+        """scrub AS MATERIALIZED (
+  SELECT doc_id FROM lexbad UNION SELECT doc_id FROM sembad
+)"""
+    )
+    ctes.append(
+        """tclean AS MATERIALIZED (
+  SELECT l.doc_id, l.tc, l.split FROM lab l
+  WHERE l.split = 'train' AND l.doc_id NOT IN (SELECT doc_id FROM scrub)
+)"""
+    )
+    ctes.append(
+        f"""scored2 AS MATERIALIZED (
+  SELECT d.doc_id, d.source, {_Q103_SCORE_SQL} AS q
+  FROM documents d JOIN tclean tcl ON tcl.doc_id = d.doc_id
+)"""
+    )
+    ctes.append(
+        "hist2 AS (SELECT source, q, COUNT(*) AS c FROM scored2 GROUP BY source, q)"
+    )
+    ctes.append(
+        "cnt2 AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM hist2 GROUP BY source)"
+    )
+    ctes.append(
+        """cum2 AS (
+  SELECT source, q, SUM(c) OVER (PARTITION BY source ORDER BY q) AS cum
+  FROM hist2
+)"""
+    )
+    ctes.append(
+        """thr2 AS (
+  SELECT cum2.source, MIN(q) AS threshold
+  FROM cum2 JOIN cnt2 ON cum2.source = cnt2.source
+  WHERE cum >= n // 4 + 1
+  GROUP BY cum2.source
+)"""
+    )
+    ctes.append(
+        """tkept AS MATERIALIZED (
+  SELECT s2.doc_id
+  FROM scored2 s2 JOIN thr2 t ON s2.source = t.source AND s2.q >= t.threshold
+)"""
+    )
+    ctes.append(
+        """final AS MATERIALIZED (
+  SELECT l.doc_id, l.tc, l.split
+  FROM lab l JOIN tkept k ON k.doc_id = l.doc_id
+  UNION ALL
+  SELECT doc_id, tc, split FROM lab WHERE split <> 'train'
+)"""
+    )
+    ctes.append(
+        f"""shards AS (
+  SELECT split,
+         CAST((ROW_NUMBER() OVER (
+            PARTITION BY split
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % {nsh}
+           AS BIGINT) AS shard,
+         tc
+  FROM final
+)"""
+    )
+    ctes.append(
+        """pershard AS (
+  SELECT split, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tc) AS BIGINT) AS n_tokens
+  FROM shards GROUP BY split, shard
+)"""
+    )
+    ctes.append(
+        """scrubn AS (
+  SELECT (SELECT COUNT(*) FROM lexbad) AS lex_n,
+         (SELECT COUNT(*) FROM sembad) AS sem_n,
+         (SELECT COUNT(*) FROM scrub) AS tot_n,
+         (SELECT COUNT(*) FROM tclean) - (SELECT COUNT(*) FROM tkept) AS qual_n
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT p.split, p.shard, p.n_docs, p.n_tokens,
+       CAST(CASE WHEN p.split = 'train' THEN s.lex_n ELSE 0 END AS BIGINT)
+         AS n_scrubbed_lex,
+       CAST(CASE WHEN p.split = 'train' THEN s.sem_n ELSE 0 END AS BIGINT)
+         AS n_scrubbed_sem,
+       CAST(CASE WHEN p.split = 'train' THEN s.tot_n ELSE 0 END AS BIGINT)
+         AS n_scrubbed_total,
+       CAST(CASE WHEN p.split = 'train' THEN s.qual_n ELSE 0 END AS BIGINT)
+         AS n_quality_dropped
+FROM pershard p CROSS JOIN scrubn s
+ORDER BY p.split, p.shard
+"""
+    )
+
+
+@query("q127_release_cut", _q127_oracle())
+def q127_release_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.functions.text import word_shingles
+    from mapreduce_paper_implementation_spark.functions.vectors import norm
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+    from mapreduce_paper_implementation_spark.operators.dedup import (
+        assign_cells,
+        decontam_probe,
+    )
+    from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        cluster_split_assign,
+        quartile_threshold,
+    )
+    from mapreduce_paper_implementation_spark.operators.sort import global_rank
+    from mapreduce_paper_implementation_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # --- q124 split over the release-cut label map (inline fallback) ---
+    lab = scoped_persist(
+        cluster_split_assign(docs, _split_labels(spark, docs)).select(
+            "doc_id", "tc", F.col("split_c").alias("split")
+        )
+    )
+
+    # --- lexical boundary gate (q126's hashed-gram discipline) ---
+    g8l = scoped_persist(
+        docs.select(
+            "doc_id", F.explode(word_shingles("text", _Q126_N)).alias("shingle")
+        )
+        .select("doc_id", F.xxhash64("shingle").alias("gh"))
+        .join(lab.select("doc_id", "split"), "doc_id")
+    )
+    evg = g8l.where(F.col("split") != "train").select("gh").distinct()
+    lex_bad = scoped_persist(
+        g8l.where(F.col("split") == "train")
+        .join(evg, "gh")
+        .select("doc_id")
+        .distinct()
+    )
+
+    # --- semantic boundary gate (q116's index + probe, boundary eval) ---
+    centroids = kmeans_fit(emb, k=_Q127_CELLS, max_iter=2, tol=0.0)
+    assigned = scoped_persist(
+        assign_cells(emb, centroids, nassign=_Q127_NASSIGN)
+        .withColumn("nrm", norm(F.col("vec")))
+        .join(
+            lab.select(F.col("doc_id").alias("id"), "split"), "id"
+        )
+    )
+    ev = assigned.where(F.col("split") != "train").select(
+        "cell",
+        F.col("id").alias("eval_id"),
+        F.col("vec").alias("e_vec"),
+        F.col("nrm").alias("e_nrm"),
+    )
+    tr = assigned.where(F.col("split") == "train")
+    sem_bad = scoped_persist(
+        decontam_probe(tr, ev, _Q127_SEM_THRESHOLD).select(
+            F.col("vec_id").alias("doc_id")
+        )
+    )
+
+    scrub = scoped_persist(lex_bad.unionByName(sem_bad).distinct())
+    tclean = scoped_persist(
+        lab.where(F.col("split") == "train").join(scrub, "doc_id", "anti")
+    )
+
+    # --- q103 quality cut over the surviving train docs ---
+    scored = scoped_persist(
+        docs.select(
+            "doc_id",
+            "source",
+            F.round(quality_score("text", "n_chars"), 6)
+            .cast("decimal(9,6)")
+            .cast("double")
+            .alias("q"),
+        ).join(tclean.select("doc_id"), "doc_id")
+    )
+    hist = scoped_persist(scored.groupBy("source", "q").agg(F.count("*").alias("c")))
+    thr = quartile_threshold(hist)
+    tkept = scoped_persist(
+        scored.join(F.broadcast(thr), "source")
+        .where(F.col("q") >= F.col("threshold"))
+        .select("doc_id")
+    )
+
+    # --- q125 shard export: per-split rank striping, never a per-split
+    # single-task window (global_rank over (split, k, doc_id) + per-split
+    # start offsets — a <=3-row broadcast) ---
+    final = scoped_persist(
+        lab.join(tkept, "doc_id")
+        .select("doc_id", "tc", "split")
+        .unionByName(lab.where(F.col("split") != "train"))
+        .withColumn("k", F.md5(F.col("doc_id").cast("string")))
+    )
+    cnts = final.groupBy("split").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("split").rowsBetween(Window.unboundedPreceding, -1)
+    offs = cnts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("split", "_off")
+    ranked = global_rank(
+        final, [F.col("split"), F.col("k"), F.col("doc_id")], rank_col="_grnk"
+    )
+    pershard = (
+        ranked.join(F.broadcast(offs), "split")
+        .withColumn(
+            "shard",
+            ((F.col("_grnk") - F.col("_off") - 1) % _Q127_SHARDS).cast("long"),
+        )
+        .groupBy("split", "shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tc").cast("long").alias("n_tokens"),
+        )
+    )
+
+    # --- the scrub/cut ledger: four single-row aggregates crossJoined ---
+    lex_n = lex_bad.agg(F.count("*").cast("long").alias("lex_n"))
+    sem_n = sem_bad.agg(F.count("*").cast("long").alias("sem_n"))
+    tot_n = scrub.agg(F.count("*").cast("long").alias("tot_n"))
+    qual_n = (
+        tclean.agg(F.count("*").alias("_nc"))
+        .crossJoin(F.broadcast(tkept.agg(F.count("*").alias("_nk"))))
+        .select((F.col("_nc") - F.col("_nk")).cast("long").alias("qual_n"))
+    )
+    ledger = (
+        lex_n.crossJoin(F.broadcast(sem_n))
+        .crossJoin(F.broadcast(tot_n))
+        .crossJoin(F.broadcast(qual_n))
+    )
+
+    z = F.lit(0).cast("long")
+    is_tr = F.col("split") == "train"
+    return (
+        pershard.crossJoin(F.broadcast(ledger))
+        .select(
+            "split",
+            "shard",
+            "n_docs",
+            "n_tokens",
+            F.when(is_tr, F.col("lex_n")).otherwise(z).alias("n_scrubbed_lex"),
+            F.when(is_tr, F.col("sem_n")).otherwise(z).alias("n_scrubbed_sem"),
+            F.when(is_tr, F.col("tot_n")).otherwise(z).alias("n_scrubbed_total"),
+            F.when(is_tr, F.col("qual_n")).otherwise(z).alias("n_quality_dropped"),
+        )
+        .orderBy("split", "shard")
+    )

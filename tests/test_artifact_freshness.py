@@ -159,15 +159,12 @@ def test_baseline_md_table_covers_registry_exactly():
 # Queries deliberately shipped WITHOUT an oracle (rows-only driver check).
 # Adding a name here must be a conscious, documented choice, never a
 # forgotten oracle (the r06 staleness class, oracle edition).
-# q121: unigram-LM training — the Viterbi E-step is not SQL-expressible
-# (documented in SURVEY §2D and the q121 block comment); gated instead by
-# the pure-Python EM replay + determinism/coverage/mass pins.
-# q123: segmentation under the q121-TRAINED table — rows-only for the same
-# reason (the trained table is Viterbi-derived); the apply/stats path is
-# hash-gated via q122 (identical operator + tail under the SQL-derivable
-# seed vocabulary) and the trained-table differential in
-# tests/test_greedy_segment.py.
-ROWS_ONLY_ALLOWED: set[str] = {"q121_unigram_train", "q123_trained_segment"}
+# EMPTY since round 12: q121/q123 (the former Viterbi-derived rows-only
+# pair) now emit the invariant readout — SQL-exact anchors + pinned-TRUE
+# booleans (the q34/q114/q120 est_ok pattern) — so every registered query
+# is hash-gated; the trained pieces themselves stay differential-gated by
+# the pure-Python EM replay + tests/test_round11_additions.py pins.
+ROWS_ONLY_ALLOWED: set[str] = set()
 
 
 def test_oracle_contract_is_total():

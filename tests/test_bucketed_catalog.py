@@ -108,7 +108,10 @@ def test_q11_bucketed_fact_join_is_exchange_free(spark, sf_dir, catalog, no_broa
     # the one structurally unavoidable join exchange remains: the joined
     # fact changes key from orderkey to custkey mid-plan
     assert "Exchange hashpartitioning(o_custkey" in bp
-    assert pp.count("Exchange") - bp.count("Exchange") == 3, (bp, pp)
+    # >= not ==: AQE/planner version drift can add or fold exchanges on the
+    # PLAIN side; the invariant is that bucketing removes at least the three
+    # join exchanges pinned absent above (ADVICE r09 brittleness family)
+    assert pp.count("Exchange") - bp.count("Exchange") >= 3, (bp, pp)
     assert _rows(bucketed) == _rows(plain)
 
 

@@ -98,13 +98,13 @@ def test_q122_plan_broadcasts_vocab_no_python(spark, sf_dir):
 
 
 def test_greedy_segment_raises_on_incomplete_vocab(spark):
-    """The corruption guard: a vocabulary missing SOME characters of a
-    word (holes in the step array) must raise, never return a
-    segmentation that doesn't concatenate back to the word; empty-string
-    words are filtered; a word with NO matching position at all is
-    absent from the output (documented silent-drop case)."""
+    """The UNIFORM corruption guard (ADVICE r11): a vocabulary that cannot
+    cover a word raises — whether it misses SOME characters (holes in the
+    step array misalign the fold) or ALL of them (the left join keeps the
+    word with NULL steps, which poison the fold) — never a silent drop or
+    a segmentation that doesn't concatenate back to the word. Empty-string
+    words are filtered."""
     import pytest
-    from pyspark.sql import functions as F
 
     from mapreduce_paper_implementation_spark.operators.tokenizer import (
         greedy_segment,
@@ -115,6 +115,27 @@ def test_greedy_segment_raises_on_incomplete_vocab(spark):
     vocab = spark.createDataFrame([("a",), ("c",)], "piece string")
     with pytest.raises(Exception, match="vocabulary misses characters"):
         greedy_segment(words, vocab, max_len=4).collect()
-    # a word matching NOTHING is dropped (inner join), empty string filtered
+    # a word matching NOTHING raises too (uniform contract, not a drop)
     none_vocab = spark.createDataFrame([("z",)], "piece string")
-    assert greedy_segment(words, none_vocab, max_len=4).count() == 0
+    with pytest.raises(Exception, match="vocabulary misses characters"):
+        greedy_segment(words, none_vocab, max_len=4).collect()
+    # empty-string input rows are filtered, never raised on
+    empties = spark.createDataFrame([("",)], "w string")
+    assert greedy_segment(empties, vocab, max_len=4).count() == 0
+
+
+def test_greedy_segment_preserves_duplicate_input_rows(spark):
+    """Row contract (ADVICE r11): one output row per non-empty input row —
+    duplicate words are NOT deduplicated away (the jump table is computed
+    per word type, then joined back to the input frame)."""
+    from mapreduce_paper_implementation_spark.operators.tokenizer import (
+        greedy_segment,
+    )
+
+    words = spark.createDataFrame([("ab",), ("ab",), ("b",)], "w string")
+    vocab = spark.createDataFrame([("a",), ("b",), ("ab",)], "piece string")
+    rows = sorted(
+        (r["w"], tuple(r["subwords"]))
+        for r in greedy_segment(words, vocab, max_len=2).collect()
+    )
+    assert rows == [("ab", ("ab",)), ("ab", ("ab",)), ("b", ("b",))]

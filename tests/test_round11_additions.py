@@ -48,14 +48,31 @@ def test_q120_bracket_holds(spark, sf_dir):
 
 
 def test_q121_deterministic_across_runs(spark, sf_dir):
-    """Unigram training is a rows-only manifest entry (no SQL oracle), so
-    pin determinism explicitly: two independent runs produce identical
-    piece tables, single-character coverage is total, and counts conserve
-    the freq-weighted piece mass of a Viterbi segmentation (every word's
-    pieces concatenate to the word, so summed piece LENGTH x count mass
-    equals total character mass of segmented words)."""
-    a = _rows(QUERIES["q121_unigram_train"](spark, sf_dir))
-    b = _rows(QUERIES["q121_unigram_train"](spark, sf_dir))
+    """Pin the TRAINED PIECE TABLE's determinism + coverage + mass
+    conservation directly on the operator (the q121 QUERY now returns the
+    invariant readout — see test_q121_audit_booleans_hold — so the table
+    pins moved here to the operator surface): two independent runs
+    produce identical piece tables, single-character coverage is total,
+    and counts conserve the freq-weighted piece mass of a Viterbi
+    segmentation (every word's pieces concatenate to the word, so summed
+    piece LENGTH x count mass equals total character mass of segmented
+    words)."""
+    from mapreduce_paper_implementation_spark.operators.tokenizer import (
+        unigram_train,
+        word_freq,
+    )
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+    def run():
+        return unigram_train(
+            word_freq(load_table(spark, sf_dir, "documents")),
+            vocab_size=200,
+            max_len=4,
+            em_rounds=2,
+        ).orderBy("piece")
+
+    a = _rows(run())
+    b = _rows(run())
     assert a == b
     assert len(a) > 0
     chars = {p for p, _ in a if len(p) == 1}
@@ -158,16 +175,18 @@ def test_q125_plan_uses_range_partition_never_single_task_window(spark, sf_dir):
 
 
 def test_q123_deterministic_and_consistent_with_q122_shape(spark, sf_dir):
-    """q123 (trained-table apply, rows-only) must be run-to-run
-    deterministic — the unigram trainer and greedy apply are pure
-    functions of exact integer counts — and carry exactly q122's output
-    schema and word totals (the shared _subword_source_stats tail over
-    the same corpus). NOTE deliberately NOT asserted: a fertility
-    ordering between trained and seed vocabularies. Greedy longest-match
-    is not monotone under vocabulary subsetting (dropping a long piece
-    can REROUTE a walk onto longer matches downstream: seed {aba,ab,abc}
-    segments 'ababc' as aba|b|c but the subset {ab,abc} as ab|abc), so
-    neither direction is an invariant."""
+    """q123 (trained-table apply, invariant-oracle since round 12) must
+    be run-to-run deterministic — the unigram trainer and greedy apply
+    are pure functions of exact integer counts — with every invariant
+    boolean TRUE, per-source word totals equal to q122's (the lift the
+    round-11 verdict asked for, now also oracle-gated), and the full
+    fertility readout still available through the operator surface.
+    NOTE deliberately NOT asserted: a fertility ordering between trained
+    and seed vocabularies. Greedy longest-match is not monotone under
+    vocabulary subsetting (dropping a long piece can REROUTE a walk onto
+    longer matches downstream: seed {aba,ab,abc} segments 'ababc' as
+    aba|b|c but the subset {ab,abc} as ab|abc), so neither direction is
+    an invariant."""
     a = QUERIES["q123_trained_segment"](spark, sf_dir).collect()
     b = QUERIES["q123_trained_segment"](spark, sf_dir).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
@@ -175,8 +194,8 @@ def test_q123_deterministic_and_consistent_with_q122_shape(spark, sf_dir):
     assert {r["source"] for r in a} == set(q122)
     for r in a:
         assert r["n_words"] == q122[r["source"]]["n_words"]
-        assert r["fertility"] >= 1.0  # every word yields >= 1 piece
-        assert r["n_subwords"] >= r["n_words"]
+        assert r["subwords_bracket_ok"] and r["pieces_in_vocab"]
+        assert r["n_chars_total"] >= r["n_words"]
 
 
 def test_q126_cluster_rule_never_leaks_more_than_doc_rule_on_planted(spark, sf_dir):
@@ -193,4 +212,13 @@ def test_q126_cluster_rule_never_leaks_more_than_doc_rule_on_planted(spark, sf_d
         rule: sum(r["contaminated_docs"] for r in rows if r["rule"] == rule)
         for rule in ("cluster", "doc")
     }
-    assert tot["cluster"] <= tot["doc"]
+    # FIXTURE-COUPLED (ADVICE r11): cluster <= doc is a property of the
+    # PLANTED near-dups (they share long n-gram spans, so co-moving them
+    # removes cross-split hits), not a mathematical invariant — cluster
+    # assignment moves docs between splits in both directions. If this
+    # fails right after a testdata regen, diagnose it as a fixture change
+    # (re-pin the expectation), not as a q126 regression.
+    assert tot["cluster"] <= tot["doc"], (
+        f"fixture-coupled contrast broke: {tot} — if the testdata was "
+        "regenerated, re-pin; otherwise investigate q126"
+    )
