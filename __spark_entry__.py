@@ -90,7 +90,15 @@ cross-split contamination audit (8-gram overlap across the train/eval
 boundary for BOTH split rules — the measured residue q124's cluster
 split leaves and the q55 gate then scrubs; the corpus-scale join moves
 xxhash64 gram hashes, the text-joined oracle doubling as the collision
-audit).
+audit; streaming twin streaming/contamination_index.py with retroactive
+re-emission); q127 is the composed release cut (split -> lexical +
+semantic boundary decontamination -> per-source quality cut -> balanced
+shard export in ONE lazy pipeline off the cluster label map, per-(split,
+shard) docs/tokens plus the scrub ledger — the cross-operator-drift
+gate); q128/q129 are the multilingual tokenizer twins (BPE training and
+corpus segmentation over Unicode \\p{L} tokens of the corpus UNIONed
+with q117's planted fixture, under the sentinel symbol regex — the
+train->apply loop generalized past ASCII).
 ALL queries are DuckDB-oracle-backed (since round 12) — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design), and q121/q123,

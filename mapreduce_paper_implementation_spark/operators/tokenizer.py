@@ -34,7 +34,8 @@ vocabulary-sized (Heaps' law: ~O(corpus^0.5) types, millions of rows for a
 
 Symbol-sequence representation: each word is kept as the VARCHAR
 `<s1><s2>...<sk>` — every symbol wrapped in sentinel brackets. Symbols are
-tokenizer output ([A-Za-z]+ runs), so `<`/`>` can never occur inside one,
+tokenizer output ([A-Za-z]+ runs, or \p{L} runs on the q128 multilingual
+path), so `<`/`>` can never occur inside one,
 which makes the wrapped form unambiguous AND makes the merge step a plain
 string replace: replacing `<x><y>` with `<xy>` rewrites exactly the
 non-overlapping left-to-right occurrences of the (x, y) ADJACENT-symbol
@@ -59,6 +60,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_paper_implementation_spark.functions.text import tokens
+
+# Symbol-extraction regex over the sentinel-wrapped form: a symbol is any
+# bracket-free run, so ONE pattern serves both tokenizer families — ASCII
+# [A-Za-z]+ tokens AND Unicode \p{L} tokens (q128's multilingual training;
+# neither class can contain '<'/'>'). Identical extraction on ASCII input
+# to the previous '<([A-Za-z]+)>' literal; DuckDB oracles use the same
+# pattern text (RE2 and Java regex agree on this negated class).
+SYM_RE = "<([^<>]+)>"
 
 
 def _wrap_chars(col) -> F.Column:
@@ -103,7 +112,7 @@ def _round_winner(vocab: DataFrame) -> DataFrame:
     pair counting is a partial+final hash aggregate over symbol-pair
     types; the 1-row winner is TakeOrderedAndProject, never a global
     sort."""
-    sym = F.regexp_extract_all(F.col("symstr"), F.lit("<([A-Za-z]+)>"), 1)
+    sym = F.regexp_extract_all(F.col("symstr"), F.lit(SYM_RE), 1)
     pairs = (
         vocab.select("freq", sym.alias("sym"))
         .where(F.size("sym") >= 2)
@@ -241,7 +250,7 @@ def bpe_apply_merges(
                         ),
                     ),
                 ),
-                F.lit("<([A-Za-z]+)>"),
+                F.lit(SYM_RE),
                 1,
             ),
         )
@@ -260,7 +269,7 @@ def bpe_segment(vocab_words: DataFrame, merges: list[tuple[str, str]], word_col:
         symstr = F.replace(symstr, F.lit(f"<{x}><{y}>"), F.lit(f"<{x}{y}>"))
     return vocab_words.select(
         F.col(word_col).alias("w"),
-        F.regexp_extract_all(symstr, F.lit("<([A-Za-z]+)>"), 1).alias("subwords"),
+        F.regexp_extract_all(symstr, F.lit(SYM_RE), 1).alias("subwords"),
     )
 
 

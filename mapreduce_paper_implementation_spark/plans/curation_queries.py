@@ -2897,16 +2897,24 @@ def q114_vocab_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q115_MERGES = 10
 
 
-def _q115_train_ctes(n_merges: int = _Q115_MERGES) -> list[str]:
+def _q115_train_ctes(
+    n_merges: int = _Q115_MERGES,
+    toks_expr: str | None = None,
+    corpus: str = "documents",
+    sym_re: str = "<([A-Za-z]+)>",
+) -> list[str]:
     """The unrolled BPE training rounds as a CTE list — shared by q115 (the
-    merge table) and q119 (train + corpus-scale APPLY): both oracles replay
-    the identical rounds, so the learned table q119 segments under cannot
-    drift from the one q115 gates. s{n_merges} is the final vocabulary
-    symbol-sequence table (w, freq, symstr)."""
+    merge table), q119 (train + corpus-scale APPLY), and q128/q129 (the
+    MULTILINGUAL twins: pass the Unicode tokenizer SQL, the union-corpus
+    CTE name, and the sentinel symbol regex '<([^<>]+)>'): every consumer
+    replays the identical rounds, so the learned table an apply segments
+    under cannot drift from the gated one. s{n_merges} is the final
+    vocabulary symbol-sequence table (w, freq, symstr)."""
+    toks_expr = toks_expr or sql_tokens("text")
     ctes = [
         f"""wc AS MATERIALIZED (
   SELECT t AS w, COUNT(*) AS freq
-  FROM (SELECT unnest({sql_tokens('text')}) AS t FROM documents)
+  FROM (SELECT unnest({toks_expr}) AS t FROM {corpus})
   GROUP BY 1
 )""",
         """s0 AS MATERIALIZED (
@@ -2919,7 +2927,7 @@ def _q115_train_ctes(n_merges: int = _Q115_MERGES) -> list[str]:
         p = r - 1
         ctes += [
             f"""e{r} AS MATERIALIZED (
-  SELECT freq, regexp_extract_all(symstr, '<([A-Za-z]+)>', 1) AS sym FROM s{p}
+  SELECT freq, regexp_extract_all(symstr, '{sym_re}', 1) AS sym FROM s{p}
 )""",
             f"""p{r} AS (
   SELECT sym[i] AS x, sym[i + 1] AS y, SUM(freq) AS cnt
@@ -4735,3 +4743,170 @@ def q127_release_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q128/Q129 multilingual BPE train -> apply (VERDICT r11 stretch #7): the
+# q115/q119 training-and-apply loop run over the UNICODE tokenizer
+# (functions/text.py:tokens_unicode, the \p{L} class q117 pinned
+# cross-engine) on the corpus UNIONed with q117's planted multilingual
+# fixture — so the learned merges and the corpus segmentation exercise
+# Latin-diacritic/Greek/Cyrillic/CJK/Kana symbols end-to-end, under the
+# SAME planted cross-engine contract q117 established (parity is declared
+# on the pinned repertoire; the fixture rides along as a 5-row inline
+# relation with negative doc_ids, source='planted'). Reference analog:
+# mrapps/wc.go:23-26 generalized past ASCII, now for the TRAINED tokenizer.
+#
+# The only engine change this needed: the symbol-extraction regex over the
+# sentinel-wrapped form is now '<([^<>]+)>' (operators/tokenizer.py:SYM_RE)
+# — symbol-set-agnostic, byte-identical extraction on ASCII input, and
+# identical semantics in Java regex and RE2. Everything else (wrap,
+# pair-count, winner tie-break on BINARY string order == UTF-8 code-point
+# order in BOTH engines, replace fold) is already Unicode-clean.
+#
+# Scale shape: identical to q115/q119 — ONE corpus shuffle total for
+# train+apply, Heaps-bounded word-type rounds, broadcast merge table,
+# map-only fold apply, stats over (source x subword) types.
+# ---------------------------------------------------------------------------
+
+_Q128_MERGES = 10
+_Q129_TOP_K = 3
+_SQL_UTOKS = r"list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '')"
+_USYM_RE = "<([^<>]+)>"
+
+
+def _ucorp_cte() -> str:
+    """The union corpus CTE (doc_id, source, text): documents plus q117's
+    planted multilingual fixture under source='planted'."""
+    values = ",\n    ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _Q117_FIXTURE
+    )
+    return f"""ucorp AS MATERIALIZED (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT fx.doc_id, 'planted', fx.text FROM (VALUES
+    {values}
+  ) AS fx(doc_id, text)
+)"""
+
+
+def _q128_oracle(n_merges: int = _Q128_MERGES) -> str:
+    ctes = [_ucorp_cte()] + _q115_train_ctes(
+        n_merges, toks_expr=_SQL_UTOKS, corpus="ucorp", sym_re=_USYM_RE
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rnd, x AS left_sym, y AS right_sym, cnt AS pair_cnt FROM w{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(rnd AS BIGINT) AS rnd, left_sym, right_sym,
+       CAST(pair_cnt AS BIGINT) AS pair_cnt
+FROM ({unions})
+ORDER BY rnd
+"""
+    )
+
+
+def _q129_oracle(
+    n_merges: int = _Q128_MERGES, top_k: int = _Q129_TOP_K
+) -> str:
+    ctes = [_ucorp_cte()] + _q115_train_ctes(
+        n_merges, toks_expr=_SQL_UTOKS, corpus="ucorp", sym_re=_USYM_RE
+    )
+    ctes += [
+        f"""swc AS MATERIALIZED (
+  SELECT source, t AS w, COUNT(*) AS freq
+  FROM (SELECT source, unnest({_SQL_UTOKS}) AS t FROM ucorp)
+  GROUP BY 1, 2
+)""",
+        f"""seg AS MATERIALIZED (
+  SELECT sw.source, sw.freq,
+         regexp_extract_all(s.symstr, '{_USYM_RE}', 1) AS sub
+  FROM swc sw JOIN s{n_merges} s ON s.w = sw.w
+)""",
+        """wstats AS (
+  SELECT source,
+         CAST(SUM(freq) AS BIGINT) AS n_words,
+         CAST(SUM(freq * len(sub)) AS BIGINT) AS n_subwords
+  FROM seg GROUP BY source
+)""",
+        """persub AS (
+  SELECT source, subword, CAST(SUM(freq) AS BIGINT) AS n
+  FROM (SELECT source, unnest(sub) AS subword, freq FROM seg)
+  GROUP BY 1, 2
+)""",
+        f"""sstats AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_subwords,
+         string_agg(CASE WHEN rk <= {top_k} THEN subword END, ','
+                    ORDER BY rk) AS top_subwords
+  FROM (SELECT source, subword,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n DESC, subword ASC) AS rk
+        FROM persub)
+  GROUP BY source
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT w.source, w.n_words, w.n_subwords,
+       ROUND(CAST(w.n_subwords AS DOUBLE) / CAST(w.n_words AS DOUBLE), 6)
+         AS fertility,
+       s.n_distinct_subwords, s.top_subwords
+FROM wstats w JOIN sstats s ON s.source = w.source
+ORDER BY w.source
+"""
+    )
+
+
+def _unicode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fx = spark.createDataFrame(
+        [(i, "planted", t) for i, t in _Q117_FIXTURE],
+        "doc_id long, source string, text string",
+    )
+    return docs.select("doc_id", "source", "text").unionByName(fx)
+
+
+@query("q128_bpe_train_unicode", _q128_oracle())
+def q128_bpe_train_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.functions.text import tokens_unicode
+    from mapreduce_paper_implementation_spark.operators.tokenizer import (
+        bpe_merges_from_wordfreq,
+    )
+
+    corpus = _unicode_corpus(spark, sf_dir)
+    wc = (
+        corpus.select(F.explode(tokens_unicode("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    return bpe_merges_from_wordfreq(wc, _Q128_MERGES)
+
+
+@query("q129_unicode_segment", _q129_oracle())
+def q129_unicode_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.functions.text import tokens_unicode
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+    from mapreduce_paper_implementation_spark.operators.tokenizer import (
+        bpe_apply_merges,
+        bpe_merges_from_wordfreq,
+    )
+
+    corpus = _unicode_corpus(spark, sf_dir)
+    # ONE corpus shuffle (the q119 discipline): swc feeds the global
+    # word-freq re-agg AND the apply join
+    swc = scoped_persist(
+        corpus.select("source", F.explode(tokens_unicode("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("freq"))
+    )
+    wc = swc.groupBy("w").agg(F.sum("freq").cast("long").alias("freq"))
+    merges = bpe_merges_from_wordfreq(wc, _Q128_MERGES)
+    seg = scoped_persist(bpe_apply_merges(swc, merges, word_col="w"))
+    return _subword_source_stats(seg, _Q129_TOP_K)
