@@ -33,15 +33,35 @@ def global_rank(
     `order_by` must be a TOTAL order (include a unique tiebreak column) or
     the assigned ranks are nondeterministic between runs.
 
-    Plan shape: one range exchange (reused by both the local-rank window and
-    the per-partition counts via AQE exchange reuse), one tiny single-row-
-    per-partition aggregate, one broadcast join. No stage sees more than one
-    range partition of data.
+    Plan shape: ONE range exchange, PINNED by a persist (see below), feeding
+    both the local-rank window and the per-partition counts; one tiny
+    single-row-per-partition aggregate; one broadcast join. No stage sees
+    more than one range partition of data.
+
+    CORRECTNESS NOTE (round-12 fix, found by the q127 x10 replay): the two
+    consumers of `ranged` MUST observe the same partition boundaries — the
+    local rank is joined to the counts-derived offsets BY `_pid`. AQE
+    exchange reuse usually guarantees that, but when reuse fails (observed
+    with checkpointed inputs under composed plans), each consumer
+    re-evaluates repartitionByRange as a NEW shuffle, and RangePartitioner's
+    boundary sampling is seeded by the shuffle id — two shuffles can draw
+    DIFFERENT boundaries, so `_pid` means different ranges in the two
+    branches and a handful of rows near each boundary get offsets from the
+    wrong partition (observed: split-blocks off by 8 rows in 50k, surfacing
+    as negative shard ids downstream). scoped_persist pins the evaluated
+    partitioning so both branches read the same materialized ranges —
+    MEMORY_AND_DISK, so eviction spills rather than recomputes.
     """
+    from mapreduce_paper_implementation_spark.operators.caching import (
+        scoped_persist,
+    )
+
     spark = df.sparkSession
     n = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = df.repartitionByRange(n, *order_by).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = scoped_persist(
+        df.repartitionByRange(n, *order_by).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     w_local = Window.partitionBy("_pid").orderBy(*order_by)
     local = ranged.withColumn("_lrn", F.row_number().over(w_local))

@@ -626,9 +626,14 @@ def unigram_train_audit(
         piece.
 
     The trained pieces themselves stay differential-gated by the
-    pure-Python EM replay (tests/test_properties.py)."""
+    pure-Python EM replay (tests/test_properties.py).
+
+    Requires em_rounds >= 1: the mass check replays the FINAL E-step's
+    log-prob table, which doesn't exist for a 0-round run."""
     import pandas as pd
 
+    if em_rounds < 1:
+        raise ValueError("unigram_train_audit requires em_rounds >= 1")
     spark = wc.sparkSession
     wc_ck, rows, logp_last = _em_state(
         wc, vocab_size, max_len, em_rounds, cand_factor

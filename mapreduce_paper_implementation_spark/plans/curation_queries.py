@@ -4613,11 +4613,23 @@ def q127_release_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
+    # STAGE-BOUNDARY LINEAGE CUTS: this query composes five already-deep
+    # pipelines, and a single lazy tree over all of them makes CATALYST
+    # the bottleneck — every downstream action (broadcast builds, the
+    # range-sampling job inside global_rank, the final agg) re-analyzes
+    # the whole nested plan, measured at ~17 s of pure planning overhead
+    # in the rank phase alone at sf0.1. localCheckpoint at each stage
+    # boundary truncates the plan the next stage sees (the q41/q74/bfs
+    # per-round discipline applied at the composition grain); the frames
+    # cut are all corpus-bounded label/id tables, never gram or vector
+    # frames. scoped_persist still covers the multi-consumer frames
+    # WITHIN a stage (g8l, assigned, scored, hist).
+
     # --- q124 split over the release-cut label map (inline fallback) ---
-    lab = scoped_persist(
-        cluster_split_assign(docs, _split_labels(spark, docs)).select(
-            "doc_id", "tc", F.col("split_c").alias("split")
-        )
+    lab = (
+        cluster_split_assign(docs, _split_labels(spark, docs))
+        .select("doc_id", "tc", F.col("split_c").alias("split"))
+        .localCheckpoint()
     )
 
     # --- lexical boundary gate (q126's hashed-gram discipline) ---
@@ -4629,11 +4641,12 @@ def q127_release_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lab.select("doc_id", "split"), "doc_id")
     )
     evg = g8l.where(F.col("split") != "train").select("gh").distinct()
-    lex_bad = scoped_persist(
+    lex_bad = (
         g8l.where(F.col("split") == "train")
         .join(evg, "gh")
         .select("doc_id")
         .distinct()
+        .localCheckpoint()
     )
 
     # --- semantic boundary gate (q116's index + probe, boundary eval) ---
@@ -4652,15 +4665,17 @@ def q127_release_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("e_nrm"),
     )
     tr = assigned.where(F.col("split") == "train")
-    sem_bad = scoped_persist(
-        decontam_probe(tr, ev, _Q127_SEM_THRESHOLD).select(
-            F.col("vec_id").alias("doc_id")
-        )
+    sem_bad = (
+        decontam_probe(tr, ev, _Q127_SEM_THRESHOLD)
+        .select(F.col("vec_id").alias("doc_id"))
+        .localCheckpoint()
     )
 
-    scrub = scoped_persist(lex_bad.unionByName(sem_bad).distinct())
-    tclean = scoped_persist(
-        lab.where(F.col("split") == "train").join(scrub, "doc_id", "anti")
+    scrub = lex_bad.unionByName(sem_bad).distinct().localCheckpoint()
+    tclean = (
+        lab.where(F.col("split") == "train")
+        .join(scrub, "doc_id", "anti")
+        .localCheckpoint()
     )
 
     # --- q103 quality cut over the surviving train docs ---
@@ -4676,20 +4691,22 @@ def q127_release_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = scoped_persist(scored.groupBy("source", "q").agg(F.count("*").alias("c")))
     thr = quartile_threshold(hist)
-    tkept = scoped_persist(
+    tkept = (
         scored.join(F.broadcast(thr), "source")
         .where(F.col("q") >= F.col("threshold"))
         .select("doc_id")
+        .localCheckpoint()
     )
 
     # --- q125 shard export: per-split rank striping, never a per-split
     # single-task window (global_rank over (split, k, doc_id) + per-split
     # start offsets — a <=3-row broadcast) ---
-    final = scoped_persist(
+    final = (
         lab.join(tkept, "doc_id")
         .select("doc_id", "tc", "split")
         .unionByName(lab.where(F.col("split") != "train"))
         .withColumn("k", F.md5(F.col("doc_id").cast("string")))
+        .localCheckpoint()
     )
     cnts = final.groupBy("split").agg(F.count("*").alias("_n"))
     w_off = Window.orderBy("split").rowsBetween(Window.unboundedPreceding, -1)

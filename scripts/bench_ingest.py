@@ -386,8 +386,9 @@ def run_topology(spark, ds_dir: str, n_batches: int) -> dict:
 
 # The pagerank section always streams the BASE fixture events (see the NOTE
 # inside run_pagerank: replicated scale dirs are edge-set no-ops), so its
-# source is a module constant shared by both call sites rather than the
-# script's --out-dir/--factor args (ADVICE r10).
+# DEFAULT source is the base fixture rather than the script's
+# --out-dir/--factor args (ADVICE r10); overridable via
+# --pagerank-events-dir (ADVICE r11 residual promoted to an argument).
 PAGERANK_EVENTS_DIR = "/root/testdata/sf0.1"
 
 
@@ -473,6 +474,7 @@ def main() -> None:
     ap.add_argument("--compact-every", type=int, default=3)
     ap.add_argument("--out-dir", default=os.path.join(REPO, "scale_data"))
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_INGEST.json"))
+    ap.add_argument("--pagerank-events-dir", default=PAGERANK_EVENTS_DIR)
     ap.add_argument(
         "--topology-only",
         action="store_true",
@@ -495,7 +497,7 @@ def main() -> None:
 
     if args.pagerank_only:
         spark = get_spark("bench_ingest")
-        pr = run_pagerank(spark, PAGERANK_EVENTS_DIR, args.batches)
+        pr = run_pagerank(spark, args.pagerank_events_dir, args.batches)
         result = _load_or_empty(args.out)
         result["pagerank_index"] = pr
         with open(args.out, "w") as f:
@@ -524,7 +526,7 @@ def main() -> None:
         "compact_every": args.compact_every,
         "maintainers": run(spark, ds_dir, events_dir, args.batches, args.compact_every),
         "topology": run_topology(spark, ds_dir, args.batches),
-        "pagerank_index": run_pagerank(spark, PAGERANK_EVENTS_DIR, args.batches),
+        "pagerank_index": run_pagerank(spark, args.pagerank_events_dir, args.batches),
     }
     # a full refresh must not drop the separately-generated topology_x*
     # sections (bench_ingest --topology-only --factor 100); carried

