@@ -103,7 +103,15 @@ ALL queries are DuckDB-oracle-backed (since round 12) — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design), and q121/q123,
 whose non-SQL-expressible trained tables are gated through their
-SQL-expressible invariant readouts.
+SQL-expressible invariant readouts. Honest grading of that last gate
+(round-13 ADVICE note): within the q121/q123 readouts, the columns the
+oracle GENUINELY recomputes are the exact anchors (word/char totals,
+n_words/n_chars per source) plus chars_covered/mass_conserved; the
+remaining booleans (n_pieces_ok, multi_pieces_positive, q123's
+subwords_bracket_ok) are pinned TRUE by the same engine code path that
+produces them, so the hash gate can never fail on those alone — the
+trained table itself is additionally differential-gated by the
+pure-Python EM replay in tests/test_greedy_segment.py.
 """
 
 from __future__ import annotations

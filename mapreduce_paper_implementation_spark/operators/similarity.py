@@ -364,6 +364,8 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
+    cells: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k with exact REFINEMENT (the standard
     two-stage retrieve+refine): ADC ranks every candidate in the probed
@@ -388,7 +390,16 @@ def ivf_pq_topk(
     the broadcast LUT (probes x m x ks decimals); the ADC join shuffles
     (probe, candidate, sub_j) code rows, partial-aggregated. Floats are
     touched for exactly probes x refine rows: the shortlist BROADCASTS
-    against the vector store (point lookups at serving scale)."""
+    against the vector store (point lookups at serving scale).
+
+    Index inputs (operators/ann_release.py, VERDICT r12 #1): `centroids` /
+    `codebooks` (trained artifacts) and `cells` ((vec_id, cell) corpus
+    assignments) / `codes` ((vec_id, sub_j, code) corpus PQ codes) may be
+    supplied from a published release index — then NO training and NO
+    corpus-side encode happens at query time; the corpus floats are read
+    only for the probes x refine exact re-rank. Omitted pieces are built
+    inline (deterministically identical — kmeans_fit/pq_train's contract),
+    which is the self-contained correctness-gate shape."""
     from mapreduce_paper_implementation_spark.operators.dedup import assign_cells
     from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit
 
@@ -398,14 +409,21 @@ def ivf_pq_topk(
     if codebooks is None:
         codebooks = pq_train(emb, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col)
 
-    cand_cells = assign_cells(emb, centroids, nassign=1, id_col=id_col, vec_col=vec_col).select(
-        F.col("id").alias("neighbor_id"), "cell"
-    )
+    if cells is not None:
+        cand_cells = cells.select(F.col("vec_id").alias("neighbor_id"), "cell")
+    else:
+        cand_cells = assign_cells(
+            emb, centroids, nassign=1, id_col=id_col, vec_col=vec_col
+        ).select(F.col("id").alias("neighbor_id"), "cell")
     probe_cells = assign_cells(
         probes, centroids, nassign=nprobe, id_col=id_col, vec_col=vec_col
     ).select(F.col("id").alias("probe_id"), "cell")
 
-    enc = pq_encode(emb, codebooks, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    enc = (
+        codes
+        if codes is not None
+        else pq_encode(emb, codebooks, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    )
 
     from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
 

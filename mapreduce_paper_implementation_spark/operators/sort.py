@@ -33,35 +33,42 @@ def global_rank(
     `order_by` must be a TOTAL order (include a unique tiebreak column) or
     the assigned ranks are nondeterministic between runs.
 
-    Plan shape: ONE range exchange, PINNED by a persist (see below), feeding
-    both the local-rank window and the per-partition counts; one tiny
-    single-row-per-partition aggregate; one broadcast join. No stage sees
-    more than one range partition of data.
+    Plan shape: ONE range exchange, MATERIALIZED eagerly (see below),
+    feeding both the local-rank window and the per-partition counts; one
+    tiny single-row-per-partition aggregate; one broadcast join. No stage
+    sees more than one range partition of data.
 
-    CORRECTNESS NOTE (round-12 fix, found by the q127 x10 replay): the two
-    consumers of `ranged` MUST observe the same partition boundaries — the
-    local rank is joined to the counts-derived offsets BY `_pid`. AQE
-    exchange reuse usually guarantees that, but when reuse fails (observed
-    with checkpointed inputs under composed plans), each consumer
-    re-evaluates repartitionByRange as a NEW shuffle, and RangePartitioner's
-    boundary sampling is seeded by the shuffle id — two shuffles can draw
-    DIFFERENT boundaries, so `_pid` means different ranges in the two
-    branches and a handful of rows near each boundary get offsets from the
-    wrong partition (observed: split-blocks off by 8 rows in 50k, surfacing
-    as negative shard ids downstream). scoped_persist pins the evaluated
-    partitioning so both branches read the same materialized ranges —
-    MEMORY_AND_DISK, so eviction spills rather than recomputes.
+    CORRECTNESS NOTE (round-12 fix, found by the q127 x10 replay; hardened
+    round 13 per ADVICE): the two consumers of `ranged` MUST observe the
+    same partition boundaries — the local rank is joined to the
+    counts-derived offsets BY `_pid`. AQE exchange reuse usually guarantees
+    that, but when reuse fails (observed with checkpointed inputs under
+    composed plans), each consumer re-evaluates repartitionByRange as a NEW
+    shuffle, and RangePartitioner's boundary sampling is seeded by the
+    shuffle id — two shuffles can draw DIFFERENT boundaries, so `_pid`
+    means different ranges in the two branches and rows near each boundary
+    get offsets from the wrong partition (observed: split-blocks off by 8
+    rows in 50k, surfacing as negative shard ids downstream).
+
+    Round 12 pinned the boundaries with scoped_persist, but that made
+    correctness RIDE ON THE CACHE, contradicting caching.py's contract
+    that unpersisting is always safe (a release_persisted() before the
+    derived frame materialized would silently reintroduce the race).
+    localCheckpoint(eager=True) instead: the evaluated partitioning is
+    written to executor storage and the lineage TRUNCATED, so no later
+    cache release can ever cause re-evaluation — both branches provably
+    read one frozen set of ranges. Trade-off: local checkpoints are not
+    lineage-recoverable (an executor loss fails the job for retry instead
+    of recomputing the lost partitions) — the same trade q127's
+    stage-boundary checkpoints already accept, and the only sound one
+    here, because a RECOMPUTE is exactly what re-samples the boundaries.
     """
-    from mapreduce_paper_implementation_spark.operators.caching import (
-        scoped_persist,
-    )
-
     spark = df.sparkSession
     n = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = scoped_persist(
-        df.repartitionByRange(n, *order_by).withColumn(
-            "_pid", F.spark_partition_id()
-        )
+    ranged = (
+        df.repartitionByRange(n, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_local = Window.partitionBy("_pid").orderBy(*order_by)
     local = ranged.withColumn("_lrn", F.row_number().over(w_local))

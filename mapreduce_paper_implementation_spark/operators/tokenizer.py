@@ -625,8 +625,16 @@ def unigram_train_audit(
       multi_pieces_positive — the prune kept no zero-count multi-char
         piece.
 
-    The trained pieces themselves stay differential-gated by the
-    pure-Python EM replay (tests/test_properties.py).
+    TRUST GRADATION (round-13 ADVICE note — read before leaning on the
+    gate): the oracle GENUINELY recomputes n_word_types / n_chars /
+    total_freq (exact corpus anchors) and can fail chars_covered /
+    mass_conserved (both compare two independent computation paths). The
+    other booleans — n_pieces_ok, multi_pieces_positive, and q123's
+    subwords_bracket_ok downstream — are true BY CONSTRUCTION of this
+    same code path, so the oracle pins their shape but cannot catch an
+    engine bug through them alone. The trained pieces themselves stay
+    differential-gated by the pure-Python EM replay
+    (tests/test_greedy_segment.py / test_properties.py).
 
     Requires em_rounds >= 1: the mass check replays the FINAL E-step's
     log-prob table, which doesn't exist for a 0-round run."""

@@ -13,6 +13,13 @@ operation order; outputs fully sorted by key.
 Provenance: the reference's Map/Reduce surface (mr/worker.go:32-33) is the
 generalized capability; none exist as mrapps. All are SURVEY.md §2C
 "north-star training-data pipeline" components, expressed Spark-first.
+
+Round-13 split (VERDICT r12 ask #5): the tokenizer tranche (q115/q117/
+q119/q121-q123/q128/q129) lives in plans/tokenizer_queries.py and the
+release-cut tranche (q124-q127) in plans/release_queries.py — same
+registry, byte-identical oracle strings (pinned across the move by the
+registry snapshot). This module keeps q79-q114 plus the semantic/sketch
+queries q116/q118/q120 and their shared CTE constants.
 """
 
 from __future__ import annotations
@@ -2866,116 +2873,6 @@ def q114_vocab_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q115 distributed BPE merge-table training — the training-time counterpart
-# of the declared tokenizer (the reference's wc tokenizer,
-# /root/reference/mr-main/mrapps/wc.go:23-26, is the APPLY side; this
-# learns the merge table a subword tokenizer would apply). Sennrich et al.
-# 2016 §3.2: per round, count adjacent symbol pairs weighted by word-type
-# frequency, merge the single highest-count pair everywhere (greedy
-# left-to-right non-overlapping), repeat.
-#
-# Scale shape (operators/tokenizer.py:bpe_train): the corpus crosses ONE
-# shuffle total — the q01 word count; every training round runs on the
-# word-TYPE table (Heaps' law: vocabulary-sized, a distributed frame).
-# Pair counts are a bounded partial/final hash agg over symbol-pair types;
-# the winner is TakeOrderedAndProject (limit 1); the merge applies
-# map-side as a codegen'd string replace of the BROADCAST 1-row winner.
-# Zero collect() — the merge table accumulates as a union of checkpointed
-# 1-row frames (localCheckpoint per round truncates lineage, the
-# q74/kmeans discipline).
-#
-# The oracle unrolls the identical rounds as chained CTEs (the q29
-# unrolled-training-loop pattern): same wrapped-symbol VARCHAR
-# representation ('<s1><s2>...'), same exact-integer counts, same
-# (cnt DESC, x ASC, y ASC) tie-break, and the same non-overlapping
-# left-to-right replace() semantics — both engines' replace scans resume
-# AFTER each replacement, which IS the Sennrich merge rule (an x==y chain
-# '<a><a><a>' merges to '<aa><a>'). tests/test_properties.py replays the
-# operator against a pure-Python BPE over hypothesis-generated corpora.
-# ---------------------------------------------------------------------------
-
-_Q115_MERGES = 10
-
-
-def _q115_train_ctes(
-    n_merges: int = _Q115_MERGES,
-    toks_expr: str | None = None,
-    corpus: str = "documents",
-    sym_re: str = "<([A-Za-z]+)>",
-) -> list[str]:
-    """The unrolled BPE training rounds as a CTE list — shared by q115 (the
-    merge table), q119 (train + corpus-scale APPLY), and q128/q129 (the
-    MULTILINGUAL twins: pass the Unicode tokenizer SQL, the union-corpus
-    CTE name, and the sentinel symbol regex '<([^<>]+)>'): every consumer
-    replays the identical rounds, so the learned table an apply segments
-    under cannot drift from the gated one. s{n_merges} is the final
-    vocabulary symbol-sequence table (w, freq, symstr)."""
-    toks_expr = toks_expr or sql_tokens("text")
-    ctes = [
-        f"""wc AS MATERIALIZED (
-  SELECT t AS w, COUNT(*) AS freq
-  FROM (SELECT unnest({toks_expr}) AS t FROM {corpus})
-  GROUP BY 1
-)""",
-        """s0 AS MATERIALIZED (
-  SELECT w, freq,
-         '<' || array_to_string(string_split(w, ''), '><') || '>' AS symstr
-  FROM wc
-)""",
-    ]
-    for r in range(1, n_merges + 1):
-        p = r - 1
-        ctes += [
-            f"""e{r} AS MATERIALIZED (
-  SELECT freq, regexp_extract_all(symstr, '{sym_re}', 1) AS sym FROM s{p}
-)""",
-            f"""p{r} AS (
-  SELECT sym[i] AS x, sym[i + 1] AS y, SUM(freq) AS cnt
-  FROM (SELECT sym, freq, unnest(range(1, len(sym))) AS i
-        FROM e{r} WHERE len(sym) >= 2)
-  GROUP BY 1, 2
-)""",
-            f"""w{r} AS (
-  SELECT x, y, CAST(cnt AS BIGINT) AS cnt
-  FROM p{r} ORDER BY cnt DESC, x ASC, y ASC LIMIT 1
-)""",
-            f"""s{r} AS MATERIALIZED (
-  SELECT s.w, s.freq,
-         replace(s.symstr, '<' || wr.x || '><' || wr.y || '>',
-                 '<' || wr.x || wr.y || '>') AS symstr
-  FROM s{p} s CROSS JOIN w{r} wr
-)""",
-        ]
-    return ctes
-
-
-def _q115_oracle(n_merges: int = _Q115_MERGES) -> str:
-    ctes = _q115_train_ctes(n_merges)
-    unions = "\nUNION ALL\n".join(
-        f"SELECT {r} AS rnd, x AS left_sym, y AS right_sym, cnt AS pair_cnt FROM w{r}"
-        for r in range(1, n_merges + 1)
-    )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
-SELECT CAST(rnd AS BIGINT) AS rnd, left_sym, right_sym,
-       CAST(pair_cnt AS BIGINT) AS pair_cnt
-FROM ({unions})
-ORDER BY rnd
-"""
-    )
-
-
-@query("q115_bpe_train", _q115_oracle())
-def q115_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_paper_implementation_spark.operators.tokenizer import bpe_train
-
-    docs = load_table(spark, sf_dir, "documents")
-    return bpe_train(docs, n_merges=_Q115_MERGES)
-
-
-# ---------------------------------------------------------------------------
 # Q116 semantic decontamination — q55's embedding twin (VERDICT r09 ask #2):
 # a training vector is contaminated when its cosine against ANY vector of
 # the eval slice (vec_id % 29 == 0, the q55 convention) reaches 0.35.
@@ -3032,71 +2929,22 @@ def q116_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_decontaminate,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_decontaminate(emb, eval_mod=29, n_cells=16, threshold=0.35, nassign=2)
-
-
-# ---------------------------------------------------------------------------
-# Q117 Unicode tokenizer parity — the multilingual tokenize path
-# (functions/text.py:tokens_unicode, VERDICT r09 ask #6). The declared
-# engine tokenizer is the ASCII class [^A-Za-z]+ (reference parity,
-# mrapps/wc.go:23-26); a real multilingual corpus needs Unicode-category-L
-# tokens. This query word-counts the corpus UNIONed with a PLANTED
-# multilingual fixture (identical literals on both engines: Latin-1
-# diacritics, Greek, Cyrillic, CJK, Kana, digits-as-separators) under
-# [^\p{L}]+ — pinning Java-regex (Spark) and RE2 (DuckDB) to the same
-# letter repertoire. Tokens the ASCII class would destroy (Größe, 日本語,
-# мир) must survive intact; digits and punctuation must still split.
-#
-# Scale shape: identical to q01 — map-side split/explode inside codegen,
-# one partially-aggregated (token, count) shuffle. The fixture rows ride
-# along as a unioned 5-row inline relation (negative doc_ids keep them
-# out of the real id domain).
-# ---------------------------------------------------------------------------
-
-_Q117_FIXTURE: list[tuple[int, str]] = [
-    (-1, "Größe straße naïve café résumé Äpfel öl"),
-    (-2, "日本語のテスト 形態素 解析"),
-    (-3, "Ελληνικά κείμενο και ανάλυση"),
-    (-4, "привет мир слова текст"),
-    (-5, "mixed42scripts日本語and2дваgreekλόγος7ends"),
-]
-
-
-def _q117_oracle() -> str:
-    values = ",\n    ".join(
-        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _Q117_FIXTURE
+    from mapreduce_paper_implementation_spark.operators.ann_release import (
+        published_ann_index,
     )
-    return f"""
-WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT * FROM (VALUES
-    {values}
-  ) AS fx(doc_id, text)
-),
-toks AS (
-  SELECT unnest(list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'),
-                            t -> t <> '')) AS token
-  FROM corpus
-)
-SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
-FROM toks GROUP BY token ORDER BY token
-"""
 
-
-@query("q117_unicode_wordcount", _q117_oracle())
-def q117_unicode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_paper_implementation_spark.functions.text import tokens_unicode
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    fixture = spark.createDataFrame(_Q117_FIXTURE, "doc_id long, text string")
-    return (
-        docs.unionByName(fixture)
-        .select(F.explode(tokens_unicode("text")).alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy("token")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # coarse centroids from the published release index when available
+    # (VERDICT r12 #1) — the cell geometry is shared with q118/q127, so
+    # one offline build serves all three semantic queries
+    idx = published_ann_index(spark) or {}
+    return semantic_decontaminate(
+        emb,
+        eval_mod=29,
+        n_cells=16,
+        threshold=0.35,
+        nassign=2,
+        centroids=idx.get("centroids"),
     )
 
 
@@ -3288,9 +3136,20 @@ ORDER BY probe_id, rnk
 
 @query("q118_ann_ivf_pq", _q118_oracle())
 def q118_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.ann_release import (
+        published_ann_index,
+    )
     from mapreduce_paper_implementation_spark.operators.similarity import ivf_pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # PRODUCTION DEFAULT (VERDICT r12 #1, the CC-cut pattern): when a
+    # release index is published ($SPARK_GRAFT_ANN_INDEX), query time
+    # touches centroids/codebooks/cells/codes — never a k-means fit —
+    # and the corpus floats only for the probes x refine re-rank.
+    # Fallback: the self-contained inline build (bit-identical results;
+    # tests/test_round13_additions.py pins the equality, the unchanged
+    # oracle hash-gates both modes).
+    idx = published_ann_index(spark) or {}
     return ivf_pq_topk(
         emb,
         emb.where(F.col("vec_id") < 10),
@@ -3300,165 +3159,11 @@ def q118_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_M,
         ks=_PQ_KS,
         dim=_PQ_DIM,
+        centroids=idx.get("centroids"),
+        codebooks=idx.get("codebooks"),
+        cells=idx.get("cells"),
+        codes=idx.get("codes"),
     )
-
-
-# ---------------------------------------------------------------------------
-# Q119 corpus-scale BPE segmentation under the q115-learned merge table —
-# the APPLY half of the tokenizer train->apply loop (VERDICT r10 ask #1):
-# q115 learns the merges; this query segments the corpus under that exact
-# table, train feeding apply in ONE lazy pipeline, and reports the
-# per-source subword statistics a tokenizer rollout would monitor
-# (fertility = subword occurrences per word occurrence, distinct-subword
-# inventory, top subwords). Reference analog: mrapps/wc.go:21-42 — the
-# learned tokenizer is now the thing that actually tokenizes.
-#
-# Scale shape (operators/tokenizer.py:bpe_apply_merges): the corpus crosses
-# ONE shuffle total — the (source, word) count; training re-aggregates the
-# GLOBAL word-freq table from that same frame (no second corpus scan), and
-# the apply is map-only over the vocabulary-sized (source, word) table:
-# the n_merges-row merge table collapses to one broadcast array row and a
-# per-word F.aggregate fold runs the same non-overlapping left-to-right
-# replace() chain as training — zero collect(), zero Python. The stats
-# tail aggregates over (source x subword) types, bounded by vocabulary,
-# never by corpus volume.
-#
-# The oracle extends q115's unrolled training CTEs (_q115_train_ctes —
-# LITERALLY the same rounds, so the applied table cannot drift from the
-# gated one) with the apply side: the final s{N} vocabulary symstr table
-# joined onto per-source word counts and the identical stats aggregation.
-# Assumes n_merges rounds complete at the tested SFs (same contract as
-# q115; the sf0.01 corpus has thousands of distinct pairs).
-# ---------------------------------------------------------------------------
-
-_Q119_TOP_K = 3
-
-
-def _q119_oracle(n_merges: int = _Q115_MERGES, top_k: int = _Q119_TOP_K) -> str:
-    ctes = _q115_train_ctes(n_merges)
-    ctes += [
-        f"""swc AS MATERIALIZED (
-  SELECT source, t AS w, COUNT(*) AS freq
-  FROM (SELECT source, unnest({sql_tokens('text')}) AS t FROM documents)
-  GROUP BY 1, 2
-)""",
-        f"""seg AS MATERIALIZED (
-  SELECT sw.source, sw.freq,
-         regexp_extract_all(s.symstr, '<([A-Za-z]+)>', 1) AS sub
-  FROM swc sw JOIN s{n_merges} s ON s.w = sw.w
-)""",
-        """wstats AS (
-  SELECT source,
-         CAST(SUM(freq) AS BIGINT) AS n_words,
-         CAST(SUM(freq * len(sub)) AS BIGINT) AS n_subwords
-  FROM seg GROUP BY source
-)""",
-        """persub AS (
-  SELECT source, subword, CAST(SUM(freq) AS BIGINT) AS n
-  FROM (SELECT source, unnest(sub) AS subword, freq FROM seg)
-  GROUP BY 1, 2
-)""",
-        f"""sstats AS (
-  SELECT source,
-         CAST(COUNT(*) AS BIGINT) AS n_distinct_subwords,
-         string_agg(CASE WHEN rk <= {top_k} THEN subword END, ','
-                    ORDER BY rk) AS top_subwords
-  FROM (SELECT source, subword,
-               ROW_NUMBER() OVER (PARTITION BY source
-                                  ORDER BY n DESC, subword ASC) AS rk
-        FROM persub)
-  GROUP BY source
-)""",
-    ]
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + """
-SELECT w.source, w.n_words, w.n_subwords,
-       ROUND(CAST(w.n_subwords AS DOUBLE) / CAST(w.n_words AS DOUBLE), 6)
-         AS fertility,
-       s.n_distinct_subwords, s.top_subwords
-FROM wstats w JOIN sstats s ON s.source = w.source
-ORDER BY w.source
-"""
-    )
-
-
-def _subword_source_stats(seg: DataFrame, top_k: int) -> DataFrame:
-    """Per-source subword statistics from a segmented word-type frame
-    (source, freq, subwords ARRAY<STRING>): word/subword totals, fertility
-    (= subwords per word, the standard tokenizer-quality readout), distinct
-    subword count, and the top-k subwords by (freq DESC, subword ASC).
-    SHARED by q119 (BPE apply) and q122 (greedy longest-match apply) — one
-    expression tree, so the two apply surfaces cannot drift (§8.27)."""
-    wstats = seg.groupBy("source").agg(
-        F.sum("freq").cast("long").alias("n_words"),
-        F.sum(F.col("freq") * F.size("subwords")).cast("long").alias("n_subwords"),
-    )
-    persub = (
-        seg.select("source", F.explode("subwords").alias("subword"), "freq")
-        .groupBy("source", "subword")
-        .agg(F.sum("freq").cast("long").alias("n"))
-    )
-    sstats = persub.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_distinct_subwords"),
-        F.array_join(
-            F.slice(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct((-F.col("n")).alias("nn"), F.col("subword").alias("s"))
-                        )
-                    ),
-                    lambda t: t["s"],
-                ),
-                1,
-                top_k,
-            ),
-            ",",
-        ).alias("top_subwords"),
-    )
-    return (
-        wstats.join(sstats, "source")
-        .select(
-            "source",
-            "n_words",
-            "n_subwords",
-            F.round(
-                F.col("n_subwords").cast("double") / F.col("n_words").cast("double"), 6
-            ).alias("fertility"),
-            "n_distinct_subwords",
-            "top_subwords",
-        )
-        .orderBy("source")
-    )
-
-
-@query("q119_bpe_segment", _q119_oracle())
-def q119_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
-    from mapreduce_paper_implementation_spark.operators.tokenizer import (
-        bpe_apply_merges,
-        bpe_merges_from_wordfreq,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    # ONE corpus pass: the (source, word) count; the global training input
-    # re-aggregates from it map-side instead of re-reading documents.
-    # scoped_persist: swc feeds BOTH the training re-agg (materialized
-    # immediately by the training loop's first localCheckpoint) and the
-    # apply join — without it the corpus tokenize/explode/count replays
-    # per consumer (the q97 recompute class).
-    swc = scoped_persist(
-        docs.select("source", F.explode(tokens("text")).alias("w"))
-        .groupBy("source", "w")
-        .agg(F.count("*").alias("freq"))
-    )
-    wc = swc.groupBy("w").agg(F.sum("freq").cast("long").alias("freq"))
-    merges = bpe_merges_from_wordfreq(wc, _Q115_MERGES)
-    # seg feeds two aggregations (word-level stats, exploded subword stats)
-    seg = scoped_persist(bpe_apply_merges(swc, merges, word_col="w"))
-    return _subword_source_stats(seg, _Q119_TOP_K)
 
 
 # ---------------------------------------------------------------------------
@@ -3575,1355 +3280,3 @@ def q120_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Q121 unigram-LM tokenizer training (VERDICT r10 stretch #7) — the
-# SentencePiece-unigram family next to q115's BPE: bounded candidate-piece
-# extraction (codegen'd substring explode + partial/final agg +
-# TakeOrderedAndProject truncation), deterministic hard-EM rounds
-# (broadcast bounded piece table, one Arrow Viterbi pass over the
-# Heaps-bounded word-TYPE frame per round, partial/final count agg), and
-# a deterministic final prune. See operators/tokenizer.py:unigram_train
-# for the full scale-shape argument.
-#
-# ORACLE (VERDICT r11 #2 — flipped from rows-only): the trained table
-# itself is Viterbi-derived and not SQL-expressible, but its INVARIANTS
-# are — so the query emits the q34/q114/q120-style readout: exact
-# SQL-recomputable anchors (word-type count, distinct-char inventory,
-# total token mass) plus booleans the oracle pins TRUE (single-char
-# coverage, vocab-size bracket, freq-mass conservation between the
-# E-step's per-piece hash agg and an independent per-partition recount,
-# no zero-count multi piece survives the prune). The trained pieces stay
-# differential-gated by the pure-Python EM replay
-# (tests/test_properties.py) and the determinism pin
-# (tests/test_round11_additions.py, now over the operator output).
-# ---------------------------------------------------------------------------
-
-
-def _q121_oracle() -> str:
-    toks = sql_tokens("text")
-    return f"""
-WITH wt AS MATERIALIZED (
-  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
-  FROM (SELECT unnest({toks}) AS w FROM documents)
-  GROUP BY w
-)
-SELECT
-  (SELECT CAST(COUNT(*) AS BIGINT) FROM wt) AS n_word_types,
-  (SELECT CAST(COUNT(DISTINCT c) AS BIGINT)
-     FROM (SELECT unnest(string_split(w, '')) AS c FROM wt)) AS n_chars,
-  (SELECT CAST(SUM(freq) AS BIGINT) FROM wt) AS total_freq,
-  TRUE AS chars_covered,
-  TRUE AS n_pieces_ok,
-  TRUE AS mass_conserved,
-  TRUE AS multi_pieces_positive
-"""
-
-
-@query("q121_unigram_train", _q121_oracle())
-def q121_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_paper_implementation_spark.operators.tokenizer import (
-        unigram_train_audit,
-        word_freq,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return unigram_train_audit(
-        word_freq(docs), vocab_size=200, max_len=4, em_rounds=2
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q122 corpus-scale greedy longest-match segmentation — the APPLY side of
-# the unigram family, closing q121's train->apply loop the way q119 closed
-# q115's (VERDICT r10 ask #1 pattern). The segmentation rule is WordPiece's
-# (Wu et al. 2016 §4.1: at each position take the LONGEST vocabulary piece
-# prefixing the remainder); the vocabulary is the deterministic unigram
-# SEED table (operators/tokenizer.py:unigram_candidates — Kudo 2018 §3.2's
-# seed-vocabulary step, all substrings <= max_len truncated to
-# cand_factor x vocab_size by exact-integer counts), which unlike the
-# EM-trained table is fully SQL-derivable, so the WHOLE pipeline —
-# vocabulary construction, jump table, walk, per-source stats — sits under
-# an exact value-hash oracle. Segmentation under the EM-TRAINED q121 table
-# uses the SAME greedy_segment operator and is differentially gated against
-# a pure-Python replay in tests/test_greedy_segment.py.
-#
-# Scale shape: corpus crosses ONE shuffle (the (source, word) count, like
-# q119); vocabulary construction and the jump table run over the
-# Heaps-bounded word-TYPE frame with the bounded piece table BROADCAST;
-# the walk is a closed-form per-word fold (greedy longest-match at
-# position p depends only on (w, p), never on the walk's history — so
-# there is NO per-round iteration at all, unlike BPE's merge loop).
-#
-# Oracle: identical vocabulary CTEs (exact integer counts, total-order
-# truncation), identical jump table, and a recursive CTE walking
-# (w, pos) -> pos + step — string/integer ops only, hash-exact.
-# ---------------------------------------------------------------------------
-
-_Q122_VOCAB_SIZE = 200
-_Q122_MAX_LEN = 4
-_Q122_CAND_FACTOR = 4
-_Q122_TOP_K = 3
-
-
-def _q122_oracle(
-    vocab_size: int = _Q122_VOCAB_SIZE,
-    max_len: int = _Q122_MAX_LEN,
-    cand_factor: int = _Q122_CAND_FACTOR,
-    top_k: int = _Q122_TOP_K,
-) -> str:
-    ctes = [
-        f"""wc AS MATERIALIZED (
-  SELECT t AS w, COUNT(*) AS freq
-  FROM (SELECT unnest({sql_tokens('text')}) AS t FROM documents)
-  GROUP BY 1
-)""",
-        f"""swc AS MATERIALIZED (
-  SELECT source, t AS w, COUNT(*) AS freq
-  FROM (SELECT source, unnest({sql_tokens('text')}) AS t FROM documents)
-  GROUP BY 1, 2
-)""",
-        f"""pexp AS (
-  SELECT w, freq, i,
-         unnest(range(1, least({max_len}, length(w) - i + 1) + 1)) AS l
-  FROM (SELECT w, freq, unnest(range(1, length(w) + 1)) AS i FROM wc)
-)""",
-        """cnts AS MATERIALIZED (
-  SELECT substring(w, i, l) AS piece, SUM(freq) AS cnt FROM pexp GROUP BY 1
-)""",
-        f"""topp AS (
-  SELECT piece, cnt FROM cnts
-  ORDER BY cnt DESC, piece ASC LIMIT {cand_factor * vocab_size}
-)""",
-        """vocab AS MATERIALIZED (
-  SELECT piece, MAX(cnt) AS cnt FROM (
-    SELECT * FROM topp
-    UNION ALL SELECT piece, cnt FROM cnts WHERE length(piece) = 1
-  ) GROUP BY 1
-)""",
-        f"""pcand AS (
-  SELECT w, p, unnest(range(1, least({max_len}, length(w) - p) + 1)) AS l
-  FROM (SELECT w, unnest(range(0, length(w))) AS p FROM wc)
-)""",
-        """jump AS MATERIALIZED (
-  SELECT c.w, c.p, MAX(c.l) AS step
-  FROM (SELECT w, p, l, substring(w, p + 1, l) AS piece FROM pcand) c
-  JOIN vocab v ON v.piece = c.piece
-  GROUP BY 1, 2
-)""",
-        """walk AS MATERIALIZED (
-  WITH RECURSIVE r(w, nxt, piece) AS (
-    SELECT j.w, j.step, substring(j.w, 1, j.step) FROM jump j WHERE j.p = 0
-    UNION ALL
-    SELECT r.w, r.nxt + j.step, substring(r.w, r.nxt + 1, j.step)
-    FROM r JOIN jump j ON j.w = r.w AND j.p = r.nxt
-  )
-  SELECT w, piece FROM r
-)""",
-        """wseg AS (
-  SELECT w, COUNT(*) AS n_pieces FROM walk GROUP BY w
-)""",
-        """wstats AS (
-  SELECT s.source, CAST(SUM(s.freq) AS BIGINT) AS n_words,
-         CAST(SUM(s.freq * g.n_pieces) AS BIGINT) AS n_subwords
-  FROM swc s JOIN wseg g ON g.w = s.w GROUP BY 1
-)""",
-        """persub AS (
-  SELECT s.source, k.piece AS subword, CAST(SUM(s.freq) AS BIGINT) AS n
-  FROM swc s JOIN walk k ON k.w = s.w GROUP BY 1, 2
-)""",
-        f"""sstats AS (
-  SELECT source,
-         CAST(COUNT(*) AS BIGINT) AS n_distinct_subwords,
-         string_agg(CASE WHEN rk <= {top_k} THEN subword END, ','
-                    ORDER BY rk) AS top_subwords
-  FROM (SELECT source, subword,
-               ROW_NUMBER() OVER (PARTITION BY source
-                                  ORDER BY n DESC, subword ASC) AS rk
-        FROM persub)
-  GROUP BY source
-)""",
-    ]
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + """
-SELECT w.source, w.n_words, w.n_subwords,
-       ROUND(CAST(w.n_subwords AS DOUBLE) / CAST(w.n_words AS DOUBLE), 6)
-         AS fertility,
-       s.n_distinct_subwords, s.top_subwords
-FROM wstats w JOIN sstats s ON s.source = w.source
-ORDER BY w.source
-"""
-    )
-
-
-@query("q122_greedy_segment", _q122_oracle())
-def q122_greedy_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
-    from mapreduce_paper_implementation_spark.operators.tokenizer import (
-        greedy_segment,
-        unigram_candidates,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    # ONE corpus pass (the q119 discipline): swc feeds the global word-type
-    # re-agg AND the per-source stats join; wc feeds BOTH the vocabulary
-    # substring explode and the jump table — each is multiply consumed, so
-    # each is persisted (the q97 recompute class). Both frames are
-    # Heaps-bounded word-type tables, never the corpus.
-    swc = scoped_persist(
-        docs.select("source", F.explode(tokens("text")).alias("w"))
-        .groupBy("source", "w")
-        .agg(F.count("*").alias("freq"))
-    )
-    wc = scoped_persist(
-        swc.groupBy("w").agg(F.sum("freq").cast("long").alias("freq"))
-    )
-    vocab = unigram_candidates(
-        wc,
-        vocab_size=_Q122_VOCAB_SIZE,
-        max_len=_Q122_MAX_LEN,
-        cand_factor=_Q122_CAND_FACTOR,
-    )
-    seg_words = greedy_segment(wc.select("w"), vocab, max_len=_Q122_MAX_LEN)
-    seg = scoped_persist(
-        swc.join(seg_words, "w").select("source", "freq", "subwords")
-    )
-    return _subword_source_stats(seg, _Q122_TOP_K)
-
-
-# ---------------------------------------------------------------------------
-# Q124 leakage-safe train/valid/test split — the cluster-granular upgrade
-# of q56's doc-granular hash split. A near-dup PAIR straddling the
-# train/eval boundary is memorization leakage (the same failure family
-# q55/q116 decontaminate against, arising INSIDE one corpus): q56's rule
-# hashes each doc independently, so ~2 x split-share of near-dup pairs
-# straddle. The fix is standard (split at the deduplication-cluster
-# granularity): assign every doc the SPLIT OF ITS CLUSTER — cluster id =
-# min doc_id of its q41 connected component, singletons their own id —
-# so members travel together and cluster_leak_pairs is structurally zero.
-# The output reports both rules side by side: doc_leak_pairs (what q56
-# would have leaked, nonzero by construction whenever near-dup pairs
-# exist) vs cluster_leak_pairs (pinned 0 per split by BOTH engines).
-#
-# Scale shape: composes three proven paths — the q20/q41 banded pair graph
-# + iterative min-label CC (inverted-index joins, never all-pairs), the
-# q56 map-only md5 split arithmetic (one expression tree, shared via
-# split_of/sql_split per §8.27), and the q109 leak-join discipline (the
-# DERIVED pair set broadcasts; the corpus-sized labeled map streams —
-# never the reverse). Per-split stats are one bounded partial/final agg.
-#
-# Oracle: the SAME recursive-CTE closure q41 gates against
-# (plans/queries.py:Q41_GRAPH_CTES, shared text), then the same split
-# CASE and leak counts — exact integers and strings end-to-end.
-# ---------------------------------------------------------------------------
-
-
-def _q124_oracle() -> str:
-    from mapreduce_paper_implementation_spark.operators.serving import sql_split
-    from mapreduce_paper_implementation_spark.plans.queries import Q41_GRAPH_CTES
-
-    return f"""
-WITH {Q41_GRAPH_CTES},
-assign AS MATERIALIZED (
-  SELECT d.doc_id, len({sql_tokens('text')}) AS tc,
-         COALESCE(r.component, d.doc_id) AS cluster_id,
-         r.id IS NOT NULL AS is_dup
-  FROM documents d LEFT JOIN rec r ON r.id = d.doc_id
-),
-labeled AS MATERIALIZED (
-  SELECT doc_id, tc, cluster_id, is_dup,
-         {sql_split('cluster_id')} AS split_c,
-         {sql_split('doc_id')} AS split_d
-  FROM assign
-),
-stats AS (
-  SELECT split_c AS split,
-         CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(tc) AS BIGINT) AS n_tokens,
-         CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
-         CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
-  FROM labeled GROUP BY 1
-),
-pl AS MATERIALIZED (
-  SELECT la.split_c AS ca, lb.split_c AS cb, la.split_d AS da, lb.split_d AS db
-  FROM pairs p JOIN labeled la ON la.doc_id = p.id_a
-               JOIN labeled lb ON lb.doc_id = p.id_b
-),
-leak_c AS (
-  SELECT split, CAST(COUNT(*) AS BIGINT) AS n FROM (
-    SELECT ca AS split FROM pl WHERE ca <> cb
-    UNION ALL SELECT cb AS split FROM pl WHERE ca <> cb
-  ) GROUP BY 1
-),
-leak_d AS (
-  SELECT split, CAST(COUNT(*) AS BIGINT) AS n FROM (
-    SELECT da AS split FROM pl WHERE da <> db
-    UNION ALL SELECT db AS split FROM pl WHERE da <> db
-  ) GROUP BY 1
-)
-SELECT s.split, s.n_docs, s.n_tokens, s.n_clusters, s.n_dup_docs,
-       COALESCE(c.n, 0) AS cluster_leak_pairs,
-       COALESCE(d.n, 0) AS doc_leak_pairs
-FROM stats s LEFT JOIN leak_c c ON c.split = s.split
-             LEFT JOIN leak_d d ON d.split = s.split
-ORDER BY s.split
-"""
-
-
-def _split_labels(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    """The (id, component) near-dup cluster label map the q124/q126 split
-    rides on. PRODUCTION DEFAULT (VERDICT r11 #1): read the MATERIALIZED
-    release cut — the label table streaming/cc_index.py maintains
-    incrementally and a release publishes — when one is exported via the
-    SPARK_GRAFT_CC_CUT env var (a parquet dir of (id, component) rows for
-    THIS corpus; the publisher owns that match). Fallback: rebuild inline
-    (banded pair graph + iterative min-label CC). The two inputs yield
-    bit-identical assignments whenever the label tables agree —
-    scripts/bench_q124_cut.py asserts it and prices the gap (0.39 s cut
-    vs 5.9 s inline at sf0.1); tests/test_round12_additions.py gates the
-    env-var path end-to-end."""
-    import os as _os
-
-    from mapreduce_paper_implementation_spark.operators.dedup import (
-        ngram_jaccard_pairs,
-    )
-    from mapreduce_paper_implementation_spark.operators.graph import (
-        connected_components,
-    )
-
-    cut = _os.environ.get("SPARK_GRAFT_CC_CUT")
-    if cut and _os.path.isdir(cut):
-        return spark.read.parquet(cut)
-    return connected_components(ngram_jaccard_pairs(docs, threshold=0.1))
-
-
-@query("q124_leakage_safe_split", _q124_oracle())
-def q124_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
-    from mapreduce_paper_implementation_spark.operators.dedup import (
-        ngram_jaccard_pairs,
-    )
-    from mapreduce_paper_implementation_spark.operators.serving import (
-        cluster_split_assign,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    # pairs feeds BOTH the component closure and the leak joins; labeled
-    # feeds the stats agg and both leak joins (the q97 recompute class).
-    # NOTE the leak joins need the PAIR GRAPH regardless of where the
-    # labels come from, so q124 always builds pairs; only the label map
-    # itself defaults to the release cut (_split_labels).
-    pairs = scoped_persist(ngram_jaccard_pairs(docs, threshold=0.1))
-    import os as _os
-
-    if _os.environ.get("SPARK_GRAFT_CC_CUT"):
-        cc = _split_labels(spark, docs)
-    else:
-        from mapreduce_paper_implementation_spark.operators.graph import (
-            connected_components,
-        )
-
-        # reuse the PERSISTED pairs frame for the closure (not
-        # _split_labels, which would rebuild the pair graph from scratch)
-        cc = connected_components(pairs)
-    # the assignment tail is operators/serving.py:cluster_split_assign —
-    # shared with the streaming cluster_split_view over maintained CC labels
-    labeled = scoped_persist(cluster_split_assign(docs, cc))
-    stats = labeled.groupBy(F.col("split_c").alias("split")).agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("tc").cast("long").alias("n_tokens"),
-        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
-        F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_dup_docs"),
-    )
-    # leak joins: broadcast the DERIVED pair set, stream the corpus-sized
-    # labeled map (the q109 discipline — never broadcast the corpus side)
-    pl = (
-        F.broadcast(pairs)
-        .join(
-            labeled.select(
-                F.col("doc_id").alias("id_a"),
-                F.col("split_c").alias("ca"),
-                F.col("split_d").alias("da"),
-            ),
-            "id_a",
-        )
-        .join(
-            labeled.select(
-                F.col("doc_id").alias("id_b"),
-                F.col("split_c").alias("cb"),
-                F.col("split_d").alias("db"),
-            ),
-            "id_b",
-        )
-    )
-
-    def _leak(a: str, b: str) -> DataFrame:
-        return (
-            pl.where(F.col(a) != F.col(b))
-            .select(F.explode(F.array(a, b)).alias("split"))
-            .groupBy("split")
-            .agg(F.count("*").cast("long").alias("n"))
-        )
-
-    leak_c = _leak("ca", "cb").withColumnRenamed("n", "cluster_leak_pairs")
-    leak_d = _leak("da", "db").withColumnRenamed("n", "doc_leak_pairs")
-    return (
-        stats.join(leak_c, "split", "left")
-        .join(leak_d, "split", "left")
-        .select(
-            "split",
-            "n_docs",
-            "n_tokens",
-            "n_clusters",
-            "n_dup_docs",
-            F.coalesce("cluster_leak_pairs", F.lit(0).cast("long")).alias(
-                "cluster_leak_pairs"
-            ),
-            F.coalesce("doc_leak_pairs", F.lit(0).cast("long")).alias(
-                "doc_leak_pairs"
-            ),
-        )
-        .orderBy("split")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q125 balanced training-shard export — the WRITE side of the pipeline: after
-# curation/split/mixture, training data ships as N shards that must be (a)
-# deterministically shuffled (reproducible data order — no RNG) and (b)
-# SIZE-BALANCED (stragglers in the training loader are set by the largest
-# shard). Two standard rules compared side by side in one output:
-#
-#   hash sharding  — shard = md5-bucket(doc_id) % N: map-only, but shard
-#                    sizes are binomial (observed spread reported here);
-#   rank striping  — shard = (global rank under the md5 permutation) % N:
-#                    EXACTLY balanced (max-min <= 1 docs, pinned), at the
-#                    cost of the TeraSort-shaped two-pass rank.
-#
-# The md5 key doubles as the deterministic permutation (the "shuffle" a
-# training run needs), so rank striping hands the loader both properties.
-#
-# Scale shape: the rank side is operators/sort.py:global_rank — one range
-# exchange, per-partition local ranks, an n_partitions-row broadcast offset
-# join; NEVER a single-task row_number over the corpus (the q47/§8.7
-# discipline). The (doc_id, tc, k) projection is persisted once and feeds
-# both sharding rules; per-shard stats are bounded partial/final aggs.
-#
-# Oracle: DuckDB's naive ROW_NUMBER window is the truth (fine at oracle
-# scale — the SPARK side is the one that must never do that), same md5
-# string order (both engines emit lowercase hex, binary collation), same
-# exact-integer modulo arithmetic.
-# ---------------------------------------------------------------------------
-
-_Q125_SHARDS = 16
-
-
-def _q125_oracle(n_shards: int = _Q125_SHARDS) -> str:
-    return f"""
-WITH d AS MATERIALIZED (
-  SELECT doc_id, len({sql_tokens('text')}) AS tc,
-         md5(CAST(doc_id AS VARCHAR)) AS k
-  FROM documents
-),
-r AS (
-  SELECT tc, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rnk FROM d
-),
-stripe AS (
-  SELECT CAST((rnk - 1) % {n_shards} AS BIGINT) AS shard,
-         CAST(COUNT(*) AS BIGINT) AS n_docs_rank,
-         CAST(SUM(tc) AS BIGINT) AS n_tokens_rank
-  FROM r GROUP BY 1
-),
-hashed AS (
-  SELECT CAST(CAST(('0x' || substr(k, 1, 8)) AS BIGINT) % {n_shards} AS BIGINT)
-           AS shard,
-         CAST(COUNT(*) AS BIGINT) AS n_docs_hash,
-         CAST(SUM(tc) AS BIGINT) AS n_tokens_hash
-  FROM d GROUP BY 1
-)
-SELECT s.shard, s.n_docs_rank, s.n_tokens_rank,
-       COALESCE(h.n_docs_hash, 0) AS n_docs_hash,
-       COALESCE(h.n_tokens_hash, 0) AS n_tokens_hash
-FROM stripe s LEFT JOIN hashed h ON h.shard = s.shard
-ORDER BY s.shard
-"""
-
-
-@query("q125_shard_export", _q125_oracle())
-def q125_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_paper_implementation_spark.functions.text import token_count
-    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
-    from mapreduce_paper_implementation_spark.operators.sort import global_rank
-
-    n = _Q125_SHARDS
-    docs = load_table(spark, sf_dir, "documents")
-    d = scoped_persist(
-        docs.select(
-            "doc_id",
-            token_count("text").alias("tc"),
-            F.md5(F.col("doc_id").cast("string")).alias("k"),
-        )
-    )
-    ranked = global_rank(d, [F.col("k"), F.col("doc_id")], rank_col="rnk")
-    stripe = (
-        ranked.groupBy(((F.col("rnk") - 1) % n).cast("long").alias("shard"))
-        .agg(
-            F.count("*").cast("long").alias("n_docs_rank"),
-            F.sum("tc").cast("long").alias("n_tokens_rank"),
-        )
-    )
-    hash_shard = (
-        F.conv(F.substring("k", 1, 8), 16, 10).cast("bigint") % n
-    ).cast("long")
-    hashed = d.groupBy(hash_shard.alias("shard")).agg(
-        F.count("*").cast("long").alias("n_docs_hash"),
-        F.sum("tc").cast("long").alias("n_tokens_hash"),
-    )
-    # LEFT join stripe->hashed (ADVICE r11): rank striping guarantees every
-    # shard id 0..n-1 is populated, but hash sharding's binomial spread can
-    # leave a shard empty at small corpora — an inner join would then drop
-    # the stripe row and both engines would silently under-report
-    return (
-        stripe.join(hashed, "shard", "left")
-        .select(
-            "shard",
-            "n_docs_rank",
-            "n_tokens_rank",
-            F.coalesce("n_docs_hash", F.lit(0).cast("long")).alias("n_docs_hash"),
-            F.coalesce("n_tokens_hash", F.lit(0).cast("long")).alias(
-                "n_tokens_hash"
-            ),
-        )
-        .orderBy("shard")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q126 residual cross-split contamination audit — the MEASUREMENT that
-# closes the q124 story. q124's cluster-granular split makes NEAR-DUP-PAIR
-# leakage structurally zero, but near-dup has a threshold: sub-threshold
-# overlaps (a quoted paragraph, shared boilerplate) still cross the
-# train/eval boundary. This query measures that residue the way production
-# decontamination defines it (q55's posture, lifted to the split boundary):
-# an eval-split doc is residually contaminated iff it shares >= 1 distinct
-# 8-word shingle with ANY train-split doc. Both split rules are audited
-# side by side — (rule='cluster') the q124 assignment and (rule='doc') the
-# q56 assignment — so the cluster rule's effect on residual contamination
-# is a measured number, not an argument. What this query finds is exactly
-# what a pipeline then scrubs with the q55 gate applied at the boundary.
-#
-# Scale shape: the split assignment reuses cluster_split_assign over
-# _split_labels (DEFAULT: the materialized cc_index release cut when
-# published via SPARK_GRAFT_CC_CUT — bench_q124_cut.py prices that at
-# ~0.4 s vs 5.9 s inline at sf0.1; inline CC rebuild as fallback); the
-# 8-gram audit is an inverted-index SHUFFLE join on the xxhash64 GRAM
-# HASH (the q20 class — both sides are corpus-scale, so neither
-# broadcasts; partial aggregation collapses per-doc hits map-side; the
-# ~50-byte gram text never crosses an exchange — the q75/q86 discipline,
-# plan-pinned in tests/test_round12_additions.py). The (doc, gram-hash,
-# splits) frame is persisted once and feeds all four rule branches.
-#
-# Oracle: q41's shared closure CTEs + the shared split CASE + the same
-# 8-gram construction and set-semantics joins ON GRAM TEXT — integers and
-# strings only, which makes the gate double as the xxhash64 collision
-# audit (engine counts hashed grams, oracle counts the strings).
-# ---------------------------------------------------------------------------
-
-_Q126_N = 8
-
-
-def _q126_oracle(n: int = _Q126_N) -> str:
-    from mapreduce_paper_implementation_spark.operators.serving import sql_split
-    from mapreduce_paper_implementation_spark.plans.queries import Q41_GRAPH_CTES
-
-    toks = sql_tokens("text")
-    return f"""
-WITH {Q41_GRAPH_CTES},
-assign AS MATERIALIZED (
-  SELECT d.doc_id, COALESCE(r.component, d.doc_id) AS cluster_id
-  FROM documents d LEFT JOIN rec r ON r.id = d.doc_id
-),
-labeled AS MATERIALIZED (
-  SELECT doc_id, {sql_split('cluster_id')} AS split_c,
-         {sql_split('doc_id')} AS split_d
-  FROM assign
-),
-sh8 AS MATERIALIZED (
-  SELECT doc_id, unnest(list_distinct(
-    list_transform(
-      range(1, greatest(len({toks}) - {n - 2}, 1)),
-      i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')
-    ))) AS shingle
-  FROM documents
-  WHERE len({toks}) >= {n}
-),
-shl AS MATERIALIZED (
-  SELECT s.doc_id, s.shingle, l.split_c, l.split_d
-  FROM sh8 s JOIN labeled l ON l.doc_id = s.doc_id
-),
-branches AS (
-  SELECT 'cluster' AS rule, e.split_c AS split, e.doc_id,
-         COUNT(*) AS hits
-  FROM shl e
-  JOIN (SELECT DISTINCT shingle FROM shl WHERE split_c = 'train') t
-    ON t.shingle = e.shingle
-  WHERE e.split_c <> 'train'
-  GROUP BY 1, 2, 3
-  UNION ALL
-  SELECT 'doc', e.split_d, e.doc_id, COUNT(*)
-  FROM shl e
-  JOIN (SELECT DISTINCT shingle FROM shl WHERE split_d = 'train') t
-    ON t.shingle = e.shingle
-  WHERE e.split_d <> 'train'
-  GROUP BY 1, 2, 3
-),
-members AS (
-  SELECT 'cluster' AS rule, split_c AS split,
-         CAST(COUNT(*) AS BIGINT) AS n_docs
-  FROM labeled WHERE split_c <> 'train' GROUP BY 1, 2
-  UNION ALL
-  SELECT 'doc', split_d, CAST(COUNT(*) AS BIGINT)
-  FROM labeled WHERE split_d <> 'train' GROUP BY 1, 2
-)
-SELECT m.rule, m.split, m.n_docs,
-       CAST(COALESCE(b.contaminated_docs, 0) AS BIGINT) AS contaminated_docs,
-       CAST(COALESCE(b.shared_8gram_hits, 0) AS BIGINT) AS shared_8gram_hits
-FROM members m
-LEFT JOIN (
-  SELECT rule, split, COUNT(*) AS contaminated_docs, SUM(hits) AS shared_8gram_hits
-  FROM branches GROUP BY 1, 2
-) b ON b.rule = m.rule AND b.split = m.split
-ORDER BY m.rule, m.split
-"""
-
-
-@query("q126_residual_contamination", _q126_oracle())
-def q126_residual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _q126_frame(spark, sf_dir, hashed=True)
-
-
-def _q126_frame(spark: SparkSession, sf_dir: str, hashed: bool) -> DataFrame:
-    """q126 body with the gram-key representation as a knob: hashed=True is
-    the REGISTERED production shape (xxhash64 keys cross the shuffle);
-    hashed=False keeps the raw gram text as the join key — kept ONLY for
-    scripts/bench_q126_hash.py to price the delta (wall + shuffle bytes)
-    honestly. Results are identical unless xxhash64 collides, which the
-    text-joined DuckDB oracle would catch."""
-    from mapreduce_paper_implementation_spark.functions.text import word_shingles
-    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
-    from mapreduce_paper_implementation_spark.operators.serving import (
-        cluster_split_assign,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    # labeled feeds the shingle join AND both rules' member counts; without
-    # the persist each consumer replays the whole label build. The label
-    # map itself defaults to the MATERIALIZED release cut when published
-    # (_split_labels; inline CC rebuild as fallback).
-    labeled = scoped_persist(
-        cluster_split_assign(docs, _split_labels(spark, docs)).select(
-            "doc_id", "split_c", "split_d"
-        )
-    )
-    # HASHED gram key (VERDICT r11 #1, the q75/q86 discipline): the
-    # inverted-index join is corpus-scale on BOTH sides, so the shuffle
-    # must move the fixed-width xxhash64 of the 8-gram, never the ~50-byte
-    # gram TEXT — the string is projected away before any exchange. The
-    # DuckDB oracle keeps joining on gram TEXT, so the value-hash gate
-    # doubles as the hash-collision audit (a colliding pair of distinct
-    # grams would inflate a count and break the gate).
-    sh8 = docs.select(
-        "doc_id", F.explode(word_shingles("text", _Q126_N)).alias("shingle")
-    ).select(
-        "doc_id",
-        (F.xxhash64("shingle") if hashed else F.col("shingle")).alias("gh"),
-    )
-    # one (doc, gram-hash, splits) frame feeds the train-set build AND the
-    # eval probe of BOTH rules (the q97 recompute class)
-    shl = scoped_persist(sh8.join(labeled, "doc_id"))
-
-    def branch(rule: str, col: str):
-        train = shl.where(F.col(col) == "train").select("gh").distinct()
-        hits = (
-            shl.where(F.col(col) != "train")
-            .join(train, "gh")
-            .groupBy(F.col("doc_id"), F.col(col).alias("split"))
-            .agg(F.count("*").alias("hits"))
-        )
-        agg = hits.groupBy("split").agg(
-            F.count("*").cast("long").alias("contaminated_docs"),
-            F.sum("hits").cast("long").alias("shared_8gram_hits"),
-        )
-        members = (
-            labeled.where(F.col(col) != "train")
-            .groupBy(F.col(col).alias("split"))
-            .agg(F.count("*").cast("long").alias("n_docs"))
-            .select(F.lit(rule).alias("rule"), "split", "n_docs")
-        )
-        return members.join(agg, "split", "left").select(
-            "rule",
-            "split",
-            "n_docs",
-            F.coalesce("contaminated_docs", F.lit(0).cast("long")).alias(
-                "contaminated_docs"
-            ),
-            F.coalesce("shared_8gram_hits", F.lit(0).cast("long")).alias(
-                "shared_8gram_hits"
-            ),
-        )
-
-    return (
-        branch("cluster", "split_c")
-        .unionByName(branch("doc", "split_d"))
-        .orderBy("rule", "split")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q123 corpus-scale segmentation under the EM-TRAINED unigram table — the
-# trained-apply rung between q122 (seed-vocabulary apply, fully
-# oracle-gated) and q121 (the training loop): the SAME greedy_segment
-# operator as q122, applied under q121's trained piece table.
-#
-# ORACLE (VERDICT r11 #2 — flipped from rows-only): per-source fertility
-# under the trained table is not SQL-expressible, but the apply's
-# INVARIANTS are, so the output is the invariant readout per source —
-# exact anchors the oracle recomputes from the corpus (n_words = total
-# token occurrences per source, n_chars_total = freq-weighted character
-# mass — the word totals the round-11 pytest pinned equal to q122's,
-# lifted into the oracle) plus pinned-TRUE booleans: subwords_bracket_ok
-# (each word yields between 1 and len(w) pieces, so per-source
-# n_words <= n_subwords <= n_chars_total) and pieces_in_vocab (every
-# emitted subword is a trained piece — the apply never invents pieces).
-# A dropped/duplicated word in the trained-apply join breaks the n_words
-# hash; a corrupt segmentation raises via greedy_segment's guard. The
-# full fertility/stats readout for the SAME apply path is hash-gated by
-# q122 under the seed vocabulary and remains available through
-# _subword_source_stats on the operator surface.
-#
-# Scale shape = q122's: one corpus shuffle for the (source, word) count,
-# training on the Heaps-bounded word-type re-agg, broadcast piece table,
-# closed-form jump-table apply; the alien-piece check is a bounded
-# anti-join aggregated to one row and broadcast back (single-row
-# crossJoin, the kmeans-centroid class).
-# ---------------------------------------------------------------------------
-
-
-def _q123_oracle() -> str:
-    toks = sql_tokens("text")
-    return f"""
-WITH swc AS MATERIALIZED (
-  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS freq
-  FROM (SELECT source, unnest({toks}) AS w FROM documents)
-  GROUP BY source, w
-)
-SELECT source,
-       CAST(SUM(freq) AS BIGINT) AS n_words,
-       CAST(SUM(freq * len(w)) AS BIGINT) AS n_chars_total,
-       TRUE AS subwords_bracket_ok,
-       TRUE AS pieces_in_vocab
-FROM swc GROUP BY source ORDER BY source
-"""
-
-
-@query("q123_trained_segment", _q123_oracle())
-def q123_trained_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
-    from mapreduce_paper_implementation_spark.operators.tokenizer import (
-        greedy_segment,
-        unigram_train,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    swc = scoped_persist(
-        docs.select("source", F.explode(tokens("text")).alias("w"))
-        .groupBy("source", "w")
-        .agg(F.count("*").alias("freq"))
-    )
-    wc = scoped_persist(
-        swc.groupBy("w").agg(F.sum("freq").cast("long").alias("freq"))
-    )
-    trained = unigram_train(wc, vocab_size=200, max_len=4, em_rounds=2)
-    seg_words = greedy_segment(wc.select("w"), trained.select("piece"), max_len=4)
-    # seg feeds the per-source agg AND the alien-piece check
-    seg = scoped_persist(
-        swc.join(seg_words, "w").select("source", "w", "freq", "subwords")
-    )
-    per = seg.groupBy("source").agg(
-        F.sum("freq").cast("long").alias("n_words"),
-        F.sum(F.col("freq") * F.length("w")).cast("long").alias("n_chars_total"),
-        F.sum(F.col("freq") * F.size("subwords")).cast("long").alias("_n_subwords"),
-    )
-    # every emitted piece must be a trained piece: bounded anti-join count
-    # (piece-table-sized), aggregated to ONE row and broadcast back
-    alien = (
-        seg.select(F.explode("subwords").alias("piece"))
-        .distinct()
-        .join(F.broadcast(trained.select("piece")), "piece", "anti")
-        .agg(F.count("*").cast("long").alias("_n_alien"))
-    )
-    return (
-        per.crossJoin(F.broadcast(alien))
-        .select(
-            "source",
-            "n_words",
-            "n_chars_total",
-            (
-                (F.col("n_words") <= F.col("_n_subwords"))
-                & (F.col("_n_subwords") <= F.col("n_chars_total"))
-            ).alias("subwords_bracket_ok"),
-            (F.col("_n_alien") == 0).alias("pieces_in_vocab"),
-        )
-        .orderBy("source")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q127 composed release cut (VERDICT r11 #3) — ONE lazy pipeline running
-# the production release path end-to-end off the cluster label map, so
-# cross-operator drift (the residual untested surface after every stage
-# went individually hash-green) is itself gated:
-#
-#   q124 split        — cluster-granular assignment over _split_labels
-#                       (release-cut default, inline CC fallback);
-#   q55-lifted gate   — LEXICAL decontamination at the train/eval
-#                       boundary: train docs sharing >= 1 distinct 8-gram
-#                       with ANY valid/test doc are scrubbed (the q126
-#                       hashed-gram inverted-index join — both sides
-#                       corpus-scale, xxhash64 keys, text never shuffles);
-#   q116-lifted gate  — SEMANTIC decontamination at the same boundary:
-#                       train docs with cosine >= 0.35 to a valid/test
-#                       vector within shared trained k-means cells
-#                       (q29/q72/q116's exact index build + decontam_probe
-#                       tail, eval side broadcast);
-#   q103 quality cut  — per-source bottom-quartile drop over the SURVIVING
-#                       train docs (exact histogram threshold, no per-doc
-#                       sort);
-#   q125 shard export — per-split rank striping under the md5 permutation
-#                       into _Q127_SHARDS balanced shards (global_rank +
-#                       per-split offset arithmetic — one range exchange,
-#                       NEVER a per-split single-task window).
-#
-# Valid/test pass through unscrubbed and uncut BY DESIGN: the eval sets
-# must stay fixed; the gates remove the TRAIN-side members that would
-# memorize them (q55's posture at the split boundary).
-#
-# Output grain: (split, shard) with exact docs/tokens, plus the per-split
-# scrub/cut ledger (lexical, semantic, union, quality — zeros off-train).
-#
-# Oracle: the composition of the proven fragments — Q41_GRAPH_CTES (the
-# recursive closure q124 gates against), _ivf_build_ctes + the q116 candk
-# extension (the identical Lloyd unroll), the q126-style 8-gram audit ON
-# GRAM TEXT (collision audit for the engine's xxhash64 keys), q103's
-# histogram-threshold CTEs, and q125's naive ROW_NUMBER striping — exact
-# integers and strings end-to-end.
-#
-# Scale shape: every stage is a proven 100-TB shape reused verbatim; the
-# only new plumbing is the per-split offset arithmetic (a <=3-row
-# broadcast) and the scrub ledger (single-row broadcast crossJoin, the
-# kmeans-centroid class).
-# ---------------------------------------------------------------------------
-
-_Q127_SHARDS = 4
-_Q127_SEM_THRESHOLD = 0.35
-_Q127_NASSIGN = 2
-_Q127_CELLS = 16
-
-
-def _q127_oracle() -> str:
-    from mapreduce_paper_implementation_spark.operators.serving import sql_split
-    from mapreduce_paper_implementation_spark.plans.queries import (
-        Q41_GRAPH_CTES,
-        _ivf_build_ctes,
-    )
-
-    toks = sql_tokens("text")
-    n = _Q126_N
-    nsh = _Q127_SHARDS
-    ctes = [Q41_GRAPH_CTES]
-    ctes += _ivf_build_ctes(_Q127_CELLS, 2)
-    ctes.append(
-        f"""candk AS (
-  SELECT vv.vec_id, vv.vec, vv.nrm, a.cell
-  FROM vv JOIN assigned a ON a.vec_id = vv.vec_id AND a.cell_rank <= {_Q127_NASSIGN}
-)"""
-    )
-    ctes.append(
-        f"""lab AS MATERIALIZED (
-  SELECT d.doc_id, len({toks}) AS tc,
-         {sql_split('COALESCE(r.component, d.doc_id)')} AS split
-  FROM documents d LEFT JOIN rec r ON r.id = d.doc_id
-)"""
-    )
-    ctes.append(
-        f"""g8 AS MATERIALIZED (
-  SELECT doc_id, unnest(list_distinct(
-    list_transform(
-      range(1, greatest(len({toks}) - {n - 2}, 1)),
-      i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')
-    ))) AS gram
-  FROM documents
-  WHERE len({toks}) >= {n}
-)"""
-    )
-    ctes.append(
-        """g8l AS MATERIALIZED (
-  SELECT g.doc_id, g.gram, l.split FROM g8 g JOIN lab l USING (doc_id)
-)"""
-    )
-    ctes.append(
-        """lexbad AS MATERIALIZED (
-  SELECT DISTINCT t.doc_id
-  FROM g8l t
-  JOIN (SELECT DISTINCT gram FROM g8l WHERE split <> 'train') e USING (gram)
-  WHERE t.split = 'train'
-)"""
-    )
-    ctes.append(
-        """ck AS MATERIALIZED (
-  SELECT c.vec_id, c.vec, c.nrm, c.cell, l.split
-  FROM candk c JOIN lab l ON l.doc_id = c.vec_id
-)"""
-    )
-    ctes.append(
-        f"""sembad AS MATERIALIZED (
-  SELECT DISTINCT t.vec_id AS doc_id
-  FROM ck t JOIN ck e ON t.cell = e.cell
-  WHERE t.split = 'train' AND e.split <> 'train'
-    AND CAST(ROUND(list_dot_product(t.vec, e.vec) / (t.nrm * e.nrm), 6)
-             AS DECIMAL(9,6)) >= {_Q127_SEM_THRESHOLD}
-)"""
-    )
-    ctes.append(
-        """scrub AS MATERIALIZED (
-  SELECT doc_id FROM lexbad UNION SELECT doc_id FROM sembad
-)"""
-    )
-    ctes.append(
-        """tclean AS MATERIALIZED (
-  SELECT l.doc_id, l.tc, l.split FROM lab l
-  WHERE l.split = 'train' AND l.doc_id NOT IN (SELECT doc_id FROM scrub)
-)"""
-    )
-    ctes.append(
-        f"""scored2 AS MATERIALIZED (
-  SELECT d.doc_id, d.source, {_Q103_SCORE_SQL} AS q
-  FROM documents d JOIN tclean tcl ON tcl.doc_id = d.doc_id
-)"""
-    )
-    ctes.append(
-        "hist2 AS (SELECT source, q, COUNT(*) AS c FROM scored2 GROUP BY source, q)"
-    )
-    ctes.append(
-        "cnt2 AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM hist2 GROUP BY source)"
-    )
-    ctes.append(
-        """cum2 AS (
-  SELECT source, q, SUM(c) OVER (PARTITION BY source ORDER BY q) AS cum
-  FROM hist2
-)"""
-    )
-    ctes.append(
-        """thr2 AS (
-  SELECT cum2.source, MIN(q) AS threshold
-  FROM cum2 JOIN cnt2 ON cum2.source = cnt2.source
-  WHERE cum >= n // 4 + 1
-  GROUP BY cum2.source
-)"""
-    )
-    ctes.append(
-        """tkept AS MATERIALIZED (
-  SELECT s2.doc_id
-  FROM scored2 s2 JOIN thr2 t ON s2.source = t.source AND s2.q >= t.threshold
-)"""
-    )
-    ctes.append(
-        """final AS MATERIALIZED (
-  SELECT l.doc_id, l.tc, l.split
-  FROM lab l JOIN tkept k ON k.doc_id = l.doc_id
-  UNION ALL
-  SELECT doc_id, tc, split FROM lab WHERE split <> 'train'
-)"""
-    )
-    ctes.append(
-        f"""shards AS (
-  SELECT split,
-         CAST((ROW_NUMBER() OVER (
-            PARTITION BY split
-            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % {nsh}
-           AS BIGINT) AS shard,
-         tc
-  FROM final
-)"""
-    )
-    ctes.append(
-        """pershard AS (
-  SELECT split, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(tc) AS BIGINT) AS n_tokens
-  FROM shards GROUP BY split, shard
-)"""
-    )
-    ctes.append(
-        """scrubn AS (
-  SELECT (SELECT COUNT(*) FROM lexbad) AS lex_n,
-         (SELECT COUNT(*) FROM sembad) AS sem_n,
-         (SELECT COUNT(*) FROM scrub) AS tot_n,
-         (SELECT COUNT(*) FROM tclean) - (SELECT COUNT(*) FROM tkept) AS qual_n
-)"""
-    )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + """
-SELECT p.split, p.shard, p.n_docs, p.n_tokens,
-       CAST(CASE WHEN p.split = 'train' THEN s.lex_n ELSE 0 END AS BIGINT)
-         AS n_scrubbed_lex,
-       CAST(CASE WHEN p.split = 'train' THEN s.sem_n ELSE 0 END AS BIGINT)
-         AS n_scrubbed_sem,
-       CAST(CASE WHEN p.split = 'train' THEN s.tot_n ELSE 0 END AS BIGINT)
-         AS n_scrubbed_total,
-       CAST(CASE WHEN p.split = 'train' THEN s.qual_n ELSE 0 END AS BIGINT)
-         AS n_quality_dropped
-FROM pershard p CROSS JOIN scrubn s
-ORDER BY p.split, p.shard
-"""
-    )
-
-
-@query("q127_release_cut", _q127_oracle())
-def q127_release_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_paper_implementation_spark.functions.text import word_shingles
-    from mapreduce_paper_implementation_spark.functions.vectors import norm
-    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
-    from mapreduce_paper_implementation_spark.operators.dedup import (
-        assign_cells,
-        decontam_probe,
-    )
-    from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit
-    from mapreduce_paper_implementation_spark.operators.serving import (
-        cluster_split_assign,
-        quartile_threshold,
-    )
-    from mapreduce_paper_implementation_spark.operators.sort import global_rank
-    from mapreduce_paper_implementation_spark.operators.text_analysis import (
-        quality_score,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
-
-    # STAGE-BOUNDARY LINEAGE CUTS: this query composes five already-deep
-    # pipelines, and a single lazy tree over all of them makes CATALYST
-    # the bottleneck — every downstream action (broadcast builds, the
-    # range-sampling job inside global_rank, the final agg) re-analyzes
-    # the whole nested plan, measured at ~17 s of pure planning overhead
-    # in the rank phase alone at sf0.1. localCheckpoint at each stage
-    # boundary truncates the plan the next stage sees (the q41/q74/bfs
-    # per-round discipline applied at the composition grain); the frames
-    # cut are all corpus-bounded label/id tables, never gram or vector
-    # frames. scoped_persist still covers the multi-consumer frames
-    # WITHIN a stage (g8l, assigned, scored, hist).
-
-    # --- q124 split over the release-cut label map (inline fallback) ---
-    lab = (
-        cluster_split_assign(docs, _split_labels(spark, docs))
-        .select("doc_id", "tc", F.col("split_c").alias("split"))
-        .localCheckpoint()
-    )
-
-    # --- lexical boundary gate (q126's hashed-gram discipline) ---
-    g8l = scoped_persist(
-        docs.select(
-            "doc_id", F.explode(word_shingles("text", _Q126_N)).alias("shingle")
-        )
-        .select("doc_id", F.xxhash64("shingle").alias("gh"))
-        .join(lab.select("doc_id", "split"), "doc_id")
-    )
-    evg = g8l.where(F.col("split") != "train").select("gh").distinct()
-    lex_bad = (
-        g8l.where(F.col("split") == "train")
-        .join(evg, "gh")
-        .select("doc_id")
-        .distinct()
-        .localCheckpoint()
-    )
-
-    # --- semantic boundary gate (q116's index + probe, boundary eval) ---
-    centroids = kmeans_fit(emb, k=_Q127_CELLS, max_iter=2, tol=0.0)
-    assigned = scoped_persist(
-        assign_cells(emb, centroids, nassign=_Q127_NASSIGN)
-        .withColumn("nrm", norm(F.col("vec")))
-        .join(
-            lab.select(F.col("doc_id").alias("id"), "split"), "id"
-        )
-    )
-    ev = assigned.where(F.col("split") != "train").select(
-        "cell",
-        F.col("id").alias("eval_id"),
-        F.col("vec").alias("e_vec"),
-        F.col("nrm").alias("e_nrm"),
-    )
-    tr = assigned.where(F.col("split") == "train")
-    sem_bad = (
-        decontam_probe(tr, ev, _Q127_SEM_THRESHOLD)
-        .select(F.col("vec_id").alias("doc_id"))
-        .localCheckpoint()
-    )
-
-    scrub = lex_bad.unionByName(sem_bad).distinct().localCheckpoint()
-    tclean = (
-        lab.where(F.col("split") == "train")
-        .join(scrub, "doc_id", "anti")
-        .localCheckpoint()
-    )
-
-    # --- q103 quality cut over the surviving train docs ---
-    scored = scoped_persist(
-        docs.select(
-            "doc_id",
-            "source",
-            F.round(quality_score("text", "n_chars"), 6)
-            .cast("decimal(9,6)")
-            .cast("double")
-            .alias("q"),
-        ).join(tclean.select("doc_id"), "doc_id")
-    )
-    hist = scoped_persist(scored.groupBy("source", "q").agg(F.count("*").alias("c")))
-    thr = quartile_threshold(hist)
-    tkept = (
-        scored.join(F.broadcast(thr), "source")
-        .where(F.col("q") >= F.col("threshold"))
-        .select("doc_id")
-        .localCheckpoint()
-    )
-
-    # --- q125 shard export: per-split rank striping, never a per-split
-    # single-task window (global_rank over (split, k, doc_id) + per-split
-    # start offsets — a <=3-row broadcast) ---
-    final = (
-        lab.join(tkept, "doc_id")
-        .select("doc_id", "tc", "split")
-        .unionByName(lab.where(F.col("split") != "train"))
-        .withColumn("k", F.md5(F.col("doc_id").cast("string")))
-        .localCheckpoint()
-    )
-    cnts = final.groupBy("split").agg(F.count("*").alias("_n"))
-    w_off = Window.orderBy("split").rowsBetween(Window.unboundedPreceding, -1)
-    offs = cnts.withColumn(
-        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
-    ).select("split", "_off")
-    ranked = global_rank(
-        final, [F.col("split"), F.col("k"), F.col("doc_id")], rank_col="_grnk"
-    )
-    pershard = (
-        ranked.join(F.broadcast(offs), "split")
-        .withColumn(
-            "shard",
-            ((F.col("_grnk") - F.col("_off") - 1) % _Q127_SHARDS).cast("long"),
-        )
-        .groupBy("split", "shard")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("tc").cast("long").alias("n_tokens"),
-        )
-    )
-
-    # --- the scrub/cut ledger: four single-row aggregates crossJoined ---
-    lex_n = lex_bad.agg(F.count("*").cast("long").alias("lex_n"))
-    sem_n = sem_bad.agg(F.count("*").cast("long").alias("sem_n"))
-    tot_n = scrub.agg(F.count("*").cast("long").alias("tot_n"))
-    qual_n = (
-        tclean.agg(F.count("*").alias("_nc"))
-        .crossJoin(F.broadcast(tkept.agg(F.count("*").alias("_nk"))))
-        .select((F.col("_nc") - F.col("_nk")).cast("long").alias("qual_n"))
-    )
-    ledger = (
-        lex_n.crossJoin(F.broadcast(sem_n))
-        .crossJoin(F.broadcast(tot_n))
-        .crossJoin(F.broadcast(qual_n))
-    )
-
-    z = F.lit(0).cast("long")
-    is_tr = F.col("split") == "train"
-    return (
-        pershard.crossJoin(F.broadcast(ledger))
-        .select(
-            "split",
-            "shard",
-            "n_docs",
-            "n_tokens",
-            F.when(is_tr, F.col("lex_n")).otherwise(z).alias("n_scrubbed_lex"),
-            F.when(is_tr, F.col("sem_n")).otherwise(z).alias("n_scrubbed_sem"),
-            F.when(is_tr, F.col("tot_n")).otherwise(z).alias("n_scrubbed_total"),
-            F.when(is_tr, F.col("qual_n")).otherwise(z).alias("n_quality_dropped"),
-        )
-        .orderBy("split", "shard")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q128/Q129 multilingual BPE train -> apply (VERDICT r11 stretch #7): the
-# q115/q119 training-and-apply loop run over the UNICODE tokenizer
-# (functions/text.py:tokens_unicode, the \p{L} class q117 pinned
-# cross-engine) on the corpus UNIONed with q117's planted multilingual
-# fixture — so the learned merges and the corpus segmentation exercise
-# Latin-diacritic/Greek/Cyrillic/CJK/Kana symbols end-to-end, under the
-# SAME planted cross-engine contract q117 established (parity is declared
-# on the pinned repertoire; the fixture rides along as a 5-row inline
-# relation with negative doc_ids, source='planted'). Reference analog:
-# mrapps/wc.go:23-26 generalized past ASCII, now for the TRAINED tokenizer.
-#
-# The only engine change this needed: the symbol-extraction regex over the
-# sentinel-wrapped form is now '<([^<>]+)>' (operators/tokenizer.py:SYM_RE)
-# — symbol-set-agnostic, byte-identical extraction on ASCII input, and
-# identical semantics in Java regex and RE2. Everything else (wrap,
-# pair-count, winner tie-break on BINARY string order == UTF-8 code-point
-# order in BOTH engines, replace fold) is already Unicode-clean.
-#
-# Scale shape: identical to q115/q119 — ONE corpus shuffle total for
-# train+apply, Heaps-bounded word-type rounds, broadcast merge table,
-# map-only fold apply, stats over (source x subword) types.
-# ---------------------------------------------------------------------------
-
-_Q128_MERGES = 10
-_Q129_TOP_K = 3
-_SQL_UTOKS = r"list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '')"
-_USYM_RE = "<([^<>]+)>"
-
-
-def _ucorp_cte() -> str:
-    """The union corpus CTE (doc_id, source, text): documents plus q117's
-    planted multilingual fixture under source='planted'."""
-    values = ",\n    ".join(
-        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _Q117_FIXTURE
-    )
-    return f"""ucorp AS MATERIALIZED (
-  SELECT doc_id, source, text FROM documents
-  UNION ALL
-  SELECT fx.doc_id, 'planted', fx.text FROM (VALUES
-    {values}
-  ) AS fx(doc_id, text)
-)"""
-
-
-def _q128_oracle(n_merges: int = _Q128_MERGES) -> str:
-    ctes = [_ucorp_cte()] + _q115_train_ctes(
-        n_merges, toks_expr=_SQL_UTOKS, corpus="ucorp", sym_re=_USYM_RE
-    )
-    unions = "\nUNION ALL\n".join(
-        f"SELECT {r} AS rnd, x AS left_sym, y AS right_sym, cnt AS pair_cnt FROM w{r}"
-        for r in range(1, n_merges + 1)
-    )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
-SELECT CAST(rnd AS BIGINT) AS rnd, left_sym, right_sym,
-       CAST(pair_cnt AS BIGINT) AS pair_cnt
-FROM ({unions})
-ORDER BY rnd
-"""
-    )
-
-
-def _q129_oracle(
-    n_merges: int = _Q128_MERGES, top_k: int = _Q129_TOP_K
-) -> str:
-    ctes = [_ucorp_cte()] + _q115_train_ctes(
-        n_merges, toks_expr=_SQL_UTOKS, corpus="ucorp", sym_re=_USYM_RE
-    )
-    ctes += [
-        f"""swc AS MATERIALIZED (
-  SELECT source, t AS w, COUNT(*) AS freq
-  FROM (SELECT source, unnest({_SQL_UTOKS}) AS t FROM ucorp)
-  GROUP BY 1, 2
-)""",
-        f"""seg AS MATERIALIZED (
-  SELECT sw.source, sw.freq,
-         regexp_extract_all(s.symstr, '{_USYM_RE}', 1) AS sub
-  FROM swc sw JOIN s{n_merges} s ON s.w = sw.w
-)""",
-        """wstats AS (
-  SELECT source,
-         CAST(SUM(freq) AS BIGINT) AS n_words,
-         CAST(SUM(freq * len(sub)) AS BIGINT) AS n_subwords
-  FROM seg GROUP BY source
-)""",
-        """persub AS (
-  SELECT source, subword, CAST(SUM(freq) AS BIGINT) AS n
-  FROM (SELECT source, unnest(sub) AS subword, freq FROM seg)
-  GROUP BY 1, 2
-)""",
-        f"""sstats AS (
-  SELECT source,
-         CAST(COUNT(*) AS BIGINT) AS n_distinct_subwords,
-         string_agg(CASE WHEN rk <= {top_k} THEN subword END, ','
-                    ORDER BY rk) AS top_subwords
-  FROM (SELECT source, subword,
-               ROW_NUMBER() OVER (PARTITION BY source
-                                  ORDER BY n DESC, subword ASC) AS rk
-        FROM persub)
-  GROUP BY source
-)""",
-    ]
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + """
-SELECT w.source, w.n_words, w.n_subwords,
-       ROUND(CAST(w.n_subwords AS DOUBLE) / CAST(w.n_words AS DOUBLE), 6)
-         AS fertility,
-       s.n_distinct_subwords, s.top_subwords
-FROM wstats w JOIN sstats s ON s.source = w.source
-ORDER BY w.source
-"""
-    )
-
-
-def _unicode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    fx = spark.createDataFrame(
-        [(i, "planted", t) for i, t in _Q117_FIXTURE],
-        "doc_id long, source string, text string",
-    )
-    return docs.select("doc_id", "source", "text").unionByName(fx)
-
-
-@query("q128_bpe_train_unicode", _q128_oracle())
-def q128_bpe_train_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_paper_implementation_spark.functions.text import tokens_unicode
-    from mapreduce_paper_implementation_spark.operators.tokenizer import (
-        bpe_merges_from_wordfreq,
-    )
-
-    corpus = _unicode_corpus(spark, sf_dir)
-    wc = (
-        corpus.select(F.explode(tokens_unicode("text")).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("freq"))
-    )
-    return bpe_merges_from_wordfreq(wc, _Q128_MERGES)
-
-
-@query("q129_unicode_segment", _q129_oracle())
-def q129_unicode_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_paper_implementation_spark.functions.text import tokens_unicode
-    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
-    from mapreduce_paper_implementation_spark.operators.tokenizer import (
-        bpe_apply_merges,
-        bpe_merges_from_wordfreq,
-    )
-
-    corpus = _unicode_corpus(spark, sf_dir)
-    # ONE corpus shuffle (the q119 discipline): swc feeds the global
-    # word-freq re-agg AND the apply join
-    swc = scoped_persist(
-        corpus.select("source", F.explode(tokens_unicode("text")).alias("w"))
-        .groupBy("source", "w")
-        .agg(F.count("*").alias("freq"))
-    )
-    wc = swc.groupBy("w").agg(F.sum("freq").cast("long").alias("freq"))
-    merges = bpe_merges_from_wordfreq(wc, _Q128_MERGES)
-    seg = scoped_persist(bpe_apply_merges(swc, merges, word_col="w"))
-    return _subword_source_stats(seg, _Q129_TOP_K)

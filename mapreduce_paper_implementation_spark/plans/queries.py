@@ -2302,3 +2302,5 @@ def q41_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # imported from this module without a circular-import trap.
 from mapreduce_paper_implementation_spark.plans import pipeline_queries  # noqa: E402,F401
 from mapreduce_paper_implementation_spark.plans import curation_queries  # noqa: E402,F401
+from mapreduce_paper_implementation_spark.plans import tokenizer_queries  # noqa: E402,F401
+from mapreduce_paper_implementation_spark.plans import release_queries  # noqa: E402,F401

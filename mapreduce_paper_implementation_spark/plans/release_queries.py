@@ -1,0 +1,950 @@
+"""Release-cut tranche queries (split from plans/curation_queries.py,
+round 13 — VERDICT r12 ask #5): the leakage-safe split and release
+pipeline. q124 (cluster-granular train/valid/test split with leak audit),
+q125 (balanced shard export via TeraSort-shaped rank striping), q126
+(residual cross-split 8-gram contamination audit, hashed-gram shuffle),
+q127 (the composed release cut: split -> lexical+semantic boundary
+decontamination -> quality cut -> balanced shards in ONE lazy pipeline).
+
+Production label/index inputs: _cc_cut_dir ($SPARK_GRAFT_CC_CUT label map)
+and operators/ann_release.py ($SPARK_GRAFT_ANN_INDEX trained ANN
+artifacts) — both equality-gated against their inline rebuilds.
+
+Same contract as plans/queries.py (SURVEY.md \u00a72D determinism rules); all
+oracle strings are byte-identical to their pre-split form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_paper_implementation_spark.operators.text_analysis import sql_tokens
+from mapreduce_paper_implementation_spark.plans.curation_queries import _Q103_SCORE_SQL
+from mapreduce_paper_implementation_spark.plans.queries import query
+from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Q124 leakage-safe train/valid/test split — the cluster-granular upgrade
+# of q56's doc-granular hash split. A near-dup PAIR straddling the
+# train/eval boundary is memorization leakage (the same failure family
+# q55/q116 decontaminate against, arising INSIDE one corpus): q56's rule
+# hashes each doc independently, so ~2 x split-share of near-dup pairs
+# straddle. The fix is standard (split at the deduplication-cluster
+# granularity): assign every doc the SPLIT OF ITS CLUSTER — cluster id =
+# min doc_id of its q41 connected component, singletons their own id —
+# so members travel together and cluster_leak_pairs is structurally zero.
+# The output reports both rules side by side: doc_leak_pairs (what q56
+# would have leaked, nonzero by construction whenever near-dup pairs
+# exist) vs cluster_leak_pairs (pinned 0 per split by BOTH engines).
+#
+# Scale shape: composes three proven paths — the q20/q41 banded pair graph
+# + iterative min-label CC (inverted-index joins, never all-pairs), the
+# q56 map-only md5 split arithmetic (one expression tree, shared via
+# split_of/sql_split per §8.27), and the q109 leak-join discipline (the
+# DERIVED pair set broadcasts; the corpus-sized labeled map streams —
+# never the reverse). Per-split stats are one bounded partial/final agg.
+#
+# Oracle: the SAME recursive-CTE closure q41 gates against
+# (plans/queries.py:Q41_GRAPH_CTES, shared text), then the same split
+# CASE and leak counts — exact integers and strings end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def _q124_oracle() -> str:
+    from mapreduce_paper_implementation_spark.operators.serving import sql_split
+    from mapreduce_paper_implementation_spark.plans.queries import Q41_GRAPH_CTES
+
+    return f"""
+WITH {Q41_GRAPH_CTES},
+assign AS MATERIALIZED (
+  SELECT d.doc_id, len({sql_tokens('text')}) AS tc,
+         COALESCE(r.component, d.doc_id) AS cluster_id,
+         r.id IS NOT NULL AS is_dup
+  FROM documents d LEFT JOIN rec r ON r.id = d.doc_id
+),
+labeled AS MATERIALIZED (
+  SELECT doc_id, tc, cluster_id, is_dup,
+         {sql_split('cluster_id')} AS split_c,
+         {sql_split('doc_id')} AS split_d
+  FROM assign
+),
+stats AS (
+  SELECT split_c AS split,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tc) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+  FROM labeled GROUP BY 1
+),
+pl AS MATERIALIZED (
+  SELECT la.split_c AS ca, lb.split_c AS cb, la.split_d AS da, lb.split_d AS db
+  FROM pairs p JOIN labeled la ON la.doc_id = p.id_a
+               JOIN labeled lb ON lb.doc_id = p.id_b
+),
+leak_c AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT ca AS split FROM pl WHERE ca <> cb
+    UNION ALL SELECT cb AS split FROM pl WHERE ca <> cb
+  ) GROUP BY 1
+),
+leak_d AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT da AS split FROM pl WHERE da <> db
+    UNION ALL SELECT db AS split FROM pl WHERE da <> db
+  ) GROUP BY 1
+)
+SELECT s.split, s.n_docs, s.n_tokens, s.n_clusters, s.n_dup_docs,
+       COALESCE(c.n, 0) AS cluster_leak_pairs,
+       COALESCE(d.n, 0) AS doc_leak_pairs
+FROM stats s LEFT JOIN leak_c c ON c.split = s.split
+             LEFT JOIN leak_d d ON d.split = s.split
+ORDER BY s.split
+"""
+
+
+def _cc_cut_dir() -> str | None:
+    """Resolve the SPARK_GRAFT_CC_CUT release-cut directory, or None when
+    unset. A SET-BUT-MISSING path RAISES (round-13 ADVICE fix): before, a
+    typo'd/stale path silently flipped the label source back to the inline
+    rebuild — production would re-cluster (slow) or, worse, diverge from
+    the published labels without any signal. Misconfiguration should be
+    loud; "no cut published" is spelled by UNSETTING the var."""
+    import os as _os
+
+    cut = _os.environ.get("SPARK_GRAFT_CC_CUT")
+    if not cut:
+        return None
+    if not _os.path.isdir(cut):
+        raise FileNotFoundError(
+            f"SPARK_GRAFT_CC_CUT is set to {cut!r} but no such directory "
+            "exists — refusing to fall back to the inline CC rebuild "
+            "silently; unset the var to opt into the inline label build"
+        )
+    return cut
+
+
+def _split_labels(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The (id, component) near-dup cluster label map the q124/q126 split
+    rides on. PRODUCTION DEFAULT (VERDICT r11 #1): read the MATERIALIZED
+    release cut — the label table streaming/cc_index.py maintains
+    incrementally and a release publishes — when one is exported via the
+    SPARK_GRAFT_CC_CUT env var (a parquet dir of (id, component) rows for
+    THIS corpus; the publisher owns that match; set-but-missing raises,
+    see _cc_cut_dir). Fallback: rebuild inline (banded pair graph +
+    iterative min-label CC). The two inputs yield bit-identical
+    assignments whenever the label tables agree — scripts/bench_q124_cut.py
+    asserts it and prices the gap (0.39 s cut vs 5.9 s inline at sf0.1);
+    tests/test_round12_additions.py gates the env-var path end-to-end."""
+    from mapreduce_paper_implementation_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from mapreduce_paper_implementation_spark.operators.graph import (
+        connected_components,
+    )
+
+    cut = _cc_cut_dir()
+    if cut:
+        return spark.read.parquet(cut)
+    return connected_components(ngram_jaccard_pairs(docs, threshold=0.1))
+
+
+@query("q124_leakage_safe_split", _q124_oracle())
+def q124_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+    from mapreduce_paper_implementation_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        cluster_split_assign,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # pairs feeds BOTH the component closure and the leak joins; labeled
+    # feeds the stats agg and both leak joins (the q97 recompute class).
+    # NOTE the leak joins need the PAIR GRAPH regardless of where the
+    # labels come from, so q124 always builds pairs; only the label map
+    # itself defaults to the release cut (_split_labels).
+    pairs = scoped_persist(ngram_jaccard_pairs(docs, threshold=0.1))
+    # gate on the SAME resolver _split_labels uses (round-13 ADVICE fix:
+    # the old env-var-only check disagreed with _split_labels' isdir test
+    # in the set-but-missing case — now that case raises in both)
+    if _cc_cut_dir():
+        cc = _split_labels(spark, docs)
+    else:
+        from mapreduce_paper_implementation_spark.operators.graph import (
+            connected_components,
+        )
+
+        # reuse the PERSISTED pairs frame for the closure (not
+        # _split_labels, which would rebuild the pair graph from scratch)
+        cc = connected_components(pairs)
+    # the assignment tail is operators/serving.py:cluster_split_assign —
+    # shared with the streaming cluster_split_view over maintained CC labels
+    labeled = scoped_persist(cluster_split_assign(docs, cc))
+    stats = labeled.groupBy(F.col("split_c").alias("split")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("tc").cast("long").alias("n_tokens"),
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_dup_docs"),
+    )
+    # leak joins: broadcast the DERIVED pair set, stream the corpus-sized
+    # labeled map (the q109 discipline — never broadcast the corpus side)
+    pl = (
+        F.broadcast(pairs)
+        .join(
+            labeled.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("split_c").alias("ca"),
+                F.col("split_d").alias("da"),
+            ),
+            "id_a",
+        )
+        .join(
+            labeled.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("split_c").alias("cb"),
+                F.col("split_d").alias("db"),
+            ),
+            "id_b",
+        )
+    )
+
+    def _leak(a: str, b: str) -> DataFrame:
+        return (
+            pl.where(F.col(a) != F.col(b))
+            .select(F.explode(F.array(a, b)).alias("split"))
+            .groupBy("split")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+
+    leak_c = _leak("ca", "cb").withColumnRenamed("n", "cluster_leak_pairs")
+    leak_d = _leak("da", "db").withColumnRenamed("n", "doc_leak_pairs")
+    return (
+        stats.join(leak_c, "split", "left")
+        .join(leak_d, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_tokens",
+            "n_clusters",
+            "n_dup_docs",
+            F.coalesce("cluster_leak_pairs", F.lit(0).cast("long")).alias(
+                "cluster_leak_pairs"
+            ),
+            F.coalesce("doc_leak_pairs", F.lit(0).cast("long")).alias(
+                "doc_leak_pairs"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Q125 balanced training-shard export — the WRITE side of the pipeline: after
+# curation/split/mixture, training data ships as N shards that must be (a)
+# deterministically shuffled (reproducible data order — no RNG) and (b)
+# SIZE-BALANCED (stragglers in the training loader are set by the largest
+# shard). Two standard rules compared side by side in one output:
+#
+#   hash sharding  — shard = md5-bucket(doc_id) % N: map-only, but shard
+#                    sizes are binomial (observed spread reported here);
+#   rank striping  — shard = (global rank under the md5 permutation) % N:
+#                    EXACTLY balanced (max-min <= 1 docs, pinned), at the
+#                    cost of the TeraSort-shaped two-pass rank.
+#
+# The md5 key doubles as the deterministic permutation (the "shuffle" a
+# training run needs), so rank striping hands the loader both properties.
+#
+# Scale shape: the rank side is operators/sort.py:global_rank — one range
+# exchange, per-partition local ranks, an n_partitions-row broadcast offset
+# join; NEVER a single-task row_number over the corpus (the q47/§8.7
+# discipline). The (doc_id, tc, k) projection is persisted once and feeds
+# both sharding rules; per-shard stats are bounded partial/final aggs.
+#
+# Oracle: DuckDB's naive ROW_NUMBER window is the truth (fine at oracle
+# scale — the SPARK side is the one that must never do that), same md5
+# string order (both engines emit lowercase hex, binary collation), same
+# exact-integer modulo arithmetic.
+# ---------------------------------------------------------------------------
+
+_Q125_SHARDS = 16
+
+
+def _q125_oracle(n_shards: int = _Q125_SHARDS) -> str:
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, len({sql_tokens('text')}) AS tc,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+),
+r AS (
+  SELECT tc, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rnk FROM d
+),
+stripe AS (
+  SELECT CAST((rnk - 1) % {n_shards} AS BIGINT) AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_rank,
+         CAST(SUM(tc) AS BIGINT) AS n_tokens_rank
+  FROM r GROUP BY 1
+),
+hashed AS (
+  SELECT CAST(CAST(('0x' || substr(k, 1, 8)) AS BIGINT) % {n_shards} AS BIGINT)
+           AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_hash,
+         CAST(SUM(tc) AS BIGINT) AS n_tokens_hash
+  FROM d GROUP BY 1
+)
+SELECT s.shard, s.n_docs_rank, s.n_tokens_rank,
+       COALESCE(h.n_docs_hash, 0) AS n_docs_hash,
+       COALESCE(h.n_tokens_hash, 0) AS n_tokens_hash
+FROM stripe s LEFT JOIN hashed h ON h.shard = s.shard
+ORDER BY s.shard
+"""
+
+
+@query("q125_shard_export", _q125_oracle())
+def q125_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.functions.text import token_count
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+    from mapreduce_paper_implementation_spark.operators.sort import global_rank
+
+    n = _Q125_SHARDS
+    docs = load_table(spark, sf_dir, "documents")
+    d = scoped_persist(
+        docs.select(
+            "doc_id",
+            token_count("text").alias("tc"),
+            F.md5(F.col("doc_id").cast("string")).alias("k"),
+        )
+    )
+    ranked = global_rank(d, [F.col("k"), F.col("doc_id")], rank_col="rnk")
+    stripe = (
+        ranked.groupBy(((F.col("rnk") - 1) % n).cast("long").alias("shard"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs_rank"),
+            F.sum("tc").cast("long").alias("n_tokens_rank"),
+        )
+    )
+    hash_shard = (
+        F.conv(F.substring("k", 1, 8), 16, 10).cast("bigint") % n
+    ).cast("long")
+    hashed = d.groupBy(hash_shard.alias("shard")).agg(
+        F.count("*").cast("long").alias("n_docs_hash"),
+        F.sum("tc").cast("long").alias("n_tokens_hash"),
+    )
+    # LEFT join stripe->hashed (ADVICE r11): rank striping guarantees every
+    # shard id 0..n-1 is populated, but hash sharding's binomial spread can
+    # leave a shard empty at small corpora — an inner join would then drop
+    # the stripe row and both engines would silently under-report
+    return (
+        stripe.join(hashed, "shard", "left")
+        .select(
+            "shard",
+            "n_docs_rank",
+            "n_tokens_rank",
+            F.coalesce("n_docs_hash", F.lit(0).cast("long")).alias("n_docs_hash"),
+            F.coalesce("n_tokens_hash", F.lit(0).cast("long")).alias(
+                "n_tokens_hash"
+            ),
+        )
+        .orderBy("shard")
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Q126 residual cross-split contamination audit — the MEASUREMENT that
+# closes the q124 story. q124's cluster-granular split makes NEAR-DUP-PAIR
+# leakage structurally zero, but near-dup has a threshold: sub-threshold
+# overlaps (a quoted paragraph, shared boilerplate) still cross the
+# train/eval boundary. This query measures that residue the way production
+# decontamination defines it (q55's posture, lifted to the split boundary):
+# an eval-split doc is residually contaminated iff it shares >= 1 distinct
+# 8-word shingle with ANY train-split doc. Both split rules are audited
+# side by side — (rule='cluster') the q124 assignment and (rule='doc') the
+# q56 assignment — so the cluster rule's effect on residual contamination
+# is a measured number, not an argument. What this query finds is exactly
+# what a pipeline then scrubs with the q55 gate applied at the boundary.
+#
+# Scale shape: the split assignment reuses cluster_split_assign over
+# _split_labels (DEFAULT: the materialized cc_index release cut when
+# published via SPARK_GRAFT_CC_CUT — bench_q124_cut.py prices that at
+# ~0.4 s vs 5.9 s inline at sf0.1; inline CC rebuild as fallback); the
+# 8-gram audit is an inverted-index SHUFFLE join on the xxhash64 GRAM
+# HASH (the q20 class — both sides are corpus-scale, so neither
+# broadcasts; partial aggregation collapses per-doc hits map-side; the
+# ~50-byte gram text never crosses an exchange — the q75/q86 discipline,
+# plan-pinned in tests/test_round12_additions.py). The (doc, gram-hash,
+# splits) frame is persisted once and feeds all four rule branches.
+#
+# Oracle: q41's shared closure CTEs + the shared split CASE + the same
+# 8-gram construction and set-semantics joins ON GRAM TEXT — integers and
+# strings only, which makes the gate double as the xxhash64 collision
+# audit (engine counts hashed grams, oracle counts the strings).
+# ---------------------------------------------------------------------------
+
+_Q126_N = 8
+
+
+def _q126_oracle(n: int = _Q126_N) -> str:
+    from mapreduce_paper_implementation_spark.operators.serving import sql_split
+    from mapreduce_paper_implementation_spark.plans.queries import Q41_GRAPH_CTES
+
+    toks = sql_tokens("text")
+    return f"""
+WITH {Q41_GRAPH_CTES},
+assign AS MATERIALIZED (
+  SELECT d.doc_id, COALESCE(r.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN rec r ON r.id = d.doc_id
+),
+labeled AS MATERIALIZED (
+  SELECT doc_id, {sql_split('cluster_id')} AS split_c,
+         {sql_split('doc_id')} AS split_d
+  FROM assign
+),
+sh8 AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      range(1, greatest(len({toks}) - {n - 2}, 1)),
+      i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')
+    ))) AS shingle
+  FROM documents
+  WHERE len({toks}) >= {n}
+),
+shl AS MATERIALIZED (
+  SELECT s.doc_id, s.shingle, l.split_c, l.split_d
+  FROM sh8 s JOIN labeled l ON l.doc_id = s.doc_id
+),
+branches AS (
+  SELECT 'cluster' AS rule, e.split_c AS split, e.doc_id,
+         COUNT(*) AS hits
+  FROM shl e
+  JOIN (SELECT DISTINCT shingle FROM shl WHERE split_c = 'train') t
+    ON t.shingle = e.shingle
+  WHERE e.split_c <> 'train'
+  GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT 'doc', e.split_d, e.doc_id, COUNT(*)
+  FROM shl e
+  JOIN (SELECT DISTINCT shingle FROM shl WHERE split_d = 'train') t
+    ON t.shingle = e.shingle
+  WHERE e.split_d <> 'train'
+  GROUP BY 1, 2, 3
+),
+members AS (
+  SELECT 'cluster' AS rule, split_c AS split,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM labeled WHERE split_c <> 'train' GROUP BY 1, 2
+  UNION ALL
+  SELECT 'doc', split_d, CAST(COUNT(*) AS BIGINT)
+  FROM labeled WHERE split_d <> 'train' GROUP BY 1, 2
+)
+SELECT m.rule, m.split, m.n_docs,
+       CAST(COALESCE(b.contaminated_docs, 0) AS BIGINT) AS contaminated_docs,
+       CAST(COALESCE(b.shared_8gram_hits, 0) AS BIGINT) AS shared_8gram_hits
+FROM members m
+LEFT JOIN (
+  SELECT rule, split, COUNT(*) AS contaminated_docs, SUM(hits) AS shared_8gram_hits
+  FROM branches GROUP BY 1, 2
+) b ON b.rule = m.rule AND b.split = m.split
+ORDER BY m.rule, m.split
+"""
+
+
+@query("q126_residual_contamination", _q126_oracle())
+def q126_residual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q126_frame(spark, sf_dir, hashed=True)
+
+
+def _q126_frame(spark: SparkSession, sf_dir: str, hashed: bool) -> DataFrame:
+    """q126 body with the gram-key representation as a knob: hashed=True is
+    the REGISTERED production shape (xxhash64 keys cross the shuffle);
+    hashed=False keeps the raw gram text as the join key — kept ONLY for
+    scripts/bench_q126_hash.py to price the delta (wall + shuffle bytes)
+    honestly. Results are identical unless xxhash64 collides, which the
+    text-joined DuckDB oracle would catch."""
+    from mapreduce_paper_implementation_spark.functions.text import word_shingles
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        cluster_split_assign,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # labeled feeds the shingle join AND both rules' member counts; without
+    # the persist each consumer replays the whole label build. The label
+    # map itself defaults to the MATERIALIZED release cut when published
+    # (_split_labels; inline CC rebuild as fallback).
+    labeled = scoped_persist(
+        cluster_split_assign(docs, _split_labels(spark, docs)).select(
+            "doc_id", "split_c", "split_d"
+        )
+    )
+    # HASHED gram key (VERDICT r11 #1, the q75/q86 discipline): the
+    # inverted-index join is corpus-scale on BOTH sides, so the shuffle
+    # must move the fixed-width xxhash64 of the 8-gram, never the ~50-byte
+    # gram TEXT — the string is projected away before any exchange. The
+    # DuckDB oracle keeps joining on gram TEXT, so the value-hash gate
+    # doubles as the hash-collision audit (a colliding pair of distinct
+    # grams would inflate a count and break the gate).
+    sh8 = docs.select(
+        "doc_id", F.explode(word_shingles("text", _Q126_N)).alias("shingle")
+    ).select(
+        "doc_id",
+        (F.xxhash64("shingle") if hashed else F.col("shingle")).alias("gh"),
+    )
+    # one (doc, gram-hash, splits) frame feeds the train-set build AND the
+    # eval probe of BOTH rules (the q97 recompute class)
+    shl = scoped_persist(sh8.join(labeled, "doc_id"))
+
+    def branch(rule: str, col: str):
+        train = shl.where(F.col(col) == "train").select("gh").distinct()
+        hits = (
+            shl.where(F.col(col) != "train")
+            .join(train, "gh")
+            .groupBy(F.col("doc_id"), F.col(col).alias("split"))
+            .agg(F.count("*").alias("hits"))
+        )
+        agg = hits.groupBy("split").agg(
+            F.count("*").cast("long").alias("contaminated_docs"),
+            F.sum("hits").cast("long").alias("shared_8gram_hits"),
+        )
+        members = (
+            labeled.where(F.col(col) != "train")
+            .groupBy(F.col(col).alias("split"))
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .select(F.lit(rule).alias("rule"), "split", "n_docs")
+        )
+        return members.join(agg, "split", "left").select(
+            "rule",
+            "split",
+            "n_docs",
+            F.coalesce("contaminated_docs", F.lit(0).cast("long")).alias(
+                "contaminated_docs"
+            ),
+            F.coalesce("shared_8gram_hits", F.lit(0).cast("long")).alias(
+                "shared_8gram_hits"
+            ),
+        )
+
+    return (
+        branch("cluster", "split_c")
+        .unionByName(branch("doc", "split_d"))
+        .orderBy("rule", "split")
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Q127 composed release cut (VERDICT r11 #3) — ONE lazy pipeline running
+# the production release path end-to-end off the cluster label map, so
+# cross-operator drift (the residual untested surface after every stage
+# went individually hash-green) is itself gated:
+#
+#   q124 split        — cluster-granular assignment over _split_labels
+#                       (release-cut default, inline CC fallback);
+#   q55-lifted gate   — LEXICAL decontamination at the train/eval
+#                       boundary: train docs sharing >= 1 distinct 8-gram
+#                       with ANY valid/test doc are scrubbed (the q126
+#                       hashed-gram inverted-index join — both sides
+#                       corpus-scale, xxhash64 keys, text never shuffles);
+#   q116-lifted gate  — SEMANTIC decontamination at the same boundary:
+#                       train docs with cosine >= 0.35 to a valid/test
+#                       vector within shared trained k-means cells
+#                       (q29/q72/q116's exact index build + decontam_probe
+#                       tail, eval side broadcast);
+#   q103 quality cut  — per-source bottom-quartile drop over the SURVIVING
+#                       train docs (exact histogram threshold, no per-doc
+#                       sort);
+#   q125 shard export — per-split rank striping under the md5 permutation
+#                       into _Q127_SHARDS balanced shards (global_rank +
+#                       per-split offset arithmetic — one range exchange,
+#                       NEVER a per-split single-task window).
+#
+# Valid/test pass through unscrubbed and uncut BY DESIGN: the eval sets
+# must stay fixed; the gates remove the TRAIN-side members that would
+# memorize them (q55's posture at the split boundary).
+#
+# Output grain: (split, shard) with exact docs/tokens, plus the per-split
+# scrub/cut ledger (lexical, semantic, union, quality — zeros off-train).
+#
+# Oracle: the composition of the proven fragments — Q41_GRAPH_CTES (the
+# recursive closure q124 gates against), _ivf_build_ctes + the q116 candk
+# extension (the identical Lloyd unroll), the q126-style 8-gram audit ON
+# GRAM TEXT (collision audit for the engine's xxhash64 keys), q103's
+# histogram-threshold CTEs, and q125's naive ROW_NUMBER striping — exact
+# integers and strings end-to-end.
+#
+# Scale shape: every stage is a proven 100-TB shape reused verbatim; the
+# only new plumbing is the per-split offset arithmetic (a <=3-row
+# broadcast) and the scrub ledger (single-row broadcast crossJoin, the
+# kmeans-centroid class).
+# ---------------------------------------------------------------------------
+
+_Q127_SHARDS = 4
+_Q127_SEM_THRESHOLD = 0.35
+_Q127_NASSIGN = 2
+_Q127_CELLS = 16
+
+
+def _q127_oracle() -> str:
+    from mapreduce_paper_implementation_spark.operators.serving import sql_split
+    from mapreduce_paper_implementation_spark.plans.queries import (
+        Q41_GRAPH_CTES,
+        _ivf_build_ctes,
+    )
+
+    toks = sql_tokens("text")
+    n = _Q126_N
+    nsh = _Q127_SHARDS
+    ctes = [Q41_GRAPH_CTES]
+    ctes += _ivf_build_ctes(_Q127_CELLS, 2)
+    ctes.append(
+        f"""candk AS (
+  SELECT vv.vec_id, vv.vec, vv.nrm, a.cell
+  FROM vv JOIN assigned a ON a.vec_id = vv.vec_id AND a.cell_rank <= {_Q127_NASSIGN}
+)"""
+    )
+    ctes.append(
+        f"""lab AS MATERIALIZED (
+  SELECT d.doc_id, len({toks}) AS tc,
+         {sql_split('COALESCE(r.component, d.doc_id)')} AS split
+  FROM documents d LEFT JOIN rec r ON r.id = d.doc_id
+)"""
+    )
+    ctes.append(
+        f"""g8 AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      range(1, greatest(len({toks}) - {n - 2}, 1)),
+      i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')
+    ))) AS gram
+  FROM documents
+  WHERE len({toks}) >= {n}
+)"""
+    )
+    ctes.append(
+        """g8l AS MATERIALIZED (
+  SELECT g.doc_id, g.gram, l.split FROM g8 g JOIN lab l USING (doc_id)
+)"""
+    )
+    ctes.append(
+        """lexbad AS MATERIALIZED (
+  SELECT DISTINCT t.doc_id
+  FROM g8l t
+  JOIN (SELECT DISTINCT gram FROM g8l WHERE split <> 'train') e USING (gram)
+  WHERE t.split = 'train'
+)"""
+    )
+    ctes.append(
+        """ck AS MATERIALIZED (
+  SELECT c.vec_id, c.vec, c.nrm, c.cell, l.split
+  FROM candk c JOIN lab l ON l.doc_id = c.vec_id
+)"""
+    )
+    ctes.append(
+        f"""sembad AS MATERIALIZED (
+  SELECT DISTINCT t.vec_id AS doc_id
+  FROM ck t JOIN ck e ON t.cell = e.cell
+  WHERE t.split = 'train' AND e.split <> 'train'
+    AND CAST(ROUND(list_dot_product(t.vec, e.vec) / (t.nrm * e.nrm), 6)
+             AS DECIMAL(9,6)) >= {_Q127_SEM_THRESHOLD}
+)"""
+    )
+    ctes.append(
+        """scrub AS MATERIALIZED (
+  SELECT doc_id FROM lexbad UNION SELECT doc_id FROM sembad
+)"""
+    )
+    ctes.append(
+        """tclean AS MATERIALIZED (
+  SELECT l.doc_id, l.tc, l.split FROM lab l
+  WHERE l.split = 'train' AND l.doc_id NOT IN (SELECT doc_id FROM scrub)
+)"""
+    )
+    ctes.append(
+        f"""scored2 AS MATERIALIZED (
+  SELECT d.doc_id, d.source, {_Q103_SCORE_SQL} AS q
+  FROM documents d JOIN tclean tcl ON tcl.doc_id = d.doc_id
+)"""
+    )
+    ctes.append(
+        "hist2 AS (SELECT source, q, COUNT(*) AS c FROM scored2 GROUP BY source, q)"
+    )
+    ctes.append(
+        "cnt2 AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM hist2 GROUP BY source)"
+    )
+    ctes.append(
+        """cum2 AS (
+  SELECT source, q, SUM(c) OVER (PARTITION BY source ORDER BY q) AS cum
+  FROM hist2
+)"""
+    )
+    ctes.append(
+        """thr2 AS (
+  SELECT cum2.source, MIN(q) AS threshold
+  FROM cum2 JOIN cnt2 ON cum2.source = cnt2.source
+  WHERE cum >= n // 4 + 1
+  GROUP BY cum2.source
+)"""
+    )
+    ctes.append(
+        """tkept AS MATERIALIZED (
+  SELECT s2.doc_id
+  FROM scored2 s2 JOIN thr2 t ON s2.source = t.source AND s2.q >= t.threshold
+)"""
+    )
+    ctes.append(
+        """final AS MATERIALIZED (
+  SELECT l.doc_id, l.tc, l.split
+  FROM lab l JOIN tkept k ON k.doc_id = l.doc_id
+  UNION ALL
+  SELECT doc_id, tc, split FROM lab WHERE split <> 'train'
+)"""
+    )
+    ctes.append(
+        f"""shards AS (
+  SELECT split,
+         CAST((ROW_NUMBER() OVER (
+            PARTITION BY split
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % {nsh}
+           AS BIGINT) AS shard,
+         tc
+  FROM final
+)"""
+    )
+    ctes.append(
+        """pershard AS (
+  SELECT split, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tc) AS BIGINT) AS n_tokens
+  FROM shards GROUP BY split, shard
+)"""
+    )
+    ctes.append(
+        """scrubn AS (
+  SELECT (SELECT COUNT(*) FROM lexbad) AS lex_n,
+         (SELECT COUNT(*) FROM sembad) AS sem_n,
+         (SELECT COUNT(*) FROM scrub) AS tot_n,
+         (SELECT COUNT(*) FROM tclean) - (SELECT COUNT(*) FROM tkept) AS qual_n
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT p.split, p.shard, p.n_docs, p.n_tokens,
+       CAST(CASE WHEN p.split = 'train' THEN s.lex_n ELSE 0 END AS BIGINT)
+         AS n_scrubbed_lex,
+       CAST(CASE WHEN p.split = 'train' THEN s.sem_n ELSE 0 END AS BIGINT)
+         AS n_scrubbed_sem,
+       CAST(CASE WHEN p.split = 'train' THEN s.tot_n ELSE 0 END AS BIGINT)
+         AS n_scrubbed_total,
+       CAST(CASE WHEN p.split = 'train' THEN s.qual_n ELSE 0 END AS BIGINT)
+         AS n_quality_dropped
+FROM pershard p CROSS JOIN scrubn s
+ORDER BY p.split, p.shard
+"""
+    )
+
+
+def release_cut_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The q127 pipeline down to its two product frames (round-13 refactor
+    for the shard exporter — sources/release_export.py writes these as the
+    artifact a training loader mounts):
+
+      perdoc — one (doc_id, tc, split, shard) row per RELEASED doc (train
+        docs that survived the boundary scrub + quality cut, all
+        valid/test docs), shard = balanced rank stripe within the split;
+      ledger — ONE row (lex_n, sem_n, tot_n, qual_n): the scrub/cut
+        counts over the train side.
+
+    q127 itself is exactly `perdoc.groupBy(split, shard).agg(...)` crossed
+    with the ledger, so exported shard files, the counts manifest, and the
+    hash-gated query all derive from ONE lineage and cannot disagree."""
+    from mapreduce_paper_implementation_spark.functions.text import word_shingles
+    from mapreduce_paper_implementation_spark.functions.vectors import norm
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+    from mapreduce_paper_implementation_spark.operators.dedup import (
+        assign_cells,
+        decontam_probe,
+    )
+    from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        cluster_split_assign,
+        quartile_threshold,
+    )
+    from mapreduce_paper_implementation_spark.operators.sort import global_rank
+    from mapreduce_paper_implementation_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # STAGE-BOUNDARY LINEAGE CUTS: this query composes five already-deep
+    # pipelines, and a single lazy tree over all of them makes CATALYST
+    # the bottleneck — every downstream action (broadcast builds, the
+    # range-sampling job inside global_rank, the final agg) re-analyzes
+    # the whole nested plan, measured at ~17 s of pure planning overhead
+    # in the rank phase alone at sf0.1. localCheckpoint at each stage
+    # boundary truncates the plan the next stage sees (the q41/q74/bfs
+    # per-round discipline applied at the composition grain); the frames
+    # cut are all corpus-bounded label/id tables, never gram or vector
+    # frames. scoped_persist still covers the multi-consumer frames
+    # WITHIN a stage (g8l, assigned, scored, hist).
+
+    # --- q124 split over the release-cut label map (inline fallback) ---
+    lab = (
+        cluster_split_assign(docs, _split_labels(spark, docs))
+        .select("doc_id", "tc", F.col("split_c").alias("split"))
+        .localCheckpoint()
+    )
+
+    # --- lexical boundary gate (q126's hashed-gram discipline) ---
+    g8l = scoped_persist(
+        docs.select(
+            "doc_id", F.explode(word_shingles("text", _Q126_N)).alias("shingle")
+        )
+        .select("doc_id", F.xxhash64("shingle").alias("gh"))
+        .join(lab.select("doc_id", "split"), "doc_id")
+    )
+    evg = g8l.where(F.col("split") != "train").select("gh").distinct()
+    lex_bad = (
+        g8l.where(F.col("split") == "train")
+        .join(evg, "gh")
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint()
+    )
+
+    # --- semantic boundary gate (q116's index + probe, boundary eval) ---
+    # coarse centroids default to the published ANN release index
+    # (VERDICT r12 #1; same 16-cell geometry as q116/q118) — inline
+    # kmeans_fit is the self-contained fallback, bit-identical
+    from mapreduce_paper_implementation_spark.operators.ann_release import (
+        published_ann_index,
+    )
+
+    _idx = published_ann_index(spark) or {}
+    centroids = _idx.get("centroids")
+    if centroids is None:
+        centroids = kmeans_fit(emb, k=_Q127_CELLS, max_iter=2, tol=0.0)
+    assigned = scoped_persist(
+        assign_cells(emb, centroids, nassign=_Q127_NASSIGN)
+        .withColumn("nrm", norm(F.col("vec")))
+        .join(
+            lab.select(F.col("doc_id").alias("id"), "split"), "id"
+        )
+    )
+    ev = assigned.where(F.col("split") != "train").select(
+        "cell",
+        F.col("id").alias("eval_id"),
+        F.col("vec").alias("e_vec"),
+        F.col("nrm").alias("e_nrm"),
+    )
+    tr = assigned.where(F.col("split") == "train")
+    sem_bad = (
+        decontam_probe(tr, ev, _Q127_SEM_THRESHOLD)
+        .select(F.col("vec_id").alias("doc_id"))
+        .localCheckpoint()
+    )
+
+    scrub = lex_bad.unionByName(sem_bad).distinct().localCheckpoint()
+    tclean = (
+        lab.where(F.col("split") == "train")
+        .join(scrub, "doc_id", "anti")
+        .localCheckpoint()
+    )
+
+    # --- q103 quality cut over the surviving train docs ---
+    scored = scoped_persist(
+        docs.select(
+            "doc_id",
+            "source",
+            F.round(quality_score("text", "n_chars"), 6)
+            .cast("decimal(9,6)")
+            .cast("double")
+            .alias("q"),
+        ).join(tclean.select("doc_id"), "doc_id")
+    )
+    hist = scoped_persist(scored.groupBy("source", "q").agg(F.count("*").alias("c")))
+    thr = quartile_threshold(hist)
+    tkept = (
+        scored.join(F.broadcast(thr), "source")
+        .where(F.col("q") >= F.col("threshold"))
+        .select("doc_id")
+        .localCheckpoint()
+    )
+
+    # --- q125 shard export: per-split rank striping, never a per-split
+    # single-task window (global_rank over (split, k, doc_id) + per-split
+    # start offsets — a <=3-row broadcast) ---
+    final = (
+        lab.join(tkept, "doc_id")
+        .select("doc_id", "tc", "split")
+        .unionByName(lab.where(F.col("split") != "train"))
+        .withColumn("k", F.md5(F.col("doc_id").cast("string")))
+        .localCheckpoint()
+    )
+    cnts = final.groupBy("split").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("split").rowsBetween(Window.unboundedPreceding, -1)
+    offs = cnts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("split", "_off")
+    ranked = global_rank(
+        final, [F.col("split"), F.col("k"), F.col("doc_id")], rank_col="_grnk"
+    )
+    perdoc = (
+        ranked.join(F.broadcast(offs), "split")
+        .withColumn(
+            "shard",
+            ((F.col("_grnk") - F.col("_off") - 1) % _Q127_SHARDS).cast("long"),
+        )
+        .select("doc_id", "tc", "split", "shard")
+    )
+
+    # --- the scrub/cut ledger: four single-row aggregates crossJoined ---
+    lex_n = lex_bad.agg(F.count("*").cast("long").alias("lex_n"))
+    sem_n = sem_bad.agg(F.count("*").cast("long").alias("sem_n"))
+    tot_n = scrub.agg(F.count("*").cast("long").alias("tot_n"))
+    qual_n = (
+        tclean.agg(F.count("*").alias("_nc"))
+        .crossJoin(F.broadcast(tkept.agg(F.count("*").alias("_nk"))))
+        .select((F.col("_nc") - F.col("_nk")).cast("long").alias("qual_n"))
+    )
+    ledger = (
+        lex_n.crossJoin(F.broadcast(sem_n))
+        .crossJoin(F.broadcast(tot_n))
+        .crossJoin(F.broadcast(qual_n))
+    )
+    return perdoc, ledger
+
+
+@query("q127_release_cut", _q127_oracle())
+def q127_release_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    perdoc, ledger = release_cut_frames(spark, sf_dir)
+    pershard = perdoc.groupBy("split", "shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("tc").cast("long").alias("n_tokens"),
+    )
+    z = F.lit(0).cast("long")
+    is_tr = F.col("split") == "train"
+    return (
+        pershard.crossJoin(F.broadcast(ledger))
+        .select(
+            "split",
+            "shard",
+            "n_docs",
+            "n_tokens",
+            F.when(is_tr, F.col("lex_n")).otherwise(z).alias("n_scrubbed_lex"),
+            F.when(is_tr, F.col("sem_n")).otherwise(z).alias("n_scrubbed_sem"),
+            F.when(is_tr, F.col("tot_n")).otherwise(z).alias("n_scrubbed_total"),
+            F.when(is_tr, F.col("qual_n")).otherwise(z).alias("n_quality_dropped"),
+        )
+        .orderBy("split", "shard")
+    )
+
+
+

@@ -40,6 +40,13 @@ compact() folds committed assignment deltas into one baseline generation
 (same rationale as DedupIndexMaintainer.compact: without it probe cost and
 file-handle count grow with batch count forever).
 
+Release publishing (round 13): query-side consumers (q116/q118/q127's
+semantic stage) read a published release index via operators/
+ann_release.py ($SPARK_GRAFT_ANN_INDEX — centroids/codebooks/cells/
+codes). This maintainer keeps the centroids and cell assignments current
+between cuts; a release job runs publish_ann_index over the vector store
+(or the maintainer's compacted cells()) to snapshot them.
+
 Scale note: scoring uses the same tiled-GEMM kernel as the batch operator
 (one BLAS tile per (cell, L-block, R-block)); BENCH_INGEST.json records the
 per-batch cost curve — the per-pair JVM-expression formulation measured

@@ -196,10 +196,28 @@ class ContaminationIndexMaintainer:
     def update(self, docs: DataFrame, batch_id: int) -> DataFrame | None:
         """Fold one batch into the index and emit the output delta (new
         eval docs + retroactively re-emitted prior eval docs). Idempotent:
-        a batch id at or below the committed pointer is a no-op -> None."""
+        a REPLAY of an already-ingested batch id is a no-op -> None.
+
+        Round-13 ADVICE fix: replay is distinguished from a NEVER-SEEN id
+        at or below the pointer (out-of-order delivery after a skipped id,
+        e.g. batches 1,3 committed then 2 arrives). The old blanket no-op
+        silently dropped that batch's docs from the index forever; now it
+        raises — the ingest source must issue batch ids monotonically (the
+        dedup_index/gram_index contract), and a violation is a bug at the
+        source, not data to swallow."""
         committed = self._committed_version()
         if committed is not None and committed >= batch_id:
-            return None
+            if os.path.isdir(self._batch_dir(batch_id, "eval_grams")) or (
+                self._baseline_version() is not None
+                and batch_id <= self._baseline_version()
+            ):
+                return None  # genuine replay of a committed batch
+            raise ValueError(
+                f"batch_id {batch_id} is at or below the committed pointer "
+                f"({committed}) but was never ingested (no batch dir) — "
+                "refusing the silent no-op that would drop this batch's "
+                "docs; batch ids must be issued monotonically"
+            )
 
         grams = self._gram_frame(docs)
         grams.where(F.col("split") != "train").write.mode("overwrite").parquet(

@@ -53,7 +53,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from mapreduce_paper_implementation_spark.functions.text import word_shingles
-    from mapreduce_paper_implementation_spark.plans.curation_queries import (
+    from mapreduce_paper_implementation_spark.plans.release_queries import (
         _Q126_N,
         _q126_frame,
     )

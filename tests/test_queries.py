@@ -22,10 +22,14 @@ def test_query_matches_oracle(spark, oracle, sf_dir, name):
     assert res.ok, f"{name}: {res.detail}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_query_runs(spark, sf_dir, name):
-    df = QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
+def test_rows_only_class_is_empty():
+    """Every registered query has been oracle-backed since round 12; this
+    pins the class EMPTY (replacing the vestigial empty parametrize that
+    produced the suite's only skip — VERDICT r12 nit #1). If a genuinely
+    non-SQL-expressible query ever lands, this fails loudly: re-add a
+    rows-only runtime check for it AND extend the allowlist in
+    tests/test_artifact_freshness.py::test_oracle_contract_is_total."""
+    assert ROWS_ONLY == []
 
 
 def test_entry_smoke(spark):

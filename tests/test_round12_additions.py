@@ -96,7 +96,7 @@ def test_q127_shard_domain_and_balance(spark, sf_dir):
     shard ids when global_rank's window and counts branches re-evaluated
     the range exchange with different sampled boundaries — and rank
     striping keeps every split's shards balanced to max-min <= 1."""
-    from mapreduce_paper_implementation_spark.plans.curation_queries import (
+    from mapreduce_paper_implementation_spark.plans.release_queries import (
         _Q127_SHARDS,
     )
 
@@ -188,7 +188,7 @@ def test_q125_left_join_keeps_empty_hash_shards(spark):
     populated but all rank stripes with rows must still appear."""
     import duckdb
 
-    from mapreduce_paper_implementation_spark.plans.curation_queries import (
+    from mapreduce_paper_implementation_spark.plans.release_queries import (
         _q125_oracle,
     )
 
