@@ -98,7 +98,18 @@ shard) docs/tokens plus the scrub ledger — the cross-operator-drift
 gate); q128/q129 are the multilingual tokenizer twins (BPE training and
 corpus segmentation over Unicode \\p{L} tokens of the corpus UNIONed
 with q117's planted fixture, under the sentinel symbol regex — the
-train->apply loop generalized past ASCII).
+train->apply loop generalized past ASCII); q130/q131 complete the
+multilingual ladder for the UNIGRAM family (q122's hash-gated
+seed-vocabulary greedy apply and q123's trained-apply invariant readout
+over the same unicode union corpus — round 13). Round 13 also adds the
+production artifact surfaces around these queries: the published ANN
+release index (operators/ann_release.py, $SPARK_GRAFT_ANN_INDEX — q118/
+q116/q127 read trained centroids/codebooks/cells/codes instead of
+retraining inline, bit-identical), the q127 shard exporter
+(sources/release_export.py — per-(split,shard) parquet + counts/ledger
+manifest behind an atomic pointer), and the incremental release-cut view
+(streaming/release_view.py — q127 served from maintained state, equal to
+the one-shot after every ingest batch).
 ALL queries are DuckDB-oracle-backed (since round 12) — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design), and q121/q123,

@@ -95,7 +95,18 @@ def cluster_split_assign(docs: DataFrame, labels: DataFrame | None) -> DataFrame
     production pins splits at release cuts, it does not stream them."""
     from mapreduce_paper_implementation_spark.functions.text import token_count
 
-    base = docs.select("doc_id", token_count("text").alias("tc"))
+    return cluster_split_assign_from_tc(
+        docs.select("doc_id", token_count("text").alias("tc")), labels
+    )
+
+
+def cluster_split_assign_from_tc(
+    base: DataFrame, labels: DataFrame | None
+) -> DataFrame:
+    """cluster_split_assign from a precomputed (doc_id, tc) frame — the
+    entry streaming/release_view.py uses (its doc-meta state stores tc at
+    ingest, so the view never re-tokenizes the corpus). Same expression
+    tree as cluster_split_assign: the batch path is a thin wrapper."""
     if labels is None:
         labeled = base.select(
             "doc_id", "tc", F.col("doc_id").alias("cluster_id"),

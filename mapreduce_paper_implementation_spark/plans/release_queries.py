@@ -748,7 +748,10 @@ ORDER BY p.split, p.shard
 
 
 def release_cut_frames(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    emb: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The q127 pipeline down to its two product frames (round-13 refactor
     for the shard exporter — sources/release_export.py writes these as the
@@ -780,8 +783,13 @@ def release_cut_frames(
         quality_score,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    # docs/emb overrides: tests pass seen-corpus SUBSETS so the one-shot
+    # cut can be compared against the incremental release view after
+    # every ingest batch (streaming/release_view.py's equality gate)
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    if emb is None:
+        emb = load_table(spark, sf_dir, "embeddings")
 
     # STAGE-BOUNDARY LINEAGE CUTS: this query composes five already-deep
     # pipelines, and a single lazy tree over all of them makes CATALYST
@@ -851,6 +859,42 @@ def release_cut_frames(
         .localCheckpoint()
     )
 
+    score_frame = docs.select(
+        "doc_id",
+        "source",
+        F.round(quality_score("text", "n_chars"), 6)
+        .cast("decimal(9,6)")
+        .cast("double")
+        .alias("q"),
+    )
+    return _release_cut_tail(lab, lex_bad, sem_bad, score_frame)
+
+
+def _release_cut_tail(
+    lab: DataFrame,
+    lex_bad: DataFrame,
+    sem_bad: DataFrame,
+    score_frame: DataFrame,
+    n_shards: int = _Q127_SHARDS,
+) -> tuple[DataFrame, DataFrame]:
+    """The composition-invariant back half of the release cut — scrub
+    union, train survivors, q103 quality cut, q125 rank striping, scrub
+    ledger — SHARED by the one-shot q127 (inputs built from the corpus
+    tables) and streaming/release_view.py (inputs built from maintained
+    state): ONE expression tree, so the served view and the hash-gated
+    query cannot drift in the tail (the cluster_split_assign discipline
+    applied at the composition grain).
+
+    Inputs: lab (doc_id, tc, split — materialized), lex_bad / sem_bad
+    (doc_id — the boundary scrub sets), score_frame (doc_id, source, q —
+    quality scores; joined to the surviving train docs inside, so callers
+    pass the full lazy frame and only survivors are ever scored/kept)."""
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
+    from mapreduce_paper_implementation_spark.operators.serving import (
+        quartile_threshold,
+    )
+    from mapreduce_paper_implementation_spark.operators.sort import global_rank
+
     scrub = lex_bad.unionByName(sem_bad).distinct().localCheckpoint()
     tclean = (
         lab.where(F.col("split") == "train")
@@ -859,16 +903,7 @@ def release_cut_frames(
     )
 
     # --- q103 quality cut over the surviving train docs ---
-    scored = scoped_persist(
-        docs.select(
-            "doc_id",
-            "source",
-            F.round(quality_score("text", "n_chars"), 6)
-            .cast("decimal(9,6)")
-            .cast("double")
-            .alias("q"),
-        ).join(tclean.select("doc_id"), "doc_id")
-    )
+    scored = scoped_persist(score_frame.join(tclean.select("doc_id"), "doc_id"))
     hist = scoped_persist(scored.groupBy("source", "q").agg(F.count("*").alias("c")))
     thr = quartile_threshold(hist)
     tkept = (
@@ -900,7 +935,7 @@ def release_cut_frames(
         ranked.join(F.broadcast(offs), "split")
         .withColumn(
             "shard",
-            ((F.col("_grnk") - F.col("_off") - 1) % _Q127_SHARDS).cast("long"),
+            ((F.col("_grnk") - F.col("_off") - 1) % n_shards).cast("long"),
         )
         .select("doc_id", "tc", "split", "shard")
     )

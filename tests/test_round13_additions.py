@@ -254,6 +254,95 @@ def test_unicode_trained_segment_matches_python_replay(spark, sf_dir):
     assert non_ascii >= 10  # the planted repertoire actually exercised
 
 
+def test_release_cut_view_equals_one_shot_after_every_batch(spark, sf_dir, tmp_path):
+    """VERDICT r12 stretch #7: the incremental release-cut view (composed
+    from maintained label/gram/cell/meta state) must equal the one-shot
+    q127 over the seen corpus after EVERY ingest batch — the
+    BENCH_INGEST.topology claim at the release grain. Both sides run under
+    the same published ANN index so the frozen centroid geometry matches."""
+    from mapreduce_paper_implementation_spark.operators.ann_release import (
+        load_ann_index,
+        publish_ann_index,
+    )
+    from mapreduce_paper_implementation_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from mapreduce_paper_implementation_spark.plans.release_queries import (
+        release_cut_frames,
+    )
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+    from mapreduce_paper_implementation_spark.streaming.release_view import (
+        ReleaseCutView,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx_dir = str(tmp_path / "ann_index")
+    publish_ann_index(emb, idx_dir)
+    centroids = load_ann_index(spark, idx_dir)["centroids"]
+
+    view = ReleaseCutView(spark, str(tmp_path / "state"), centroids)
+
+    def one_shot(seen_docs, seen_emb):
+        perdoc, ledger = release_cut_frames(
+            spark, sf_dir, docs=seen_docs, emb=seen_emb
+        )
+        pershard = perdoc.groupBy("split", "shard").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tc").cast("long").alias("n_tokens"),
+        )
+        return sorted(
+            (r["split"], r["shard"], r["n_docs"], r["n_tokens"])
+            for r in pershard.collect()
+        ) + [tuple(ledger.collect()[0])]
+
+    os.environ["SPARK_GRAFT_ANN_INDEX"] = idx_dir
+    prev_pairs: set = set()
+    bounds = [(0, 170), (170, 340), (340, 10**9)]
+    try:
+        for i, (lo, hi) in enumerate(bounds, start=1):
+            in_batch = (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            seen_docs = docs.where(F.col("doc_id") < hi)
+            seen_emb = emb.where(F.col("vec_id") < hi)
+            # the batch's exact near-dup pair DELTA (pairwise jaccard is
+            # corpus-independent, so pairs(seen) only ever grows;
+            # production uses dedup_index's per-batch output instead)
+            all_pairs = {
+                (r["id_a"], r["id_b"], r["jaccard"])
+                for r in ngram_jaccard_pairs(seen_docs, threshold=0.1).collect()
+            }
+            delta = spark.createDataFrame(
+                sorted(all_pairs - prev_pairs) or [(int(-1), int(-1), 0.0)],
+                "id_a long, id_b long, jaccard double",
+            )
+            if not (all_pairs - prev_pairs):
+                delta = delta.where(F.col("id_a") >= 0)  # empty delta frame
+            prev_pairs = all_pairs
+            view.update(
+                docs.where(in_batch),
+                emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+                delta,
+                i,
+            )
+            got = view.current()
+            got_rows = sorted(
+                (r["split"], r["shard"], r["n_docs"], r["n_tokens"])
+                for r in got.collect()
+            )
+            want = one_shot(seen_docs, seen_emb)
+            assert got_rows == want[:-1], f"batch {i}: shards diverge"
+            led = got.where(F.col("split") == "train").collect()[0]
+            want_led = want[-1]
+            assert (
+                led["n_scrubbed_lex"],
+                led["n_scrubbed_sem"],
+                led["n_scrubbed_total"],
+                led["n_quality_dropped"],
+            ) == want_led, f"batch {i}: ledger diverges"
+    finally:
+        del os.environ["SPARK_GRAFT_ANN_INDEX"]
+
+
 def test_contamination_index_never_seen_low_batch_id_raises(spark, tmp_path):
     """Replay of an INGESTED batch id stays a no-op (idempotence), but a
     batch id at or below the pointer that was never ingested — the
