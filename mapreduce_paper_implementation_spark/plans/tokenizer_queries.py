@@ -4,7 +4,8 @@
 parity over a planted multilingual fixture), q121/q122/q123 (unigram-LM
 EM training, greedy longest-match apply, trained-table apply with the
 invariant audit readout), q128/q129 (multilingual BPE train->apply over
-\\p{L} tokens).
+\\p{L} tokens), q130/q131 (multilingual UNIGRAM twins — hash-gated seed
+apply + trained-apply invariant readout over the same union corpus).
 
 Same contract as plans/queries.py (SURVEY.md \u00a72D determinism rules); all
 oracle strings are byte-identical to their pre-split form (the round-13
