@@ -79,12 +79,25 @@ def test_q14_shuffles_digests_not_bodies(spark, sf_dir):
 def test_q47_no_single_partition_data_sort(spark, sf_dir):
     # distributed sort: the global rank must come from range partitioning +
     # per-partition offsets, NOT a row_number window over one partition.
-    # SinglePartition may appear only in the per-partition-counts branch
-    # (n_partitions rows); the event data itself must flow through a range
-    # exchange and a window partitioned by _pid.
+    # Since round 13 global_rank EAGERLY localCheckpoints the
+    # range-partitioned frame (boundary consistency must not ride on the
+    # cache — operators/sort.py), so the range exchange executes at
+    # checkpoint time and the downstream plan reads the checkpoint as
+    # `Scan ExistingRDD` carrying _pid. The pin therefore asserts:
+    # (a) the data window is partitioned by _pid (never an empty/global
+    #     partition spec over event rows);
+    # (b) the window's input is the checkpointed pre-partitioned scan;
+    # (c) no cartesian fallback.
     plan = _plan(spark, sf_dir, "q47_global_sort")
-    assert "rangepartitioning(value" in plan
     assert "windowspecdefinition(_pid" in plan
+    assert "Scan ExistingRDD" in plan and "_pid" in plan
+    # the only permissible global windowspec is over the bounded counts
+    # branch (offsets prefix-sum), whose input aggregates by _pid — an
+    # empty-partition window directly over event columns is the single-task
+    # sort this test exists to forbid
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line and "windowspecdefinition(_pid" not in line:
+            assert "_off" in line or "_n" in line or "rnk" in line, line
     assert "CartesianProduct" not in plan
 
 
