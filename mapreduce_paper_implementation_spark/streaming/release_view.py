@@ -166,10 +166,13 @@ class ReleaseCutView:
         return None
 
     # -- the cut -------------------------------------------------------------
-    def current(self) -> DataFrame:
-        """The q127-shaped (split, shard, n_docs, n_tokens, ledger) frame
-        over everything ingested — computed from state through the SAME
-        _release_cut_tail as the hash-gated one-shot."""
+    def frames(self) -> tuple[DataFrame, DataFrame]:
+        """(perdoc, ledger) from maintained state — the same pair
+        release_cut_frames returns from a corpus parse, so
+        sources/release_export.py:export_release writes the mountable
+        shard artifact straight off the view (maintain → cut → export
+        without ever re-reading history; equality with the one-shot
+        export pinned in tests/test_round13_additions.py)."""
         from mapreduce_paper_implementation_spark.operators.caching import (
             scoped_persist,
         )
@@ -225,13 +228,19 @@ class ReleaseCutView:
             .localCheckpoint()
         )
 
-        perdoc, ledger = _release_cut_tail(
+        return _release_cut_tail(
             lab,
             lex_bad,
             sem_bad,
             meta.select("doc_id", "source", "q"),
             n_shards=self.n_shards,
         )
+
+    def current(self) -> DataFrame:
+        """The q127-shaped (split, shard, n_docs, n_tokens, ledger) frame
+        over everything ingested — computed from state through the SAME
+        _release_cut_tail as the hash-gated one-shot."""
+        perdoc, ledger = self.frames()
         pershard = perdoc.groupBy("split", "shard").agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("tc").cast("long").alias("n_tokens"),

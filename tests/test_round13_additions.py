@@ -339,6 +339,23 @@ def test_release_cut_view_equals_one_shot_after_every_batch(spark, sf_dir, tmp_p
                 led["n_scrubbed_total"],
                 led["n_quality_dropped"],
             ) == want_led, f"batch {i}: ledger diverges"
+
+        # maintain -> cut -> EXPORT: the shard artifact written straight
+        # off the view equals the one written from a fresh corpus parse
+        from mapreduce_paper_implementation_spark.sources.release_export import (
+            export_release,
+            read_release,
+        )
+
+        v_perdoc, v_ledger = view.frames()
+        export_release(v_perdoc, v_ledger, str(tmp_path / "rel_view"))
+        o_perdoc, o_ledger = release_cut_frames(spark, sf_dir)
+        export_release(o_perdoc, o_ledger, str(tmp_path / "rel_one"))
+        dv, mv = read_release(spark, str(tmp_path / "rel_view"))
+        do, mo = read_release(spark, str(tmp_path / "rel_one"))
+        assert sorted(map(tuple, dv.collect())) == sorted(map(tuple, do.collect()))
+        mv.pop("version"); mo.pop("version")
+        assert mv == mo
     finally:
         del os.environ["SPARK_GRAFT_ANN_INDEX"]
 
