@@ -109,7 +109,10 @@ retraining inline, bit-identical), the q127 shard exporter
 (sources/release_export.py — per-(split,shard) parquet + counts/ledger
 manifest behind an atomic pointer), and the incremental release-cut view
 (streaming/release_view.py — q127 served from maintained state, equal to
-the one-shot after every ingest batch).
+the one-shot after every ingest batch); q132 is TOKEN-balanced shard
+export via the new distributed prefix-sum (parallel scan) primitive —
+shard boundaries at equal cumulative-token targets, spread bounded by
+one boundary document, the q125 trade inverted.
 ALL queries are DuckDB-oracle-backed (since round 12) — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design), and q121/q123,

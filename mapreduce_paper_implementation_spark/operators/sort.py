@@ -84,3 +84,54 @@ def global_rank(
         .withColumn(rank_col, (F.col("_off") + F.col("_lrn")).cast("long"))
         .drop("_pid", "_lrn", "_off")
     )
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    val_col: str,
+    out_col: str = "cum_before",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Append the EXCLUSIVE prefix sum of `val_col` under the total order
+    `order_by` — the classic parallel-scan primitive (Blelloch scan,
+    expressed in the same TeraSort shape as global_rank): range-partition
+    on the order key, per-partition running sums inside each sorted range,
+    then one bounded per-partition-totals pass whose exclusive offsets
+    broadcast back. No stage sees more than one range partition; the only
+    global object is the n_partitions-row offsets table.
+
+    `order_by` must be a TOTAL order (unique tiebreak) or the prefix is
+    nondeterministic. Same eager-localCheckpoint boundary-consistency
+    discipline as global_rank (both consumers of the ranged frame must
+    observe ONE sampled partitioning; see the round-12/13 notes above).
+
+    Used by q132 (token-balanced shard export: shard boundaries at equal
+    cumulative-token targets); any "running total at 100 TB" need routes
+    here rather than through a single-task `SUM() OVER (ORDER BY ...)`.
+    """
+    spark = df.sparkSession
+    n = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(n, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "_lsum", F.coalesce(F.sum(val_col).over(w_local), F.lit(0)).cast("long")
+    )
+    totals = ranged.groupBy("_pid").agg(F.sum(val_col).cast("long").alias("_t"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_t").over(w_off), F.lit(0)).cast("long")
+    ).select("_pid", "_off")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lsum")).cast("long"))
+        .drop("_pid", "_lsum", "_off")
+    )

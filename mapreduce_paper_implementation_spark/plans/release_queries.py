@@ -4,7 +4,9 @@ pipeline. q124 (cluster-granular train/valid/test split with leak audit),
 q125 (balanced shard export via TeraSort-shaped rank striping), q126
 (residual cross-split 8-gram contamination audit, hashed-gram shuffle),
 q127 (the composed release cut: split -> lexical+semantic boundary
-decontamination -> quality cut -> balanced shards in ONE lazy pipeline).
+decontamination -> quality cut -> balanced shards in ONE lazy pipeline),
+q132 (TOKEN-balanced shard export via the distributed prefix-sum scan —
+round 13).
 
 Production label/index inputs: _cc_cut_dir ($SPARK_GRAFT_CC_CUT label map)
 and operators/ann_release.py ($SPARK_GRAFT_ANN_INDEX trained ANN
@@ -983,3 +985,92 @@ def q127_release_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+# ---------------------------------------------------------------------------
+# Q132 TOKEN-balanced shard export (round 13) — the token-budget counterpart
+# of q125's doc-balanced rank striping. Training loaders step in TOKENS:
+# doc-balanced shards with skewed doc lengths give uneven step counts per
+# shard. This query cuts shard boundaries at equal CUMULATIVE-TOKEN targets
+# under the same reproducible md5 permutation:
+#
+#     shard(doc) = min( floor(cum_tokens_before(doc) * N / total_tokens),
+#                       N - 1 )
+#
+# — a pure function of the exclusive token prefix sum, computed by the new
+# operators/sort.py:prefix_sum (parallel scan, the TeraSort shape: range
+# exchange -> per-partition running sums -> n_partitions-row offset
+# broadcast; NEVER a single-task `SUM() OVER (ORDER BY ...)`, the same
+# 100-TB killer q125 avoids for ranks). Exact integer arithmetic end to
+# end (bigint cum * N stays far inside int64 even at 1e14 corpus tokens),
+# so the output is hash-exact cross-engine.
+#
+# Balance property (pinned in tests/test_round13_additions.py): every
+# shard's token mass deviates from total/N by less than the largest single
+# document at each boundary — spread(n_tokens) <= 2 * max(tc) — while doc
+# COUNTS float free (the trade the q125 contrast makes visible: rank
+# striping pins docs +-1 with token spread, prefix-sum cutting pins tokens
+# with doc spread).
+#
+# Oracle: the naive single-window prefix sum (fine as sf0.01 truth) with
+# identical integer shard arithmetic (DuckDB `//` == Spark `div` on
+# BIGINT) and the shared md5 permutation (lowercase-hex collation agrees
+# cross-engine, the q125 contract).
+# ---------------------------------------------------------------------------
+
+_Q132_SHARDS = 16
+
+
+def _q132_oracle(n_shards: int = _Q132_SHARDS) -> str:
+    from mapreduce_paper_implementation_spark.operators.text_analysis import (
+        sql_tokens,
+    )
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({sql_tokens('text')}) AS BIGINT) AS tc,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+),
+c AS (
+  SELECT doc_id, tc,
+         COALESCE(SUM(tc) OVER (ORDER BY k, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cumb,
+         SUM(tc) OVER () AS tot
+  FROM t
+)
+SELECT CAST(LEAST((cumb * {n_shards}) // tot, {n_shards - 1}) AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tc) AS BIGINT) AS n_tokens
+FROM c GROUP BY 1 ORDER BY shard
+"""
+
+
+@query("q132_token_balanced_shards", _q132_oracle())
+def q132_token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.functions.text import token_count
+    from mapreduce_paper_implementation_spark.operators.sort import prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", token_count("text").cast("long").alias("tc")
+    ).withColumn("k", F.md5(F.col("doc_id").cast("string")))
+    c = prefix_sum(base, [F.col("k"), F.col("doc_id")], "tc", out_col="cumb")
+    tot = base.agg(F.sum("tc").cast("long").alias("tot"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "shard",
+            F.least(
+                F.expr(f"(cumb * {_Q132_SHARDS}) div tot"),
+                F.lit(_Q132_SHARDS - 1),
+            ).cast("long"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tc").cast("long").alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )

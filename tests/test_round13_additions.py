@@ -360,6 +360,59 @@ def test_release_cut_view_equals_one_shot_after_every_batch(spark, sf_dir, tmp_p
         del os.environ["SPARK_GRAFT_ANN_INDEX"]
 
 
+def test_prefix_sum_matches_python_and_survives_cache_release(spark):
+    """The parallel-scan primitive (operators/sort.py:prefix_sum): the
+    exclusive prefix sum under a total order must equal the sequential
+    replay, including after every registered persist is released before
+    materialization (the global_rank cache-contract discipline)."""
+    from mapreduce_paper_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    from mapreduce_paper_implementation_spark.operators.sort import prefix_sum
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.xxhash64(F.col("id").cast("string")) % 997).alias("k"),
+        "id",
+        ((F.col("id") * 7) % 13 + 1).alias("v"),
+    )
+    out = prefix_sum(df, [F.col("k"), F.col("id")], "v", out_col="cumb")
+    release_persisted()
+    spark.catalog.clearCache()
+    rows = sorted(
+        ((r["k"], r["id"], r["v"], r["cumb"]) for r in out.collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    run = 0
+    for k, i, v, cumb in rows:
+        assert cumb == run, (k, i, cumb, run)
+        run += v
+    assert run == sum(r[2] for r in rows)
+
+
+def test_q132_token_balance_property(spark, sf_dir):
+    """Token-balanced shards: every shard's token mass deviates from the
+    equal-share target by less than one boundary document on each side —
+    spread(n_tokens) <= 2 * max(tc) — and every doc lands in exactly one
+    shard (docs/tokens conserved vs the corpus)."""
+    from mapreduce_paper_implementation_spark.functions.text import token_count
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        F.count("*").alias("n"),
+        F.sum(token_count("text")).alias("tot"),
+        F.max(token_count("text")).alias("max_tc"),
+    ).collect()[0]
+    rows = QUERIES["q132_token_balanced_shards"](spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == stats["n"]
+    assert sum(r["n_tokens"] for r in rows) == stats["tot"]
+    toks = [r["n_tokens"] for r in rows]
+    assert max(toks) - min(toks) <= 2 * stats["max_tc"], (
+        max(toks), min(toks), stats["max_tc"]
+    )
+
+
 def test_contamination_index_never_seen_low_batch_id_raises(spark, tmp_path):
     """Replay of an INGESTED batch id stays a no-op (idempotence), but a
     batch id at or below the pointer that was never ingested — the
