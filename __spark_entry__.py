@@ -112,7 +112,10 @@ manifest behind an atomic pointer), and the incremental release-cut view
 the one-shot after every ingest batch); q132 is TOKEN-balanced shard
 export via the new distributed prefix-sum (parallel scan) primitive —
 shard boundaries at equal cumulative-token targets, spread bounded by
-one boundary document, the q125 trade inverted.
+one boundary document, the q125 trade inverted; q133 is the
+token-budget mixture planner (exact water-filling under per-source
+epoch caps over the bounded source table — the data-mixing step ahead
+of the release cut).
 ALL queries are DuckDB-oracle-backed (since round 12) — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design), and q121/q123,

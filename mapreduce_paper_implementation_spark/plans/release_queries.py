@@ -1074,3 +1074,146 @@ def q132_token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q133 token-budget mixture allocation under epoch caps (round 13) — the
+# data-MIXING planner that sits in front of the q127 release cut: given a
+# total training-token budget B and a per-source repetition cap (how many
+# epochs of a source may be consumed before repetition hurts), allocate
+# B across sources as evenly as the caps allow. This is exact WATER-
+# FILLING: sources whose cap is below the rising water level saturate at
+# their cap; the remaining budget splits evenly among the rest — the
+# allocation rule behind published data-mixture recipes (e.g. the
+# "don't repeat small high-quality sources past a few epochs" discipline
+# of Muennighoff et al. 2023, "Scaling Data-Constrained Language Models").
+#
+# Exactness: with caps sorted ascending the saturated set is a PREFIX, so
+# the whole plan is window arithmetic over the BOUNDED per-source frame
+# (#sources rows — the corpus is touched once, for the per-source token
+# count): k = max{i : cap_i * (n-i+1) <= B - cumcap_before_i}, the
+# unsaturated m = n-k sources get q = R div m each with the r = R mod m
+# remainder granted +1 token to the first r in (cap, source) order (the
+# q101 largest-remainder determinism). Integer end-to-end -> hash-exact;
+# the only double is the reported epochs ratio, ROUND(,6) both engines.
+#
+# Fixture dynamics are planted deterministically: sources sorting below
+# 'src2' (12 of the 20 srcN names under string collation — identical in
+# both engines) carry a 1-epoch cap, the rest 2 epochs, budget B = 3/2
+# of corpus... budget B = 5/4 of corpus
+# tokens (below the ~1.4x cap sum, above every 1-epoch cap's fair
+# share) — so the 1-epoch sources saturate and the rest share the
+# remainder, exercising both classes at every SF (an all-saturated corpus
+# would zero m; the CASE guards division and reports the shortfall).
+#
+# Scale shape: ONE corpus shuffle (the per-source token agg, q04's
+# shape); the planner itself is arithmetic over #sources rows (the
+# bounded-frame window class — counts, never data).
+# ---------------------------------------------------------------------------
+
+
+def _q133_oracle() -> str:
+    return f"""
+WITH src AS MATERIALIZED (
+  SELECT source, CAST(SUM(len({sql_tokens('text')})) AS BIGINT) AS toks
+  FROM documents GROUP BY source
+),
+caps AS (
+  SELECT source, toks,
+         CAST(CASE WHEN source < 'src2' THEN toks ELSE toks * 2 END AS BIGINT) AS cap,
+         CAST((SELECT SUM(toks) * 5 FROM src) // 4 AS BIGINT) AS b,
+         CAST((SELECT COUNT(*) FROM src) AS BIGINT) AS n
+  FROM src
+),
+ordered AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cap, source) AS i,
+         COALESCE(SUM(cap) OVER (ORDER BY cap, source
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS cumb
+  FROM caps
+),
+kk AS (
+  SELECT COALESCE(MAX(CASE WHEN cap * (n - i + 1) <= b - cumb THEN i END), 0) AS k,
+         COALESCE(MAX(CASE WHEN cap * (n - i + 1) <= b - cumb THEN cumb + cap END), 0) AS cumk
+  FROM ordered
+),
+alloc AS (
+  SELECT o.source, o.toks, o.cap,
+         CASE WHEN o.i <= kk.k THEN o.cap
+              ELSE (o.b - kk.cumk) // (o.n - kk.k)
+                   + CASE WHEN o.i - kk.k <= (o.b - kk.cumk) % (o.n - kk.k)
+                          THEN 1 ELSE 0 END
+         END AS allocated,
+         o.i <= kk.k AS saturated
+  FROM ordered o CROSS JOIN kk
+)
+SELECT source, toks AS n_tokens, cap, CAST(allocated AS BIGINT) AS allocated,
+       saturated,
+       ROUND(CAST(allocated AS DOUBLE) / CAST(toks AS DOUBLE), 6) AS epochs
+FROM alloc ORDER BY source
+"""
+
+
+@query("q133_mixture_allocation", _q133_oracle())
+def q133_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(token_count("text")).cast("long").alias("toks")
+    )
+    tot = src.agg(
+        F.sum("toks").cast("long").alias("_tot"),
+        F.count("*").cast("long").alias("n"),
+    )
+    caps = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "toks",
+        F.when(F.col("source") < "src2", F.col("toks"))
+        .otherwise(F.col("toks") * 2)
+        .cast("long")
+        .alias("cap"),
+        F.expr("(_tot * 5) div 4").cast("long").alias("b"),
+        "n",
+    )
+    # planner windows run over the BOUNDED per-source frame (#sources
+    # rows) — the counts class, never the corpus
+    w = Window.orderBy("cap", "source")
+    ordered = caps.withColumn("i", F.row_number().over(w)).withColumn(
+        "cumb",
+        F.coalesce(
+            F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long"),
+    )
+    sat = F.col("cap") * (F.col("n") - F.col("i") + 1) <= F.col("b") - F.col("cumb")
+    kk = ordered.agg(
+        F.coalesce(F.max(F.when(sat, F.col("i"))), F.lit(0)).alias("k"),
+        F.coalesce(
+            F.max(F.when(sat, F.col("cumb") + F.col("cap"))), F.lit(0)
+        ).alias("cumk"),
+    )
+    alloc = ordered.crossJoin(F.broadcast(kk)).select(
+        "source",
+        "toks",
+        "cap",
+        F.when(F.col("i") <= F.col("k"), F.col("cap"))
+        .otherwise(
+            F.expr("(b - cumk) div (n - k)")
+            + F.when(
+                F.col("i") - F.col("k") <= F.expr("(b - cumk) % (n - k)"),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("allocated"),
+        (F.col("i") <= F.col("k")).alias("saturated"),
+    )
+    return alloc.select(
+        "source",
+        F.col("toks").alias("n_tokens"),
+        "cap",
+        "allocated",
+        "saturated",
+        F.round(F.col("allocated") / F.col("toks"), 6).alias("epochs"),
+    ).orderBy("source")

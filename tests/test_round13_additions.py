@@ -413,6 +413,27 @@ def test_q132_token_balance_property(spark, sf_dir):
     )
 
 
+def test_q133_water_filling_properties(spark, sf_dir):
+    """The mixture planner's water-filling invariants: allocations respect
+    caps; when any source is unsaturated the budget is spent EXACTLY and
+    unsaturated allocations are level (differ by <= 1 token — the
+    largest-remainder grant); saturated sources sit at their cap and
+    below the water level."""
+    rows = QUERIES["q133_mixture_allocation"](spark, sf_dir).collect()
+    assert len(rows) > 1
+    total = sum(r["n_tokens"] for r in rows)
+    budget = total * 5 // 4
+    assert all(r["allocated"] <= r["cap"] for r in rows)
+    unsat = [r["allocated"] for r in rows if not r["saturated"]]
+    sat = [r for r in rows if r["saturated"]]
+    assert unsat, "fixture should leave some sources unsaturated"
+    assert sat, "fixture should saturate the 1-epoch sources"
+    assert sum(r["allocated"] for r in rows) == budget
+    assert max(unsat) - min(unsat) <= 1
+    # every saturated cap sits at/below the water level
+    assert all(r["allocated"] == r["cap"] and r["cap"] <= max(unsat) for r in sat)
+
+
 def test_contamination_index_never_seen_low_batch_id_raises(spark, tmp_path):
     """Replay of an INGESTED batch id stays a no-op (idempotence), but a
     batch id at or below the pointer that was never ingested — the
