@@ -115,7 +115,10 @@ shard boundaries at equal cumulative-token targets, spread bounded by
 one boundary document, the q125 trade inverted; q133 is the
 token-budget mixture planner (exact water-filling under per-source
 epoch caps over the bounded source table — the data-mixing step ahead
-of the release cut).
+of the release cut) and q134 materializes that plan as the budgeted
+sample (full epochs + md5-order remainder head per source, per-source
+offsets from one global prefix-sum — the repetition schedule a
+data-constrained training run actually consumes).
 ALL queries are DuckDB-oracle-backed (since round 12) — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design), and q121/q123,

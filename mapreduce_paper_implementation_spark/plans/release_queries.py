@@ -1112,9 +1112,11 @@ def q132_token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _q133_oracle() -> str:
-    return f"""
-WITH src AS MATERIALIZED (
+def _q133_alloc_ctes() -> str:
+    """The water-filling allocation CTEs (src -> caps -> ordered -> kk ->
+    alloc) — SHARED by q133's readout and q134's budgeted-sample oracle,
+    so the materialized sample cannot drift from the gated plan."""
+    return f"""src AS MATERIALIZED (
   SELECT source, CAST(SUM(len({sql_tokens('text')})) AS BIGINT) AS toks
   FROM documents GROUP BY source
 ),
@@ -1146,7 +1148,12 @@ alloc AS (
          END AS allocated,
          o.i <= kk.k AS saturated
   FROM ordered o CROSS JOIN kk
-)
+)"""
+
+
+def _q133_oracle() -> str:
+    return f"""
+WITH {_q133_alloc_ctes()}
 SELECT source, toks AS n_tokens, cap, CAST(allocated AS BIGINT) AS allocated,
        saturated,
        ROUND(CAST(allocated AS DOUBLE) / CAST(toks AS DOUBLE), 6) AS epochs
@@ -1154,11 +1161,11 @@ FROM alloc ORDER BY source
 """
 
 
-@query("q133_mixture_allocation", _q133_oracle())
-def q133_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mixture_alloc_frame(docs: DataFrame) -> DataFrame:
+    """(source, toks, cap, allocated, saturated) — the Spark half of the
+    shared water-filling plan; q133 formats it, q134 materializes it."""
     from mapreduce_paper_implementation_spark.functions.text import token_count
 
-    docs = load_table(spark, sf_dir, "documents")
     src = docs.groupBy("source").agg(
         F.sum(token_count("text")).cast("long").alias("toks")
     )
@@ -1209,6 +1216,12 @@ def q133_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("allocated"),
         (F.col("i") <= F.col("k")).alias("saturated"),
     )
+    return alloc
+
+
+@query("q133_mixture_allocation", _q133_oracle())
+def q133_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    alloc = _mixture_alloc_frame(load_table(spark, sf_dir, "documents"))
     return alloc.select(
         "source",
         F.col("toks").alias("n_tokens"),
@@ -1216,4 +1229,119 @@ def q133_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "allocated",
         "saturated",
         F.round(F.col("allocated") / F.col("toks"), 6).alias("epochs"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Q134 budgeted mixture sample (round 13) — the MATERIALIZATION of q133's
+# plan: consume each source up to its allocated token budget under the
+# Muennighoff-style repetition schedule. A source with allocated >= toks
+# is consumed in FULL EPOCHS (allocated div toks passes over every doc)
+# plus a deterministic HEAD of the remainder (allocated mod toks tokens,
+# taken in md5-permutation order); a source with allocated < toks takes
+# only the head. Head rule (greedy-inclusive, identical both engines): a
+# doc is in the head iff its per-source cumulative-token START offset is
+# strictly below the remainder budget — the straddling doc is kept, so
+# per-source overshoot is bounded by one document.
+#
+# Scale shape: the per-source cumulative offsets come from ONE GLOBAL
+# prefix_sum over (source, k, doc_id) (operators/sort.py — range exchange
+# + bounded offsets; a naive per-source window would put each source in
+# ONE task, the 100-TB killer when a source dominates the corpus); the
+# per-source start offsets are a bounded #sources-row aggregate broadcast
+# back. Everything else is the q133 planner (bounded frame) + one
+# map-side filter + per-source partial/final agg.
+#
+# Oracle: the SHARED q133 allocation CTEs + a naive per-source window
+# cumsum (fine as sf0.01 truth) + identical integer epoch/remainder
+# arithmetic. Exact integers; the only double is ROUND(,6) utilization.
+# ---------------------------------------------------------------------------
+
+
+def _q134_oracle() -> str:
+    return f"""
+WITH {_q133_alloc_ctes()},
+base AS MATERIALIZED (
+  SELECT doc_id, source, CAST(len({sql_tokens('text')}) AS BIGINT) AS tc,
+         md5(CAST(doc_id AS VARCHAR)) AS kk2
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, tc,
+         COALESCE(SUM(tc) OVER (PARTITION BY source ORDER BY kk2, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS scum
+  FROM base
+),
+persrc AS (
+  SELECT c.source,
+         CAST(COUNT(*) AS BIGINT) AS n_src_docs,
+         CAST(SUM(c.tc) AS BIGINT) AS toks2,
+         CAST(SUM(CASE WHEN c.scum < a.allocated % a.toks THEN 1 ELSE 0 END)
+              AS BIGINT) AS head_docs,
+         CAST(SUM(CASE WHEN c.scum < a.allocated % a.toks THEN c.tc ELSE 0 END)
+              AS BIGINT) AS head_tokens,
+         CAST(MAX(a.allocated // a.toks) AS BIGINT) AS full_epochs,
+         CAST(MAX(a.allocated) AS BIGINT) AS allocated
+  FROM cum c JOIN alloc a ON a.source = c.source
+  GROUP BY c.source
+)
+SELECT source,
+       CAST(full_epochs * n_src_docs + head_docs AS BIGINT) AS n_docs_kept,
+       CAST(full_epochs * toks2 + head_tokens AS BIGINT) AS n_tokens_kept,
+       allocated, full_epochs,
+       ROUND(CAST(full_epochs * toks2 + head_tokens AS DOUBLE)
+             / CAST(allocated AS DOUBLE), 6) AS utilization
+FROM persrc ORDER BY source
+"""
+
+
+@query("q134_budgeted_sample", _q134_oracle())
+def q134_budgeted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.functions.text import token_count
+    from mapreduce_paper_implementation_spark.operators.sort import prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    alloc = _mixture_alloc_frame(docs).select(
+        "source",
+        F.expr("allocated div toks").cast("long").alias("full_epochs"),
+        F.expr("allocated % toks").cast("long").alias("rem"),
+        "allocated",
+    )
+    base = docs.select(
+        "doc_id", "source", token_count("text").cast("long").alias("tc")
+    ).withColumn("k", F.md5(F.col("doc_id").cast("string")))
+    # ONE global scan-prefix over (source, k, doc_id); per-source offsets
+    # recovered by a bounded min-per-source broadcast — never a per-source
+    # single-task window over the corpus
+    cum = prefix_sum(base, [F.col("source"), F.col("k"), F.col("doc_id")], "tc")
+    offs = cum.groupBy("source").agg(F.min("cum_before").alias("_soff"))
+    scum = cum.join(F.broadcast(offs), "source").withColumn(
+        "scum", F.col("cum_before") - F.col("_soff")
+    )
+    persrc = (
+        scum.join(F.broadcast(alloc), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_src_docs"),
+            F.sum("tc").cast("long").alias("toks"),
+            F.sum(F.when(F.col("scum") < F.col("rem"), 1).otherwise(0))
+            .cast("long")
+            .alias("head_docs"),
+            F.sum(F.when(F.col("scum") < F.col("rem"), F.col("tc")).otherwise(0))
+            .cast("long")
+            .alias("head_tokens"),
+            F.max("full_epochs").alias("full_epochs"),
+            F.max("allocated").alias("allocated"),
+        )
+    )
+    kept_docs = (F.col("full_epochs") * F.col("n_src_docs") + F.col("head_docs")).cast("long")
+    kept_toks = (F.col("full_epochs") * F.col("toks") + F.col("head_tokens")).cast("long")
+    return persrc.select(
+        "source",
+        kept_docs.alias("n_docs_kept"),
+        kept_toks.alias("n_tokens_kept"),
+        "allocated",
+        "full_epochs",
+        F.round(kept_toks / F.col("allocated"), 6).alias("utilization"),
     ).orderBy("source")

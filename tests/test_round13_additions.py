@@ -434,6 +434,36 @@ def test_q133_water_filling_properties(spark, sf_dir):
     assert all(r["allocated"] == r["cap"] and r["cap"] <= max(unsat) for r in sat)
 
 
+def test_q134_budget_consumption_bounds(spark, sf_dir):
+    """The budgeted sample's greedy-inclusive head invariant: per source,
+    tokens kept cover the allocation exactly up to ONE straddling document
+    — 0 <= n_tokens_kept - allocated < max(doc tc) — and q133/q134 agree
+    on the allocation column."""
+    from pyspark.sql import functions as SF
+
+    from mapreduce_paper_implementation_spark.functions.text import token_count
+    from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    max_tc = {
+        r["source"]: r["m"]
+        for r in docs.groupBy("source")
+        .agg(SF.max(token_count("text")).alias("m"))
+        .collect()
+    }
+    alloc = {
+        r["source"]: r["allocated"]
+        for r in QUERIES["q133_mixture_allocation"](spark, sf_dir).collect()
+    }
+    rows = QUERIES["q134_budgeted_sample"](spark, sf_dir).collect()
+    assert {r["source"] for r in rows} == set(alloc)
+    for r in rows:
+        assert r["allocated"] == alloc[r["source"]], r["source"]
+        over = r["n_tokens_kept"] - r["allocated"]
+        assert 0 <= over < max_tc[r["source"]], (r["source"], over)
+        assert r["utilization"] >= 1.0
+
+
 def test_contamination_index_never_seen_low_batch_id_raises(spark, tmp_path):
     """Replay of an INGESTED batch id stays a no-op (idempotence), but a
     batch id at or below the pointer that was never ingested — the
