@@ -26,6 +26,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mapreduce_paper_implementation_spark.operators.caching import (  # noqa: E402
+    free_local_checkpoints,
     release_persisted,
 )
 from mapreduce_paper_implementation_spark.plans.queries import QUERIES  # noqa: E402
@@ -79,6 +80,14 @@ def run_bench(sf_dir: str, names: list[str], repeat: int = 1) -> dict:
         # lifecycle); clearCache() sweeps anything cached outside it.
         release_persisted()
         spark.catalog.clearCache()
+        # clearCache never touches RDD-level localCheckpoint blocks; the
+        # iterative/rank operators checkpoint per call, and in a 134-query
+        # single-JVM sweep those blocks otherwise accumulate until JVM GC,
+        # inflating late-run heavy queries (the driver-bench q127 noise
+        # class, BASELINE.md r12-r13 adjudications). Explicit sweep: no
+        # frame crosses a query boundary here, so this is always safe in
+        # this loop (caching.py:free_local_checkpoints contract).
+        free_local_checkpoints(spark)
     out = {
         "metric": "total_query_wall_clock",
         "value": round(sum(timings.values()), 3),

@@ -85,6 +85,36 @@ def persist_scope():
         del _PERSISTED[mark:]
 
 
+def free_local_checkpoints(spark) -> int:
+    """Unpersist every RDD-level persisted block in the context — the
+    storage behind `localCheckpoint`, which `spark.catalog.clearCache()`
+    NEVER touches (it only clears the SQL CacheManager). Returns how many
+    RDDs were released.
+
+    WHY (round-14, VERDICT r13 #3 + ADVICE): iterative operators and the
+    rank/scan primitives localCheckpoint per call, and those blocks are
+    freed only when the JVM garbage-collects the last Dataset reference —
+    in a single-JVM sweep over 130+ queries they accumulate monotonically
+    in executor storage, inflating GC pressure for everything that runs
+    late in the sweep (the driver-bench q127 noise class adjudicated in
+    BASELINE.md rounds 12-13).
+
+    CONTRACT — NOT always safe, unlike release_persisted(): a local
+    checkpoint's lineage is truncated, so a frame whose blocks are freed
+    here CANNOT be recomputed; consuming it afterwards fails LOUDLY with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (never silently wrong). Call it
+    only at query boundaries where no frame built before the boundary is
+    consumed after it — bench.py and scripts/driver_sim.py do, between
+    queries. Long-lived holders of checkpointed frames (e.g.
+    streaming/release_view.py's frozen centroids) must not have this
+    called mid-lifetime; re-construct such objects after a sweep."""
+    n = 0
+    for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        jrdd.unpersist(False)
+        n += 1
+    return n
+
+
 def release_persisted() -> int:
     """Unpersist every registered frame; returns how many were released.
     Safe at any time — plans still holding a released frame recompute it."""

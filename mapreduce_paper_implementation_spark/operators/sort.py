@@ -62,6 +62,12 @@ def global_rank(
     of recomputing the lost partitions) — the same trade q127's
     stage-boundary checkpoints already accept, and the only sound one
     here, because a RECOMPUTE is exactly what re-samples the boundaries.
+
+    STORAGE LIFETIME (round-14 ADVICE note): the checkpointed blocks are
+    freed only when the JVM GCs the frame — a long session running many
+    queries accumulates them. Sweep at query boundaries with
+    operators/caching.py:free_local_checkpoints (bench.py and driver_sim
+    do); its use-after-free fails loudly, never silently wrong.
     """
     spark = df.sparkSession
     n = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -3167,6 +3167,74 @@ def q118_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q135 indexed ANN as its own manifest row (round 14, VERDICT r13 #4).
+# q118 deliberately stays the self-contained correctness gate: when no
+# index is published it trains inline, so its bench row prices the OFFLINE
+# build, not the production query. q135 pins the production shape under
+# the same DuckDB hash gate: the IVF-PQ artifacts are ALWAYS read from a
+# published release index — $SPARK_GRAFT_ANN_INDEX when set, else a
+# deterministic per-corpus scratch index under the system temp dir,
+# published ONCE and reused across runs (the offline-job stand-in; keyed
+# by the embeddings file identity so a regenerated corpus can never be
+# served a stale geometry). Training is bit-deterministic
+# (operators/ann_release.py contract), so q135's rows are identical to
+# q118's and the shared oracle hash-gates both; what q135 adds is the
+# driver-visible price of the query-time path (BENCH_ANN_INDEX's 2.2 s vs
+# 8.5 s inline at sf0.1) and a plan pinned to contain NO training
+# (tests/test_round14_additions.py).
+# ---------------------------------------------------------------------------
+
+
+def _q135_index(spark: SparkSession, sf_dir: str) -> dict:
+    """The published index for q135: env-published if set, else the
+    per-corpus scratch publication (build once, reuse forever)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from mapreduce_paper_implementation_spark.operators.ann_release import (
+        load_ann_index,
+        publish_ann_index,
+        published_ann_index,
+    )
+
+    idx = published_ann_index(spark)
+    if idx is not None:
+        return idx
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    slug = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_ann_scratch", slug)
+    if not os.path.isfile(os.path.join(root, "_CURRENT")):
+        os.makedirs(root, exist_ok=True)
+        publish_ann_index(load_table(spark, sf_dir, "embeddings"), root)
+    return load_ann_index(spark, root)
+
+
+@query("q135_ann_indexed", _q118_oracle())
+def q135_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _q135_index(spark, sf_dir)
+    return ivf_pq_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=3,
+        n_cells=16,
+        nprobe=4,
+        m=_PQ_M,
+        ks=_PQ_KS,
+        dim=_PQ_DIM,
+        centroids=idx["centroids"],
+        codebooks=idx["codebooks"],
+        cells=idx["cells"],
+        codes=idx["codes"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q120 mergeable rank-sketch quantiles over UNBOUNDED-precision values
 # (VERDICT r10 ask #2). The exact-quantile family (q80/q110/q112/q113)
 # rides the round-then-histogram trick — correct ONLY because those value

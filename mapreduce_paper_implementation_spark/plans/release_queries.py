@@ -1099,9 +1099,8 @@ def q132_token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Fixture dynamics are planted deterministically: sources sorting below
 # 'src2' (12 of the 20 srcN names under string collation — identical in
-# both engines) carry a 1-epoch cap, the rest 2 epochs, budget B = 3/2
-# of corpus... budget B = 5/4 of corpus
-# tokens (below the ~1.4x cap sum, above every 1-epoch cap's fair
+# both engines) carry a 1-epoch cap, the rest 2 epochs, budget B = 5/4
+# of corpus tokens (below the ~1.4x cap sum, above every 1-epoch cap's fair
 # share) — so the 1-epoch sources saturate and the rest share the
 # remainder, exercising both classes at every SF (an all-saturated corpus
 # would zero m; the CASE guards division and reports the shortfall).
@@ -1169,6 +1168,15 @@ def _mixture_alloc_frame(docs: DataFrame) -> DataFrame:
     src = docs.groupBy("source").agg(
         F.sum(token_count("text")).cast("long").alias("toks")
     )
+    return mixture_alloc_from_src(src)
+
+
+def mixture_alloc_from_src(src: DataFrame) -> DataFrame:
+    """The water-filling allocation over the BOUNDED (source, toks) frame
+    — extracted (round 14) so streaming/mixture_view.py re-derives the
+    SAME q133 plan from maintained per-source token counters: the corpus
+    scan is the only thing that differs between the batch planner and the
+    served one, exactly the serving.py shared-tail discipline."""
     tot = src.agg(
         F.sum("toks").cast("long").alias("_tot"),
         F.count("*").cast("long").alias("n"),
@@ -1219,9 +1227,10 @@ def _mixture_alloc_frame(docs: DataFrame) -> DataFrame:
     return alloc
 
 
-@query("q133_mixture_allocation", _q133_oracle())
-def q133_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    alloc = _mixture_alloc_frame(load_table(spark, sf_dir, "documents"))
+def mixture_plan_readout(alloc: DataFrame) -> DataFrame:
+    """q133's final projection — shared by the registered query and the
+    streaming mixture_view, so served allocations equal the batch plan
+    bit-exactly whenever the (source, toks) inputs agree."""
     return alloc.select(
         "source",
         F.col("toks").alias("n_tokens"),
@@ -1230,6 +1239,13 @@ def q133_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "saturated",
         F.round(F.col("allocated") / F.col("toks"), 6).alias("epochs"),
     ).orderBy("source")
+
+
+@query("q133_mixture_allocation", _q133_oracle())
+def q133_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_plan_readout(
+        _mixture_alloc_frame(load_table(spark, sf_dir, "documents"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1296,12 +1312,20 @@ FROM persrc ORDER BY source
 """
 
 
-@query("q134_budgeted_sample", _q134_oracle())
-def q134_budgeted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mixture_sample_parts(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(scum, alloc) — the shared spine of the budgeted mixture sample.
+    `scum`: (doc_id, source, tc, scum) with scum = the doc's per-source
+    cumulative-token START offset under the md5 permutation, from ONE
+    global prefix_sum over (source, k, doc_id) + a bounded per-source
+    offset broadcast (never a per-source single-task window). `alloc`:
+    (source, full_epochs, rem, allocated) from the q133 water-filling
+    plan. Shared by q134's hash-gated aggregate, q136's epoch/shard
+    stream readout, and sources/mixture_export.py — the release_cut_frames
+    one-lineage discipline: the exported sample can never drift from the
+    gated plan."""
     from mapreduce_paper_implementation_spark.functions.text import token_count
     from mapreduce_paper_implementation_spark.operators.sort import prefix_sum
 
-    docs = load_table(spark, sf_dir, "documents")
     alloc = _mixture_alloc_frame(docs).select(
         "source",
         F.expr("allocated div toks").cast("long").alias("full_epochs"),
@@ -1319,6 +1343,13 @@ def q134_budgeted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     scum = cum.join(F.broadcast(offs), "source").withColumn(
         "scum", F.col("cum_before") - F.col("_soff")
     )
+    return scum, alloc
+
+
+@query("q134_budgeted_sample", _q134_oracle())
+def q134_budgeted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scum, alloc = _mixture_sample_parts(docs)
     persrc = (
         scum.join(F.broadcast(alloc), "source")
         .groupBy("source")
@@ -1345,3 +1376,158 @@ def q134_budgeted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "full_epochs",
         F.round(kept_toks / F.col("allocated"), 6).alias("utilization"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Q136 mixture epoch/shard stream (round 14) — the WRITE SIDE of the
+# q133/q134 budgeted mixture (VERDICT r13 #1): materialize the actual
+# repeated-epoch doc stream the training loader mounts. Every doc gets
+# ncopies = full_epochs + (1 if it is in the md5-order remainder head)
+# copies; copy e of a doc belongs to mixture EPOCH e (epochs 0..
+# full_epochs-1 are full passes over the source, epoch full_epochs is the
+# partial head pass — the Muennighoff repetition schedule laid out as a
+# loader-facing (epoch, shard) grid). Within each epoch, shards are
+# TOKEN-balanced by the q132 cutting rule: shard = floor(cum_tokens *
+# n_shards / epoch_tokens), so concurrent loader workers get equal token
+# work per epoch.
+#
+# Scale shape: the copy expansion is a map-side explode over a bounded
+# sequence (ncopies <= max epoch cap, a small constant — never a join);
+# the within-epoch cumulative offsets come from ONE global prefix_sum
+# over (epoch, k2, doc_id) (operators/sort.py — range exchange + bounded
+# offsets) with per-epoch start/total recovered by a bounded #epochs-row
+# broadcast, exactly the q134 per-source-offset trick one level up. A
+# naive per-epoch window would put EVERY copy of the corpus in one task.
+# The shard key k2 = md5(doc_id:epoch) re-permutes docs per epoch, so a
+# shard's doc set differs across epochs (loader-order decorrelation) and
+# (epoch, k2, doc_id) is a total order.
+#
+# Oracle: the SHARED q133 allocation CTEs + the q134 per-source cumsum +
+# UNNEST(range(ncopies)) copy expansion + the same per-epoch cumsum and
+# integer cutting arithmetic. Exact integers end-to-end.
+#
+# sources/mixture_export.py writes this exact frame (one lineage) as
+# hive-partitioned (epoch, shard) parquet behind an atomic pointer, with
+# a manifest equality-gated against q134's hash-gated per-source
+# aggregates.
+# ---------------------------------------------------------------------------
+
+_Q136_SHARDS = 8
+
+
+def mixture_stream_frame(
+    docs: DataFrame, n_shards: int = _Q136_SHARDS
+) -> DataFrame:
+    """(doc_id, source, tc, epoch, shard) — one row per materialized copy
+    of each kept doc, sharded token-balanced within its epoch. The ONE
+    lineage behind q136's gated readout and the mixture exporter."""
+    from mapreduce_paper_implementation_spark.operators.sort import prefix_sum
+
+    scum, alloc = _mixture_sample_parts(docs)
+    percopy = (
+        scum.join(F.broadcast(alloc), "source")
+        .withColumn(
+            "ncopies",
+            (
+                F.col("full_epochs")
+                + F.when(F.col("scum") < F.col("rem"), 1).otherwise(0)
+            ).cast("long"),
+        )
+        .where(F.col("ncopies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "tc",
+            F.explode(F.sequence(F.lit(0), F.col("ncopies") - 1)).alias("epoch"),
+        )
+        .withColumn("epoch", F.col("epoch").cast("long"))
+        .withColumn(
+            "k2",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("epoch").cast("string"),
+                )
+            ),
+        )
+    )
+    cum2 = prefix_sum(
+        percopy, [F.col("epoch"), F.col("k2"), F.col("doc_id")], "tc", out_col="gcum"
+    )
+    # bounded: one row per epoch (epochs <= max cap multiple, a small
+    # constant); min(gcum) over an epoch = total tokens of earlier epochs
+    eoffs = cum2.groupBy("epoch").agg(
+        F.min("gcum").alias("_eoff"), F.sum("tc").cast("long").alias("_etot")
+    )
+    return (
+        cum2.join(F.broadcast(eoffs), "epoch")
+        .withColumn(
+            "shard",
+            F.least(
+                F.expr(f"((gcum - _eoff) * {n_shards}) div _etot"),
+                F.lit(n_shards - 1),
+            ).cast("long"),
+        )
+        .select("doc_id", "source", "tc", "epoch", "shard")
+    )
+
+
+def _q136_oracle() -> str:
+    return f"""
+WITH {_q133_alloc_ctes()},
+base AS MATERIALIZED (
+  SELECT doc_id, source, CAST(len({sql_tokens('text')}) AS BIGINT) AS tc,
+         md5(CAST(doc_id AS VARCHAR)) AS kk2
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, tc,
+         COALESCE(SUM(tc) OVER (PARTITION BY source ORDER BY kk2, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS scum
+  FROM base
+),
+parts AS (
+  SELECT c.doc_id, c.tc,
+         CAST(a.allocated // a.toks
+              + CASE WHEN c.scum < a.allocated % a.toks THEN 1 ELSE 0 END
+              AS BIGINT) AS ncopies
+  FROM cum c JOIN alloc a ON a.source = c.source
+),
+copies AS (
+  SELECT doc_id, tc, CAST(UNNEST(range(ncopies)) AS BIGINT) AS epoch
+  FROM parts WHERE ncopies > 0
+),
+keyed AS (
+  SELECT doc_id, tc, epoch,
+         md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS k2
+  FROM copies
+),
+ecum AS (
+  SELECT epoch, tc,
+         COALESCE(SUM(tc) OVER (PARTITION BY epoch ORDER BY k2, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS escum,
+         SUM(tc) OVER (PARTITION BY epoch) AS etot
+  FROM keyed
+)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       CAST(LEAST((escum * {_Q136_SHARDS}) // etot, {_Q136_SHARDS - 1}) AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tc) AS BIGINT) AS n_tokens
+FROM ecum GROUP BY 1, 2 ORDER BY epoch, shard
+"""
+
+
+@query("q136_mixture_epoch_stream", _q136_oracle())
+def q136_mixture_epoch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = mixture_stream_frame(load_table(spark, sf_dir, "documents"))
+    return (
+        stream.groupBy("epoch", "shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tc").cast("long").alias("n_tokens"),
+        )
+        .orderBy("epoch", "shard")
+    )

@@ -112,6 +112,31 @@ class ContaminationIndexMaintainer:
     def _batch_dir(self, batch_id: int, leaf: str) -> str:
         return os.path.join(self.state_dir, "batches", f"b{batch_id:010d}", leaf)
 
+    def _marker_path(self, batch_id: int) -> str:
+        """Per-batch commit marker (round-14 ADVICE fix, shared with
+        streaming/release_view.py): written strictly after every leaf AND
+        the output-delta write, so marker-bearing == fully ingested.
+        Replay detection and _committed_dirs key on it; unmarked dirs are
+        crash residue purged at the top of update()."""
+        return os.path.join(
+            self.state_dir, "batches", f"b{batch_id:010d}", "_COMMITTED"
+        )
+
+    def _purge_uncommitted(self) -> None:
+        import shutil
+
+        root = os.path.join(self.state_dir, "batches")
+        for d in os.listdir(root):
+            if (
+                d.startswith("b")
+                and d[1:].isdigit()
+                and not os.path.exists(self._marker_path(int(d[1:])))
+            ):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                shutil.rmtree(
+                    os.path.join(self.state_dir, "updates", d), ignore_errors=True
+                )
+
     def _baseline_dir(self, version: int, leaf: str) -> str:
         return os.path.join(self.state_dir, "baseline", f"g{version:010d}", leaf)
 
@@ -131,6 +156,11 @@ class ContaminationIndexMaintainer:
             if d.startswith("b")
             and d[1:].isdigit()
             and floor < int(d[1:]) <= committed
+            # marker-bearing only: an unmarked dir below the pointer is
+            # crash residue whose output delta was never emitted —
+            # including its grams would silently diverge current() from
+            # the one-shot audit.
+            and os.path.exists(self._marker_path(int(d[1:])))
         ]
         return dirs
 
@@ -207,7 +237,12 @@ class ContaminationIndexMaintainer:
         source, not data to swallow."""
         committed = self._committed_version()
         if committed is not None and committed >= batch_id:
-            if os.path.isdir(self._batch_dir(batch_id, "eval_grams")) or (
+            # Replay keys on the commit MARKER (not the eval_grams dir
+            # alone — round-14 ADVICE fix: a batch that crashed after
+            # writing eval_grams but before train_ghs/updates used to be
+            # misclassified as a replay) or on the baseline floor for
+            # batches whose dirs compact() folded away.
+            if os.path.exists(self._marker_path(batch_id)) or (
                 self._baseline_version() is not None
                 and batch_id <= self._baseline_version()
             ):
@@ -219,6 +254,9 @@ class ContaminationIndexMaintainer:
                 "docs; batch ids must be issued monotonically"
             )
 
+        # Crash residue (unmarked dirs) is purged BEFORE ingesting so a
+        # commit here can never expose a half-ingested earlier batch.
+        self._purge_uncommitted()
         grams = self._gram_frame(docs)
         grams.where(F.col("split") != "train").write.mode("overwrite").parquet(
             self._batch_dir(batch_id, "eval_grams")
@@ -265,6 +303,14 @@ class ContaminationIndexMaintainer:
         self._hits_for(out_grams, train_set).write.mode("overwrite").parquet(
             out_dir
         )
+        # Marker strictly after every leaf AND the emitted delta, then the
+        # high-water pointer moves last (crash before the marker leaves
+        # purgeable residue; crash before the pointer leaves a marked batch
+        # the next update simply re-exposes via the marker filter — except
+        # _committed_dirs also caps at the pointer, so it stays invisible
+        # until this id is replayed or superseded monotonically).
+        with open(self._marker_path(batch_id), "w", encoding="ascii") as fh:
+            fh.write("1")
         # Pointer LAST (crash before this line leaves no visible state).
         self._write_pointer(self._pointer_path(), batch_id)
         return self.spark.read.parquet(out_dir)

@@ -92,15 +92,48 @@ class ReleaseCutView:
     def _batch_dir(self, batch_id: int, leaf: str) -> str:
         return os.path.join(self.state_dir, "batches", f"b{batch_id:010d}", leaf)
 
+    def _marker_path(self, batch_id: int) -> str:
+        """Per-batch commit marker (round-14 ADVICE fix). The view pointer
+        is only a high-water mark: a crash after batch N's leaf writes but
+        before cc.update left dirs that a LATER commit would silently make
+        visible while N's pair delta never reached the label table. The
+        marker is written strictly after every leaf write AND cc.update,
+        so marker-bearing == fully folded; reads and replay detection key
+        on it, and update() purges unmarked residue before ingesting."""
+        return os.path.join(self.state_dir, "batches", f"b{batch_id:010d}", "_COMMITTED")
+
+    def _batch_ids_on_disk(self) -> list[int]:
+        root = os.path.join(self.state_dir, "batches")
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(root)
+            if d.startswith("b") and d[1:].isdigit()
+        )
+
+    def _purge_uncommitted(self) -> None:
+        """Delete batch dirs without a commit marker — crash residue from
+        an ingest that died mid-write. Runs at the top of every update()
+        so residue can never outlive (and be exposed by) a later commit."""
+        import shutil
+
+        for bid in self._batch_ids_on_disk():
+            if not os.path.exists(self._marker_path(bid)):
+                shutil.rmtree(
+                    os.path.join(self.state_dir, "batches", f"b{bid:010d}"),
+                    ignore_errors=True,
+                )
+
     def _read_leaf(self, leaf: str) -> DataFrame | None:
         committed = self._committed_version()
         if committed is None:
             return None
-        root = os.path.join(self.state_dir, "batches")
+        # marker-bearing dirs only: an unmarked dir is crash residue whose
+        # pair delta never reached the label table — including it would
+        # silently diverge the view from the one-shot cut.
         dirs = [
-            os.path.join(root, d, leaf)
-            for d in sorted(os.listdir(root))
-            if d.startswith("b") and d[1:].isdigit() and int(d[1:]) <= committed
+            self._batch_dir(bid, leaf)
+            for bid in self._batch_ids_on_disk()
+            if bid <= committed and os.path.exists(self._marker_path(bid))
         ]
         return self.spark.read.parquet(*dirs) if dirs else None
 
@@ -130,13 +163,19 @@ class ReleaseCutView:
 
         committed = self._committed_version()
         if committed is not None and committed >= batch_id:
-            if os.path.isdir(self._batch_dir(batch_id, "meta")):
+            # Replay keys on the commit MARKER, not any single leaf dir
+            # (round-14 ADVICE fix: meta-only crash residue used to be
+            # misclassified as a replay, permanently dropping grams/cells).
+            if os.path.exists(self._marker_path(batch_id)):
                 return None
             raise ValueError(
                 f"batch_id {batch_id} at or below the committed pointer "
                 f"({committed}) was never ingested — monotone batch ids "
                 "required (the contamination_index contract)"
             )
+        # Crash residue (unmarked dirs) is purged BEFORE ingesting so a
+        # commit here can never expose a half-folded earlier batch.
+        self._purge_uncommitted()
 
         docs.select(
             "doc_id",
@@ -159,6 +198,11 @@ class ReleaseCutView:
         ).write.mode("overwrite").parquet(self._batch_dir(batch_id, "cells"))
 
         self.cc.update(pairs, batch_id)
+        # Marker strictly after every leaf write AND the label-table fold:
+        # marker-bearing == fully folded (reads filter on it), then the
+        # high-water pointer moves last.
+        with open(self._marker_path(batch_id), "w", encoding="ascii") as fh:
+            fh.write("1")
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w", encoding="ascii") as fh:
             fh.write(str(batch_id))

@@ -60,7 +60,10 @@ spark = (
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as e
-from mapreduce_paper_implementation_spark.operators.caching import release_persisted
+from mapreduce_paper_implementation_spark.operators.caching import (
+    free_local_checkpoints,
+    release_persisted,
+)
 from mapreduce_paper_implementation_spark.testing.compare import (
     canonize,
     compare_query,
@@ -90,6 +93,9 @@ for name in sorted(qs):
     # session; scoped persists from the previous query must not accumulate
     release_persisted()
     spark.catalog.clearCache()
+    # clearCache never touches localCheckpoint blocks — sweep them too or
+    # they accumulate across the whole run (caching.py contract).
+    free_local_checkpoints(spark)
     t0 = time.time()
     if name not in os_:
         try:

@@ -95,9 +95,13 @@ def test_q47_no_single_partition_data_sort(spark, sf_dir):
     # branch (offsets prefix-sum), whose input aggregates by _pid — an
     # empty-partition window directly over event columns is the single-task
     # sort this test exists to forbid
+    # 'rnk' deliberately NOT allowlisted (round-14 ADVICE fix): the query's
+    # own rank column is named rnk, so a regression to a single-partition
+    # row_number over the event data would mention it on this very line and
+    # sail through — only the bounded counts-branch columns are permissible.
     for line in plan.splitlines():
         if "windowspecdefinition(" in line and "windowspecdefinition(_pid" not in line:
-            assert "_off" in line or "_n" in line or "rnk" in line, line
+            assert "_off" in line or "_n" in line, line
     assert "CartesianProduct" not in plan
 
 

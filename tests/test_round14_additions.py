@@ -1,0 +1,370 @@
+"""Round-14 gates.
+
+Crash-recovery commit markers (ADVICE r13 items 1-2): a maintainer batch
+whose leaf writes completed but whose fold/pointer never committed must be
+(a) invisible to every read, (b) purged before any later commit could
+expose it, and (c) never misclassified as a genuine replay. Applied to
+streaming/release_view.py and streaming/contamination_index.py.
+
+Checkpoint-lifetime sweep (ADVICE r13 item 4 + VERDICT #3):
+operators/caching.py:free_local_checkpoints releases the RDD blocks
+clearCache() never touches, and fresh queries still work after a sweep.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_paper_implementation_spark.sources.tables import load_table
+
+
+def _centroids_from(emb):
+    return emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").cast("long").alias("cell"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("c_vec"),
+    )
+
+
+def _empty_pairs(spark):
+    return spark.createDataFrame([], "id_a long, id_b long, jaccard double")
+
+
+def test_release_view_crash_residue_invisible_and_purged(spark, sf_dir, tmp_path):
+    """The ADVICE r13 medium: batch N's leaves written, crash before
+    cc.update/pointer, batch N+1 commits — N's meta/grams/cells must NOT
+    become silently visible (its pair delta never reached the label
+    table). Marker-filtered reads + purge-before-ingest close the hole."""
+    from mapreduce_paper_implementation_spark.streaming.release_view import (
+        ReleaseCutView,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    view = ReleaseCutView(spark, str(tmp_path / "state"), _centroids_from(emb))
+
+    sel = lambda lo, hi: (  # noqa: E731
+        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+        emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+    )
+    d1, e1 = sel(0, 100)
+    view.update(d1, e1, _empty_pairs(spark), 1)
+
+    # simulate a crash AFTER batch 2's leaf writes, BEFORE cc.update/marker:
+    # write all three leaves by hand, no _COMMITTED marker
+    d2, e2 = sel(100, 200)
+    for leaf, frame in [
+        ("meta", d2.select("doc_id", "source")),
+        ("grams", d2.select("doc_id")),
+        ("cells", e2.select(F.col("vec_id").alias("id"))),
+    ]:
+        frame.write.mode("overwrite").parquet(view._batch_dir(2, leaf))
+    assert os.path.isdir(view._batch_dir(2, "meta"))
+
+    # batch 3 commits; batch 2's residue must be purged, not exposed
+    d3, e3 = sel(200, 300)
+    view.update(d3, e3, _empty_pairs(spark), 3)
+    assert not os.path.isdir(view._batch_dir(2, "meta")), "residue outlived commit"
+    ids = {r["doc_id"] for r in view._read_leaf("meta").select("doc_id").collect()}
+    assert ids == {r["doc_id"] for r in d1.unionByName(d3).collect()}
+
+    # replaying batch 2 now raises (never fully ingested, pointer passed it)
+    with pytest.raises(ValueError, match="never ingested"):
+        view.update(d2, e2, _empty_pairs(spark), 2)
+    # replay of a genuinely committed batch stays a no-op
+    assert view.update(d3, e3, _empty_pairs(spark), 3) is None
+
+
+def test_release_view_partial_residue_reingested_before_commit(spark, sf_dir, tmp_path):
+    """The ADVICE r13 low: meta-only residue (crash between leaf writes)
+    used to classify as a replay once the pointer passed it; before the
+    pointer passes it, a retry of the SAME batch id must purge the partial
+    dirs and re-ingest all three leaves."""
+    from mapreduce_paper_implementation_spark.streaming.release_view import (
+        ReleaseCutView,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    view = ReleaseCutView(spark, str(tmp_path / "state"), _centroids_from(emb))
+    d1 = docs.where(F.col("doc_id") < 100)
+    e1 = emb.where(F.col("vec_id") < 100)
+    # meta leaf only — the mid-write crash shape
+    d1.select("doc_id", "source").write.mode("overwrite").parquet(
+        view._batch_dir(1, "meta")
+    )
+    view.update(d1, e1, _empty_pairs(spark), 1)  # retry re-ingests fully
+    for leaf in ("meta", "grams", "cells"):
+        assert os.path.isdir(view._batch_dir(1, leaf))
+    assert os.path.exists(view._marker_path(1))
+    assert view._read_leaf("grams") is not None
+    # and the retry is visible: replay is now a marker-keyed no-op
+    assert view.update(d1, e1, _empty_pairs(spark), 1) is None
+
+
+def test_contamination_crash_residue_purged_and_replay_contract(
+    spark, sf_dir, tmp_path
+):
+    """Same two holes on the contamination index: unmarked residue is
+    purged before a later commit, current() equals the one-shot over the
+    batches that actually committed, and replay detection keys on the
+    marker (plus the baseline floor after compact)."""
+    from mapreduce_paper_implementation_spark.streaming.contamination_index import (
+        ContaminationIndexMaintainer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m = ContaminationIndexMaintainer(spark, str(tmp_path / "state"))
+    b1 = docs.where(F.col("doc_id") < 170)
+    b2 = docs.where((F.col("doc_id") >= 170) & (F.col("doc_id") < 340))
+    b3 = docs.where(F.col("doc_id") >= 340)
+
+    assert m.update(b1, 1) is not None
+    # crash residue for batch 2: eval_grams leaf only, no marker
+    m._gram_frame(b2).where(F.col("split") != "train").write.mode(
+        "overwrite"
+    ).parquet(m._batch_dir(2, "eval_grams"))
+
+    assert m.update(b3, 3) is not None
+    assert not os.path.isdir(m._batch_dir(2, "eval_grams")), "residue survived"
+    # view == one-shot over batches 1+3 only (batch 2 never committed)
+    from tests.test_contamination_index import _one_shot, _rows
+
+    from mapreduce_paper_implementation_spark.operators.serving import split_of
+
+    assert _rows(m.current()) == _rows(_one_shot(b1.unionByName(b3), split_of))
+    with pytest.raises(ValueError, match="never ingested"):
+        m.update(b2, 2)
+    assert m.update(b3, 3) is None  # marker-keyed replay no-op
+    # after compact the dirs (and markers) fold away; the baseline floor
+    # still classifies old ids as replays
+    m.compact()
+    assert m.update(b1, 1) is None
+
+
+def test_free_local_checkpoints_sweeps_blocks(spark):
+    """clearCache() does not release localCheckpoint storage; the sweep
+    does, and a FRESH query after the sweep is unaffected. (Consuming a
+    pre-sweep checkpointed frame would fail loudly — the documented
+    contract — so the bench/driver loops only sweep at query boundaries.)"""
+    from mapreduce_paper_implementation_spark.operators.caching import (
+        free_local_checkpoints,
+    )
+    from mapreduce_paper_implementation_spark.operators.sort import global_rank
+
+    df = spark.range(10000).select(
+        F.col("id"), (F.col("id") % 97).alias("v")
+    )
+    ranked = global_rank(df, [F.col("v").asc(), F.col("id").asc()], "rnk")
+    assert ranked.count() == 10000
+    spark.catalog.clearCache()
+    n_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert n_before > 0, "global_rank should have left checkpoint blocks"
+    assert free_local_checkpoints(spark) == n_before
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    # fresh build after the sweep works and is correct
+    again = global_rank(df, [F.col("v").asc(), F.col("id").asc()], "rnk")
+    top = again.orderBy("rnk").limit(1).collect()[0]
+    assert (top["v"], top["rnk"]) == (0, 1)
+    free_local_checkpoints(spark)
+
+
+def test_mixture_export_roundtrip_manifest_and_atomicity(spark, sf_dir, tmp_path):
+    """VERDICT r13 ask #1 gates, one export:
+
+    (a) re-read equality — exported rows (payload included) == the
+        mixture_stream_frame assignment (one lineage);
+    (b) manifest == gated plan — per-(epoch, shard) counts equal q136's
+        hash-gated rows AND per-source totals equal q134's hash-gated
+        integer columns (the repetition schedule is consumed exactly);
+    (c) atomic versioning — second export bumps, torn write invisible."""
+    import json as _json
+
+    from mapreduce_paper_implementation_spark.plans.queries import QUERIES
+    from mapreduce_paper_implementation_spark.plans.release_queries import (
+        mixture_stream_frame,
+    )
+    from mapreduce_paper_implementation_spark.sources.mixture_export import (
+        export_mixture,
+        read_mixture,
+    )
+
+    out = str(tmp_path / "mixture")
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select("doc_id", "text")
+    assert export_mixture(spark, docs, out, payload=payload) == 1
+
+    got, manifest = read_mixture(spark, out)
+    # (a) re-read equality, payload included — every COPY carries the text
+    want = sorted(
+        tuple(r)
+        for r in mixture_stream_frame(docs)
+        .join(payload, "doc_id")
+        .select("doc_id", "source", "tc", "epoch", "shard", "text")
+        .collect()
+    )
+    assert (
+        sorted(
+            tuple(r)
+            for r in got.select(
+                "doc_id", "source", "tc", "epoch", "shard", "text"
+            ).collect()
+        )
+        == want
+    )
+    # (b) manifest vs the two hash-gated plans
+    q136 = QUERIES["q136_mixture_epoch_stream"](spark, sf_dir).collect()
+    assert {
+        (c["epoch"], c["shard"]): (c["n_docs"], c["n_tokens"])
+        for c in manifest["shards"]
+    } == {(r["epoch"], r["shard"]): (r["n_docs"], r["n_tokens"]) for r in q136}
+    q134 = QUERIES["q134_budgeted_sample"](spark, sf_dir).collect()
+    assert {
+        s["source"]: (
+            s["n_docs_kept"],
+            s["n_tokens_kept"],
+            s["allocated"],
+            s["full_epochs"],
+        )
+        for s in manifest["sources"]
+    } == {
+        r["source"]: (
+            r["n_docs_kept"],
+            r["n_tokens_kept"],
+            r["allocated"],
+            r["full_epochs"],
+        )
+        for r in q134
+    }
+    assert manifest["totals"]["n_tokens"] == sum(
+        r["n_tokens_kept"] for r in q134
+    )
+    # (c) versioning + torn-write invisibility
+    assert export_mixture(spark, docs, out, payload=payload) == 2
+    torn = tmp_path / "mixture" / "v0000000003"
+    torn.mkdir()
+    (torn / "manifest.json").write_text(_json.dumps({"version": 3}))
+    _, m = read_mixture(spark, out)
+    assert m["version"] == 2  # pointer never moved; v3 is invisible
+
+
+def test_mixture_epoch_semantics(spark, sf_dir):
+    """Structural properties of the materialized repetition schedule:
+    epoch e contains EXACTLY the docs with ncopies > e (full passes are
+    complete source copies; the last partial epoch is the md5-order
+    head), and within every epoch the token-balanced cut bounds the
+    max-min shard spread by one boundary document."""
+    from mapreduce_paper_implementation_spark.plans.release_queries import (
+        _mixture_sample_parts,
+        mixture_stream_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stream = mixture_stream_frame(docs)
+    scum, alloc = _mixture_sample_parts(docs)
+    ncopies = {
+        r["doc_id"]: r["nc"]
+        for r in scum.join(F.broadcast(alloc), "source")
+        .select(
+            "doc_id",
+            (
+                F.col("full_epochs")
+                + F.when(F.col("scum") < F.col("rem"), 1).otherwise(0)
+            ).alias("nc"),
+        )
+        .collect()
+    }
+    rows = stream.collect()
+    by_epoch: dict[int, set] = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], set()).add(r["doc_id"])
+    for e, ids in by_epoch.items():
+        assert ids == {d for d, nc in ncopies.items() if nc > e}, f"epoch {e}"
+    # per-epoch shard balance: spread <= 2x max doc (the q132 bound)
+    import collections
+
+    toks = collections.Counter()
+    for r in rows:
+        toks[(r["epoch"], r["shard"])] += r["tc"]
+    max_doc = max(r["tc"] for r in rows)
+    for e in by_epoch:
+        vals = [v for (ee, _), v in toks.items() if ee == e]
+        assert max(vals) - min(vals) <= 2 * max_doc, f"epoch {e} unbalanced"
+
+
+def test_q135_ann_indexed_equals_q118_and_never_trains(spark, sf_dir, tmp_path):
+    """q135 (VERDICT r13 #4): the registered indexed-ANN row must (a)
+    return exactly q118's rows (bit-deterministic training contract), and
+    (b) NEVER train in the plan — with no env index published, its
+    scratch publication happens at most once; the second build triggers
+    only parquet listing jobs and scans the published leaves."""
+    from mapreduce_paper_implementation_spark.plans.curation_queries import (
+        _q135_index,
+    )
+    from mapreduce_paper_implementation_spark.plans.queries import QUERIES
+
+    # warm the scratch publication (first-ever call on this corpus may
+    # train; every later call must not)
+    _q135_index(spark, sf_dir)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    df = QUERIES["q135_ann_indexed"](spark, sf_dir)
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after - before <= 6, (
+        f"q135 plan build ran {after - before} Spark jobs — more than "
+        "parquet listing can explain (inline training?)"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ann_scratch" in plan or "ann_index" in plan
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(
+        tuple(r) for r in QUERIES["q118_ann_ivf_pq"](spark, sf_dir).collect()
+    )
+    assert got == want
+
+
+def test_mixture_view_matches_q133_after_every_batch(spark, sf_dir, tmp_path):
+    """VERDICT r13 ask #2: the served water-filling allocation (additive
+    per-source token counters + the shared q133 expression tree) must
+    equal the batch q133 over the seen corpus after EVERY ingest batch,
+    be replay-invariant, survive vacuum, and land exactly on the
+    registered q133 once the whole corpus is ingested."""
+    from mapreduce_paper_implementation_spark.plans.queries import QUERIES
+    from mapreduce_paper_implementation_spark.plans.release_queries import (
+        _mixture_alloc_frame,
+        mixture_plan_readout,
+    )
+    from mapreduce_paper_implementation_spark.streaming.mixture_view import (
+        mixture_plan_view,
+        source_tokens_maintainer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = source_tokens_maintainer(spark, str(tmp_path / "state"))
+    assert mixture_plan_view(m) is None  # pre-first-batch contract
+    bounds = [(0, 170), (170, 340), (340, 10**9)]
+    for i, (lo, hi) in enumerate(bounds, start=1):
+        batch = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        m.update(batch, i)
+        seen = docs.where(F.col("doc_id") < hi)
+        got = sorted(tuple(r) for r in mixture_plan_view(m).collect())
+        want = sorted(
+            tuple(r)
+            for r in mixture_plan_readout(_mixture_alloc_frame(seen)).collect()
+        )
+        assert got == want, f"batch {i}: served allocation diverges"
+    # replay is a version-pointer no-op; the view must not move
+    m.update(docs.where(F.col("doc_id") < 170), 1)
+    after_replay = sorted(tuple(r) for r in mixture_plan_view(m).collect())
+    assert after_replay == got
+    # vacuum superseded versions; the committed view must not move
+    m.vacuum()
+    assert sorted(tuple(r) for r in mixture_plan_view(m).collect()) == got
+    # and the served plan == the registered hash-gated q133 exactly
+    reg = sorted(
+        tuple(r)
+        for r in QUERIES["q133_mixture_allocation"](spark, sf_dir).collect()
+    )
+    assert got == reg
