@@ -118,7 +118,20 @@ epoch caps over the bounded source table — the data-mixing step ahead
 of the release cut) and q134 materializes that plan as the budgeted
 sample (full epochs + md5-order remainder head per source, per-source
 offsets from one global prefix-sum — the repetition schedule a
-data-constrained training run actually consumes).
+data-constrained training run actually consumes); q135 (round 14) is the
+INDEXED production path of q118 as its own gated row — IVF-PQ artifacts
+always read from a published release index ($SPARK_GRAFT_ANN_INDEX or a
+per-corpus scratch publication built once), plan pinned to contain no
+training, identical rows to q118 under the shared oracle; q136 (round
+14) is the WRITE side of the budgeted mixture — the materialized
+repeated-epoch doc stream (copy expansion by map-side explode, epochs =
+full passes + the md5-order head pass) cut into TOKEN-balanced shards
+within each epoch via one global prefix-sum with bounded per-epoch
+offset broadcasts; sources/mixture_export.py writes that exact frame as
+hive-partitioned (epoch, shard) parquet + manifest behind an atomic
+pointer, and streaming/mixture_view.py re-derives q133's water-filling
+allocation from additive per-source token counters at O(#sources) serve
+cost.
 ALL queries are DuckDB-oracle-backed (since round 12) — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design), and q121/q123,

@@ -1,4 +1,4 @@
-"""Distributed BPE merge-table training — the training-time counterpart of
+r"""Distributed BPE merge-table training — the training-time counterpart of
 the engine's tokenizer surface (the reference's word-count tokenizer,
 /root/reference/mr-main/mrapps/wc.go:23-26, is the APPLY side; this learns
 the merges a subword tokenizer would apply).

@@ -15,6 +15,8 @@ north-star "training-data pipeline" operators the build plan commits to
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: q67's pandas_udf type hints resolve here
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -811,13 +813,15 @@ ORDER BY event_type
 
 @query("q67_pandas_udaf", _Q67_ORACLE)
 def q67_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # functionType passed explicitly: `from __future__ import annotations`
-    # stringifies the type hints, which breaks pandas_udf's eval-type
-    # inference for the Series -> scalar (GROUPED_AGG) shape.
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def cents_sum(s):
+    # Series -> scalar hints give the GROUPED_AGG shape; the stringified
+    # annotations (`from __future__ import annotations`) resolve against
+    # this module's globals, which import pandas as pd for exactly that.
+    # (The PandasUDFType functionType arg emitted a deprecation UserWarning
+    # on every call — round-14 warning-hygiene ask.)
+    @pandas_udf("long")
+    def cents_sum(s: pd.Series) -> int:
         return int(s.sum())
 
     ev = load_table(spark, sf_dir, "events").select(

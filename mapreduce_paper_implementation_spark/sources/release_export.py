@@ -121,6 +121,112 @@ def export_release(
     return version
 
 
+def export_packed_release(
+    spark: SparkSession,
+    perdoc: DataFrame,
+    out_dir: str,
+    cap: int = 512,
+    n_shards_pack: int = 4,
+) -> int:
+    """Packed-sequence release artifact (VERDICT r13 stretch #7): q59's
+    greedy fixed-token-budget packing composed onto the release cut — the
+    loader-facing artifact ONE step past doc shards (bins are what a
+    fixed-context training loader actually consumes; docs->bins is the
+    ledger a data-order replay needs).
+
+    `perdoc`: (doc_id, tc, split, shard) — release_cut_frames' assignment
+    or ReleaseCutView.frames()[0] (maintain -> cut -> pack -> export
+    without a corpus re-read). Packing runs per (split, shard) stream via
+    operators/packing.py:pack_bins — the q59 recurrence exactly, with its
+    internal n_shards_pack sub-sharding so no Python worker holds more
+    than one sub-shard (bin ids stay dense per (split, shard) through the
+    bounded offset renumber). Layout:
+
+        out_dir/
+          v{N}/data/split=train/shard=0/part-*.parquet  (doc_id, tc, bin_id)
+          v{N}/manifest.json   per-(split, shard): n_bins/n_docs/n_tokens
+                               + cap and fill ratio (tokens / bins*cap)
+          _CURRENT             atomic pointer, moves LAST
+
+    Equality with the inline q59 recurrence over the same cut corpus is
+    pinned in tests/test_round14_additions.py; bin-capacity and dense-id
+    properties likewise."""
+    from mapreduce_paper_implementation_spark.operators.packing import pack_bins
+
+    version = (_read_pointer(out_dir) or 0) + 1
+    vdir = os.path.join(out_dir, f"v{version:010d}")
+
+    key = F.concat_ws("|", F.col("split"), F.col("shard").cast("string"))
+    packed = pack_bins(
+        perdoc.select(key.alias("source"), "doc_id", "tc"),
+        cap=cap,
+        n_shards=n_shards_pack,
+    )
+    parts = F.split(F.col("source"), r"\|")
+    packed = packed.select(
+        parts.getItem(0).alias("split"),
+        parts.getItem(1).cast("long").alias("shard"),
+        "doc_id",
+        "tc",
+        "bin_id",
+    ).localCheckpoint(eager=True)  # one assignment feeds files AND counts
+    packed.write.mode("overwrite").partitionBy("split", "shard").parquet(
+        os.path.join(vdir, "data")
+    )
+
+    counts = [
+        {
+            "split": r["split"],
+            "shard": int(r["shard"]),
+            "n_bins": int(r["n_bins"]),
+            "n_docs": int(r["n_docs"]),
+            "n_tokens": int(r["n_tokens"]),
+            "fill": round(r["n_tokens"] / (r["n_bins"] * cap), 4),
+        }
+        for r in packed.groupBy("split", "shard")
+        .agg(
+            F.countDistinct("bin_id").cast("long").alias("n_bins"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tc").cast("long").alias("n_tokens"),
+        )
+        .orderBy("split", "shard")
+        .collect()  # bounded: |splits| x |shards| rows
+    ]
+    manifest = {
+        "version": version,
+        "cap": cap,
+        "shards": counts,
+        "totals": {
+            "n_bins": sum(c["n_bins"] for c in counts),
+            "n_docs": sum(c["n_docs"] for c in counts),
+            "n_tokens": sum(c["n_tokens"] for c in counts),
+        },
+    }
+    with open(os.path.join(vdir, "manifest.json"), "w", encoding="ascii") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+
+    tmp = os.path.join(out_dir, POINTER + ".tmp")
+    with open(tmp, "w", encoding="ascii") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(out_dir, POINTER))
+    return version
+
+
+def read_packed_release(spark: SparkSession, out_dir: str) -> tuple[DataFrame, dict]:
+    """Load the CURRENT packed release: (bins DataFrame, manifest)."""
+    version = _read_pointer(out_dir)
+    if version is None:
+        raise FileNotFoundError(f"no committed packed release under {out_dir}")
+    vdir = os.path.join(out_dir, f"v{version:010d}")
+    df = (
+        spark.read.parquet(os.path.join(vdir, "data"))
+        .withColumn("shard", F.col("shard").cast("long"))
+    )
+    with open(os.path.join(vdir, "manifest.json"), encoding="ascii") as fh:
+        manifest = json.load(fh)
+    return df, manifest
+
+
 def read_release(
     spark: SparkSession, out_dir: str
 ) -> tuple[DataFrame, dict]:

@@ -17,7 +17,13 @@ release cut is then a readout over state:
     batches/b{N}/cells/      (id, cell, vec, nrm)        frozen-centroid
                              assign (operators/dedup.py:assign_cells,
                              nassign=2 — q127's geometry)
-    _CURRENT                 atomic-rename pointer
+    batches/b{N}/_COMMITTED  per-batch commit marker (round 14): written
+                             strictly after every leaf write AND the
+                             cc fold; reads include only marker-bearing
+                             dirs and update() purges unmarked crash
+                             residue, so a half-folded batch can never
+                             become visible through a later commit
+    _CURRENT                 atomic-rename pointer (high-water mark)
 
 current() composes the cut from state through the SAME
 plans/release_queries.py:_release_cut_tail expression tree the hash-gated

@@ -233,6 +233,72 @@ def main() -> None:
         }
         print(tier, out["skew"][tier], flush=True)
 
+    # ---- 3. the scan primitive at a scale where the window task IS the
+    # job. At 50-150k docs tokenization dominates and the naive per-source
+    # window is not yet the bottleneck (the x10/x30 rows above measure
+    # that honestly: ratios ~1). The 100-TB claim is about the SHAPE —
+    # the dominant source lands in ONE window task — so this section
+    # isolates the primitive on a 20M-row skewed frame (60% one key, no
+    # tokenization) and also records the structural metric directly: the
+    # largest single-task slice each formulation sorts.
+    n = 20_000_000
+    base = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 10 < 6, F.lit(DOM))
+            .otherwise(F.concat(F.lit("src"), (F.col("id") % 20).cast("string")))
+            .alias("source"),
+            (F.col("id") % 997 + 1).cast("long").alias("tc"),
+        )
+        .withColumn("k", F.md5(F.col("doc_id").cast("string")))
+    )
+
+    def prim_engine(df):
+        from mapreduce_paper_implementation_spark.operators.sort import prefix_sum
+
+        cum = prefix_sum(df, [F.col("source"), F.col("k"), F.col("doc_id")], "tc")
+        offs = cum.groupBy("source").agg(F.min("cum_before").alias("_soff"))
+        return cum.join(F.broadcast(offs), "source").select(
+            "doc_id", (F.col("cum_before") - F.col("_soff")).alias("scum")
+        )
+
+    def prim_naive(df):
+        w = (
+            Window.partitionBy("source")
+            .orderBy("k", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return df.select(
+            "doc_id",
+            F.coalesce(F.sum("tc").over(w), F.lit(0)).cast("long").alias("scum"),
+        )
+
+    eng = best_of(prim_engine, base, spark)
+    nai = best_of(prim_naive, base, spark)
+    # structural metric: rows in the largest slice a single task must sort
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    eng_max = (
+        base.repartitionByRange(n_parts, F.col("source"), F.col("k"), F.col("doc_id"))
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    nai_max = (
+        base.groupBy("source").count().agg(F.max("count")).collect()[0][0]
+    )
+    out["primitive_20M"] = {
+        "n_rows": n,
+        "dominant_share": 0.6,
+        "engine_prefix_sum_sec": eng,
+        "naive_window_sec": nai,
+        "naive_vs_engine": round(nai / eng, 3),
+        "engine_max_task_rows": int(eng_max),
+        "naive_max_task_rows": int(nai_max),
+    }
+    print("primitive_20M", out["primitive_20M"], flush=True)
+
     with open(os.path.join(REPO, "BENCH_MIXTURE.json"), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(json.dumps(out))

@@ -368,3 +368,80 @@ def test_mixture_view_matches_q133_after_every_batch(spark, sf_dir, tmp_path):
         for r in QUERIES["q133_mixture_allocation"](spark, sf_dir).collect()
     )
     assert got == reg
+
+
+def test_packed_release_export_roundtrip_and_properties(spark, sf_dir, tmp_path):
+    """VERDICT r13 stretch #7 gates: (a) re-read equality — the exported
+    (split, shard, doc_id, tc, bin_id) rows equal the inline q59
+    recurrence (pack_bins) over the same release-cut corpus; (b) bin
+    properties — per-bin token sums respect the cap unless a single doc
+    exceeds it, and bin ids are dense per (split, shard); (c) manifest
+    counts == files; (d) atomic versioning."""
+    from mapreduce_paper_implementation_spark.operators.packing import pack_bins
+    from mapreduce_paper_implementation_spark.plans.release_queries import (
+        release_cut_frames,
+    )
+    from mapreduce_paper_implementation_spark.sources.release_export import (
+        export_packed_release,
+        read_packed_release,
+    )
+
+    out = str(tmp_path / "packed")
+    perdoc, _ = release_cut_frames(spark, sf_dir)
+    perdoc = perdoc.localCheckpoint()
+    assert export_packed_release(spark, perdoc, out, cap=512) == 1
+    got, manifest = read_packed_release(spark, out)
+
+    # (a) equality vs the inline recurrence on the same cut
+    inline = pack_bins(
+        perdoc.select(
+            F.concat_ws("|", F.col("split"), F.col("shard").cast("string")).alias(
+                "source"
+            ),
+            "doc_id",
+            "tc",
+        ),
+        cap=512,
+        n_shards=4,
+    )
+    want = sorted(
+        (r["source"].split("|")[0], int(r["source"].split("|")[1]), r["doc_id"], r["tc"], r["bin_id"])
+        for r in inline.collect()
+    )
+    rows = sorted(
+        (r["split"], r["shard"], r["doc_id"], r["tc"], r["bin_id"])
+        for r in got.collect()
+    )
+    assert rows == want
+
+    # (b) capacity + dense ids
+    import collections
+
+    bins = collections.defaultdict(list)
+    for s, sh, d, tc, b in rows:
+        bins[(s, sh, b)].append(tc)
+    for (s, sh, b), tcs in bins.items():
+        assert sum(tcs) <= 512 or len(tcs) == 1, f"overfull bin {(s, sh, b)}"
+    per_shard = collections.defaultdict(set)
+    for (s, sh, b) in bins:
+        per_shard[(s, sh)].add(b)
+    for k, ids in per_shard.items():
+        assert ids == set(range(len(ids))), f"non-dense bins in {k}"
+
+    # (c) manifest == files
+    agg = collections.defaultdict(lambda: [set(), 0, 0])
+    for s, sh, d, tc, b in rows:
+        a = agg[(s, sh)]
+        a[0].add(b)
+        a[1] += 1
+        a[2] += tc
+    assert {
+        (c["split"], c["shard"]): (c["n_bins"], c["n_docs"], c["n_tokens"])
+        for c in manifest["shards"]
+    } == {k: (len(v[0]), v[1], v[2]) for k, v in agg.items()}
+    assert manifest["cap"] == 512
+
+    # (d) versioning: second export bumps; pointer-less dir invisible
+    assert export_packed_release(spark, perdoc, out, cap=512) == 2
+    _, m2 = read_packed_release(spark, out)
+    assert m2["version"] == 2
