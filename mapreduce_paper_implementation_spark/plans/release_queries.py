@@ -1312,7 +1312,9 @@ FROM persrc ORDER BY source
 """
 
 
-def _mixture_sample_parts(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _mixture_sample_parts(
+    docs: DataFrame | None, meta: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """(scum, alloc) — the shared spine of the budgeted mixture sample.
     `scum`: (doc_id, source, tc, scum) with scum = the doc's per-source
     cumulative-token START offset under the md5 permutation, from ONE
@@ -1322,19 +1324,32 @@ def _mixture_sample_parts(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     plan. Shared by q134's hash-gated aggregate, q136's epoch/shard
     stream readout, and sources/mixture_export.py — the release_cut_frames
     one-lineage discipline: the exported sample can never drift from the
-    gated plan."""
+    gated plan.
+
+    Input is EITHER `docs` (doc_id, source, text — the corpus parse,
+    tokenized here) OR `meta` (doc_id, source, tc — already-tokenized
+    counts, e.g. streaming/release_view.py's maintained meta leaf), so
+    the export composes onto maintained state without re-tokenizing."""
     from mapreduce_paper_implementation_spark.functions.text import token_count
     from mapreduce_paper_implementation_spark.operators.sort import prefix_sum
 
-    alloc = _mixture_alloc_frame(docs).select(
+    if (docs is None) == (meta is None):
+        raise ValueError("exactly one of docs/meta must be given")
+    base = (
+        meta.select("doc_id", "source", F.col("tc").cast("long").alias("tc"))
+        if meta is not None
+        else docs.select(
+            "doc_id", "source", token_count("text").cast("long").alias("tc")
+        )
+    ).withColumn("k", F.md5(F.col("doc_id").cast("string")))
+    alloc = mixture_alloc_from_src(
+        base.groupBy("source").agg(F.sum("tc").cast("long").alias("toks"))
+    ).select(
         "source",
         F.expr("allocated div toks").cast("long").alias("full_epochs"),
         F.expr("allocated % toks").cast("long").alias("rem"),
         "allocated",
     )
-    base = docs.select(
-        "doc_id", "source", token_count("text").cast("long").alias("tc")
-    ).withColumn("k", F.md5(F.col("doc_id").cast("string")))
     # ONE global scan-prefix over (source, k, doc_id); per-source offsets
     # recovered by a bounded min-per-source broadcast — never a per-source
     # single-task window over the corpus
@@ -1416,14 +1431,18 @@ _Q136_SHARDS = 8
 
 
 def mixture_stream_frame(
-    docs: DataFrame, n_shards: int = _Q136_SHARDS
+    docs: DataFrame | None,
+    n_shards: int = _Q136_SHARDS,
+    meta: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, source, tc, epoch, shard) — one row per materialized copy
     of each kept doc, sharded token-balanced within its epoch. The ONE
-    lineage behind q136's gated readout and the mixture exporter."""
+    lineage behind q136's gated readout and the mixture exporter. `meta`
+    (doc_id, source, tc) substitutes for `docs` when token counts are
+    already maintained (the release-view composition)."""
     from mapreduce_paper_implementation_spark.operators.sort import prefix_sum
 
-    scum, alloc = _mixture_sample_parts(docs)
+    scum, alloc = _mixture_sample_parts(docs, meta=meta)
     percopy = (
         scum.join(F.broadcast(alloc), "source")
         .withColumn(

@@ -52,18 +52,22 @@ from mapreduce_paper_implementation_spark.sources.release_export import (
 
 def export_mixture(
     spark: SparkSession,
-    docs: DataFrame,
+    docs: DataFrame | None,
     out_dir: str,
     n_shards: int | None = None,
     payload: DataFrame | None = None,
+    meta: DataFrame | None = None,
 ) -> int:
-    """Write one mixture version over `docs`; returns its number.
+    """Write one mixture version; returns its number.
 
     `docs`: the (doc_id, source, text, ...) corpus the q133 planner
-    budgets over. `payload`: optional (doc_id, ...) columns joined onto
-    every materialized copy so shards carry the training payload, not
-    just ids (inner join on the sample's own key — the publisher owns
-    the match, the release_export contract).
+    budgets over — OR pass `meta` (doc_id, source, tc) instead, e.g.
+    streaming/release_view.py's maintained meta leaf, so maintain ->
+    budget -> export never re-tokenizes (tests pin the two modes equal).
+    `payload`: optional (doc_id, ...) columns joined onto every
+    materialized copy so shards carry the training payload, not just ids
+    (inner join on the sample's own key — the publisher owns the match,
+    the release_export contract).
 
     Order of operations (crash-safe): data parquet -> bounded counts
     collects -> manifest.json -> pointer rename LAST."""
@@ -80,7 +84,7 @@ def export_mixture(
     # -consistency discipline; also saves recomputing the composed sample
     # three times).
     stream = mixture_stream_frame(
-        docs, n_shards=n_shards or _Q136_SHARDS
+        docs, n_shards=n_shards or _Q136_SHARDS, meta=meta
     ).localCheckpoint(eager=True)
     data = stream if payload is None else stream.join(payload, "doc_id")
     data.write.mode("overwrite").partitionBy("epoch", "shard").parquet(
@@ -108,7 +112,7 @@ def export_mixture(
         _mixture_sample_parts,
     )
 
-    _, alloc = _mixture_sample_parts(docs)
+    _, alloc = _mixture_sample_parts(docs, meta=meta)
     sources = [
         {
             "source": r["source"],

@@ -445,3 +445,31 @@ def test_packed_release_export_roundtrip_and_properties(spark, sf_dir, tmp_path)
     assert export_packed_release(spark, perdoc, out, cap=512) == 2
     _, m2 = read_packed_release(spark, out)
     assert m2["version"] == 2
+
+
+def test_mixture_export_from_maintained_meta_equals_docs_mode(
+    spark, sf_dir, tmp_path
+):
+    """maintain -> budget -> export without re-tokenizing: exporting the
+    mixture from a maintained (doc_id, source, tc) meta frame (the
+    release-view leaf shape) must produce byte-identical shard rows and
+    manifest to the docs-mode export over the same corpus."""
+    import json as _json
+
+    from mapreduce_paper_implementation_spark.functions.text import token_count
+    from mapreduce_paper_implementation_spark.sources.mixture_export import (
+        export_mixture,
+        read_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    meta = docs.select(
+        "doc_id", "source", token_count("text").cast("long").alias("tc")
+    )
+    export_mixture(spark, docs, str(tmp_path / "a"))
+    export_mixture(spark, None, str(tmp_path / "b"), meta=meta)
+    da, ma = read_mixture(spark, str(tmp_path / "a"))
+    db, mb = read_mixture(spark, str(tmp_path / "b"))
+    assert sorted(map(tuple, da.collect())) == sorted(map(tuple, db.collect()))
+    ma.pop("version"); mb.pop("version")
+    assert _json.dumps(ma, sort_keys=True) == _json.dumps(mb, sort_keys=True)
