@@ -749,7 +749,7 @@ def embedding_neardup_pairs_blocked(
     # the exact round+compare is Spark-side. Over-inclusion is harmless.
     margin = 1e-6
 
-    def score(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def score(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
         pa, pb = int(key[0]), int(key[1])
@@ -895,7 +895,7 @@ def semantic_dedup_pairs(
 
     margin = 1e-6  # exceeds the max round-half-up shift; see blocked GEMM
 
-    def score(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def score(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
         cell, pa, pb = int(key[0]), int(key[1]), int(key[2])

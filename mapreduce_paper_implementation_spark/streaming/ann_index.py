@@ -410,7 +410,7 @@ class AnnIndexMaintainer:
         threshold = self.threshold
         margin = 1e-6  # same pre-filter contract as the batch operator
 
-        def score(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        def score(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
             import numpy as np
 
             cell = int(key[0])
