@@ -215,6 +215,17 @@ class ReleaseCutView:
         os.replace(tmp, self._pointer_path())
         return None
 
+    def meta(self) -> DataFrame:
+        """The maintained (doc_id, source, tc) token counts — the mixture
+        exporter's `meta` input (sources/mixture_export.py), so maintain
+        -> budget -> export composes off this view without re-tokenizing
+        (equality with the docs-mode export pinned in
+        tests/test_round14_additions.py)."""
+        meta = self._read_leaf("meta")
+        if meta is None:
+            raise FileNotFoundError("no committed ingest batches")
+        return meta.select("doc_id", "source", "tc")
+
     # -- the cut -------------------------------------------------------------
     def frames(self) -> tuple[DataFrame, DataFrame]:
         """(perdoc, ledger) from maintained state — the same pair

@@ -473,3 +473,37 @@ def test_mixture_export_from_maintained_meta_equals_docs_mode(
     assert sorted(map(tuple, da.collect())) == sorted(map(tuple, db.collect()))
     ma.pop("version"); mb.pop("version")
     assert _json.dumps(ma, sort_keys=True) == _json.dumps(mb, sort_keys=True)
+
+
+def test_mixture_export_off_release_view_meta(spark, sf_dir, tmp_path):
+    """maintain -> budget -> export as one composition: the mixture
+    export fed by ReleaseCutView's maintained meta leaf must equal the
+    docs-mode export over the seen corpus — the ingested token counts ARE
+    a fresh parse (each ingest projection shares the expression tree)."""
+    import json as _json
+
+    from mapreduce_paper_implementation_spark.sources.mixture_export import (
+        export_mixture,
+        read_mixture,
+    )
+    from mapreduce_paper_implementation_spark.streaming.release_view import (
+        ReleaseCutView,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    view = ReleaseCutView(spark, str(tmp_path / "state"), _centroids_from(emb))
+    for i, (lo, hi) in enumerate([(0, 250), (250, 10**9)], start=1):
+        view.update(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            _empty_pairs(spark),
+            i,
+        )
+    export_mixture(spark, None, str(tmp_path / "fromview"), meta=view.meta())
+    export_mixture(spark, docs, str(tmp_path / "fromdocs"))
+    dv, mv = read_mixture(spark, str(tmp_path / "fromview"))
+    dd, md = read_mixture(spark, str(tmp_path / "fromdocs"))
+    assert sorted(map(tuple, dv.collect())) == sorted(map(tuple, dd.collect()))
+    mv.pop("version"); md.pop("version")
+    assert _json.dumps(mv, sort_keys=True) == _json.dumps(md, sort_keys=True)
