@@ -131,7 +131,11 @@ offset broadcasts; sources/mixture_export.py writes that exact frame as
 hive-partitioned (epoch, shard) parquet + manifest behind an atomic
 pointer, and streaming/mixture_view.py re-derives q133's water-filling
 allocation from additive per-source token counters at O(#sources) serve
-cost.
+cost; q137 (round 14) is the context-cap planner — the exact
+truncation-loss / padding-waste / utilization tradeoff per candidate
+context length under the one-doc-per-sequence loader, computed in ONE
+corpus pass (map-side explode of the 5-literal cap array into a 5-group
+aggregate).
 ALL queries are DuckDB-oracle-backed (since round 12) — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design), and q121/q123,

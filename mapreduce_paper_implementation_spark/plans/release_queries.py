@@ -1550,3 +1550,78 @@ def q136_mixture_epoch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q137 context-cap planner (round 14) — the loader-geometry decision the
+# packing family (q59 greedy bins, q81 overlap chunks, q132/q136 balanced
+# shards) feeds into: for each candidate context length, what does the
+# corpus cost under the one-doc-per-sequence fine-tuning loader — how many
+# docs truncate, how many tokens are lost to truncation, how much padding
+# is wasted, and the resulting utilization? Exact per-cap arithmetic:
+# tokens_kept = sum(min(tc, cap)), padding = sum(cap - min(tc, cap)),
+# utilization = kept / (n_docs * cap). The argmin/argmax tradeoff curve is
+# the whole output (5 bounded rows), so the choice is auditable rather
+# than folklore.
+#
+# Scale shape: ONE corpus pass — map-side explode of the 5-literal cap
+# array (x5 rows, each a constant-width projection) into a 5-group
+# partial/final agg; no shuffle wider than 5 keys. The naive alternative
+# (5 separate corpus scans) is what this query exists to avoid.
+#
+# Oracle: CROSS JOIN (VALUES ...) caps with identical LEAST/integer
+# arithmetic; the only double is ROUND(,6) utilization.
+# ---------------------------------------------------------------------------
+
+_Q137_CAPS = (128, 256, 512, 1024, 2048)
+
+
+def _q137_oracle() -> str:
+    vals = ", ".join(f"({c})" for c in _Q137_CAPS)
+    return f"""
+WITH t AS (
+  SELECT CAST(len({sql_tokens('text')}) AS BIGINT) AS tc FROM documents
+),
+caps(cap) AS (VALUES {vals})
+SELECT CAST(cap AS BIGINT) AS cap,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN tc > cap THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+       CAST(SUM(LEAST(tc, cap)) AS BIGINT) AS tokens_kept,
+       CAST(SUM(tc - LEAST(tc, cap)) AS BIGINT) AS tokens_lost,
+       CAST(SUM(cap - LEAST(tc, cap)) AS BIGINT) AS padding_tokens,
+       ROUND(CAST(SUM(LEAST(tc, cap)) AS DOUBLE)
+             / CAST(COUNT(*) * cap AS DOUBLE), 6) AS utilization
+FROM t CROSS JOIN caps
+GROUP BY cap ORDER BY cap
+"""
+
+
+@query("q137_context_cap_planner", _q137_oracle())
+def q137_context_cap_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(token_count("text").cast("long").alias("tc"))
+    kept = F.least(F.col("tc"), F.col("cap"))
+    return (
+        t.select(
+            "tc",
+            F.explode(
+                F.array(*[F.lit(c).cast("long") for c in _Q137_CAPS])
+            ).alias("cap"),
+        )
+        .groupBy("cap")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("tc") > F.col("cap"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_truncated"),
+            F.sum(kept).cast("long").alias("tokens_kept"),
+            F.sum(F.col("tc") - kept).cast("long").alias("tokens_lost"),
+            F.sum(F.col("cap") - kept).cast("long").alias("padding_tokens"),
+            F.round(
+                F.sum(kept) / (F.count("*") * F.first("cap")), 6
+            ).alias("utilization"),
+        )
+        .orderBy("cap")
+    )
