@@ -135,7 +135,11 @@ cost; q137 (round 14) is the context-cap planner — the exact
 truncation-loss / padding-waste / utilization tradeoff per candidate
 context length under the one-doc-per-sequence loader, computed in ONE
 corpus pass (map-side explode of the 5-literal cap array into a 5-group
-aggregate).
+aggregate); q138 (round 14) is the dedup-threshold tuning curve — pairs
+fired and docs linked per candidate Jaccard cutoff 0.1..0.9, derived
+from ONE q20 exact similarity join (threshold comparison in integer
+micro units so double-vs-decimal literal semantics can never split the
+engines).
 ALL queries are DuckDB-oracle-backed (since round 12) — including q34,
 whose HLL++ sketch is value-checked via a 3-sigma bracket boolean (the
 sketch estimate itself is estimator-specific by design), and q121/q123,

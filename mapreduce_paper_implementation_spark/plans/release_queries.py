@@ -1625,3 +1625,92 @@ def q137_context_cap_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cap")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q138 dedup-threshold tuning curve (round 14) — the audit that tells a
+# curation engineer WHERE to set the near-dup cutoff: for each candidate
+# Jaccard threshold 0.1..0.9, how many pairs fire and how many distinct
+# docs get linked into some near-dup relation. The pair set is computed
+# ONCE (q20's exact inverted-index join — shared operator, same shingle
+# definition, hot-shingle df cut, and ROUND(,6) score) and bucketed by a
+# 9-literal threshold explode; the naive alternative re-runs the
+# similarity join per threshold.
+#
+# Cross-engine exactness: thresholds compare in integer MICRO units
+# (round(jaccard*1e6) >= tu) — never double-vs-decimal literal semantics
+# (DuckDB parses 0.7 as DECIMAL; Spark as double — the q95 fence class).
+# Thresholds with zero firing pairs drop from BOTH engines identically
+# (empty group on one side, inner join on the other).
+#
+# Scale shape: the pair set is the q20 skeleton (inverted index + df cut,
+# never all-pairs); the curve is a x9 explode over the DERIVED pair set
+# (|pairs| << corpus) + two bounded aggregates.
+# ---------------------------------------------------------------------------
+
+_Q138_THRESH_MICROS = tuple(range(100_000, 1_000_000, 100_000))
+
+
+def _q138_oracle() -> str:
+    from mapreduce_paper_implementation_spark.plans.queries import _Q20_ORACLE
+
+    vals = ", ".join(f"({t})" for t in _Q138_THRESH_MICROS)
+    return f"""
+WITH pairs AS ({_Q20_ORACLE}),
+th(tu) AS (VALUES {vals}),
+hit AS (
+  SELECT th.tu, p.id_a, p.id_b
+  FROM pairs p CROSS JOIN th
+  WHERE CAST(ROUND(p.jaccard * 1000000) AS BIGINT) >= th.tu
+),
+pa AS (SELECT tu, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM hit GROUP BY tu),
+dd AS (
+  SELECT tu, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs_linked
+  FROM (SELECT tu, id_a AS id FROM hit UNION ALL SELECT tu, id_b FROM hit)
+  GROUP BY tu
+)
+SELECT CAST(pa.tu AS DOUBLE) / 1000000 AS threshold,
+       pa.n_pairs, dd.n_docs_linked
+FROM pa JOIN dd USING (tu)
+ORDER BY threshold
+"""
+
+
+@query("q138_dedup_threshold_curve", _q138_oracle())
+def q138_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_paper_implementation_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.1
+    )
+    hit = (
+        pairs.withColumn(
+            "ju", F.round(F.col("jaccard") * 1000000).cast("long")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "ju",
+            F.explode(
+                F.array(*[F.lit(t).cast("long") for t in _Q138_THRESH_MICROS])
+            ).alias("tu"),
+        )
+        .where(F.col("ju") >= F.col("tu"))
+    )
+    pa = hit.groupBy("tu").agg(F.count("*").cast("long").alias("n_pairs"))
+    dd = (
+        hit.select("tu", F.explode(F.array("id_a", "id_b")).alias("id"))
+        .groupBy("tu")
+        .agg(F.countDistinct("id").cast("long").alias("n_docs_linked"))
+    )
+    return (
+        pa.join(dd, "tu")
+        .select(
+            (F.col("tu").cast("double") / 1000000).alias("threshold"),
+            "n_pairs",
+            "n_docs_linked",
+        )
+        .orderBy("threshold")
+    )
