@@ -411,16 +411,21 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.1,
     max_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    sort: bool = True,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity join: pairs sharing >=1 shingle,
     scored inter/(|A|+|B|-inter), filtered >= threshold. Skeleton (inverted
     index, hot-shingle cut, scale analysis): _ngram_cooccurrence above.
 
     Returns (id_a, id_b, jaccard DOUBLE), id_a < id_b (decimal-exact score,
-    double final projection — see minhash_lsh_pairs).
-    """
+    double final projection — see minhash_lsh_pairs). `sort=False` skips
+    the global (id_a, id_b) output sort for consumers that immediately
+    aggregate or symmetrize the pair set (connected components, the q138
+    threshold curve): the sort is a pure range-exchange cost there —
+    Catalyst cannot always eliminate it below a persist boundary
+    (guide §2.4's "orderBy used only to make output deterministic")."""
     co = _ngram_cooccurrence(docs, id_col, text_col, shingle_n, max_df)
-    return (
+    out = (
         co.select(
             "id_a",
             "id_b",
@@ -430,8 +435,8 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .withColumn("jaccard", F.col("jaccard").cast("double"))
-        .orderBy("id_a", "id_b")
     )
+    return out.orderBy("id_a", "id_b") if sort else out
 
 
 def ngram_containment_pairs(
@@ -799,27 +804,48 @@ def assign_cells(
     with ties to the lower cell (the ivf_topk contract), so every consumer
     agrees on cell boundaries across calls — the determinism that makes a
     STORED assignment delta joinable with tomorrow's batch."""
-    from pyspark.sql import Window
-
     from mapreduce_paper_implementation_spark.functions.vectors import cosine, norm
 
-    cents = centroids.select("cell", "c_vec", norm(F.col("c_vec")).alias("c_nrm"))
+    # Round-14 shape (guide §2.4): the centroid frame collapses to ONE
+    # array-of-structs broadcast row and the top-nassign cells are a NARROW
+    # per-vector array_sort + slice + explode — the old crossJoin(k) +
+    # row_number window shuffled every vector k times per call. Ordering is
+    # the identical total order: array_sort ascends on (-c_cos, cell), which
+    # equals (c_cos DESC, cell ASC) for every non-NaN score incl. +/-0.0
+    # (Spark's double ordering negates cleanly; cosine is NaN-free for the
+    # nonzero vectors this operator is defined over).
+    carr = centroids.select(
+        "cell", "c_vec", norm(F.col("c_vec")).alias("c_nrm")
+    ).agg(F.collect_list(F.struct("cell", "c_vec", "c_nrm")).alias("_cents"))
     v = emb.select(
         F.col(id_col).alias("id"), to_double_vec(vec_col).alias("vec")
     ).withColumn("nrm", norm(F.col("vec")))
-    scored = v.crossJoin(F.broadcast(cents)).select(
-        "id",
-        "vec",
-        "cell",
-        F.round(cosine(F.col("vec"), F.col("c_vec"), F.col("nrm"), F.col("c_nrm")), 6).alias(
-            "c_cos"
+    top = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    (
+                        -F.round(
+                            cosine(F.col("vec"), c["c_vec"], F.col("nrm"), c["c_nrm"]),
+                            6,
+                        )
+                    ).alias("_nc"),
+                    c["cell"].alias("cell"),
+                ),
+            )
         ),
+        1,
+        nassign,
     )
-    w = Window.partitionBy("id").orderBy(F.desc("c_cos"), F.asc("cell"))
     return (
-        scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= nassign)
-        .select("id", "vec", F.col("cell").cast("int").alias("cell"))
+        v.crossJoin(F.broadcast(carr))
+        .select(
+            "id",
+            "vec",
+            F.explode(F.transform(top, lambda t: t["cell"])).alias("_cell"),
+        )
+        .select("id", "vec", F.col("_cell").cast("int").alias("cell"))
     )
 
 
@@ -979,7 +1005,10 @@ def survivor_stats(
 
     if clusters is None:
         clusters = connected_components(
-            ngram_jaccard_pairs(docs, id_col=id_col, text_col=text_col, threshold=threshold)
+            ngram_jaccard_pairs(
+                docs, id_col=id_col, text_col=text_col, threshold=threshold,
+                sort=False,  # CC symmetrizes+distincts: output sort is dead cost
+            )
         )
     victims = clusters.where(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col), F.lit(1).alias("is_victim")
@@ -1041,7 +1070,8 @@ def canonical_docs(
     if clusters is None:
         clusters = connected_components(
             ngram_jaccard_pairs(
-                docs, id_col=id_col, text_col=text_col, threshold=threshold
+                docs, id_col=id_col, text_col=text_col, threshold=threshold,
+                sort=False,  # CC symmetrizes+distincts: output sort is dead cost
             )
         )
     quality = docs.select(

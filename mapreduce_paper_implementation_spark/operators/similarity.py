@@ -183,21 +183,42 @@ def ivf_topk(
             .select(F.col("id").alias("cell"), F.col("vec").alias("c_vec"), F.col("nrm").alias("c_nrm"))
         )
 
+    carr = cents.agg(F.collect_list(F.struct("cell", "c_vec", "c_nrm")).alias("_cents"))
+
     def assign(df: DataFrame, n_keep: int, id_alias: str) -> DataFrame:
         # Cell assignment ranks by ROUND(cos, 6): raw-double ordering could
         # flip on cross-engine ulp differences; rounded scores tie-break by
         # cell id deterministically (same contract as the output ranks).
-        scored = df.crossJoin(F.broadcast(cents)).select(
-            F.col("id").alias(id_alias),
-            "cell",
-            F.round(
-                cosine(F.col("vec"), F.col("c_vec"), F.col("nrm"), F.col("c_nrm")), 6
-            ).alias("c_cos"),
+        # Round-14 shape (guide §2.4): ONE broadcast array row + a narrow
+        # array_sort on (-c_cos, cell) == (c_cos DESC, cell ASC) — the old
+        # crossJoin(k) + row_number window shuffled every vector k times.
+        top = F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col("_cents"),
+                    lambda c: F.struct(
+                        (
+                            -F.round(
+                                cosine(
+                                    F.col("vec"), c["c_vec"], F.col("nrm"), c["c_nrm"]
+                                ),
+                                6,
+                            )
+                        ).alias("_nc"),
+                        c["cell"].alias("cell"),
+                    ),
+                )
+            ),
+            1,
+            n_keep,
         )
-        w = Window.partitionBy(id_alias).orderBy(F.desc("c_cos"), F.asc("cell"))
-        return scored.withColumn("cell_rank", F.row_number().over(w)).where(
-            F.col("cell_rank") <= n_keep
-        ).select(id_alias, "cell")
+        return (
+            df.crossJoin(F.broadcast(carr))
+            .select(
+                F.col("id").alias(id_alias),
+                F.explode(F.transform(top, lambda t: t["cell"])).alias("cell"),
+            )
+        )
 
     cand_cells = assign(v, 1, "id")
     cand = v.join(cand_cells, "id")
@@ -270,40 +291,112 @@ def pq_train(
 ) -> DataFrame:
     """Train the m per-subspace codebooks over NORMALIZED vectors; returns
     (sub_j INT, code INT, c_vec array<double>). Offline index-build step:
-    m kmeans_fit runs (2 Lloyd rounds, lowest-id seeding, tol=0 — the
-    exact unrollable build) over the j-th slice of every unit vector."""
-    from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit
+    m Lloyd trainings (2 rounds, lowest-id seeding, tol=0 — the exact
+    unrollable build, kmeans_fit's contract) over the j-th slice of every
+    unit vector.
 
+    Round-14 shape (guide §1.2/§2.4): the m trainings are FUSED into one
+    pipeline — per Lloyd round, ONE Spark job assigns every vector to its
+    nearest code in ALL m subspaces (narrow map over a broadcast codebook
+    array; the per-subspace slice/argmin arithmetic is kmeans_fit's,
+    bit-identical) and aggregates all m x ks sub-centroid means in ONE
+    partial/final average. The previous formulation ran m independent
+    kmeans_fit loops (threadpooled): m localCheckpoints of the sliced
+    input + ~3 driver-blocking jobs per subspace per round — measured
+    ~30 Spark jobs where this runs 4."""
     assert dim % m == 0, "dim must split evenly into m subspaces"
+    spark = emb.sparkSession
     sd = dim // m
     nv = emb.select(
         F.col(id_col).alias("vec_id"), normalized(to_double_vec(vec_col)).alias("nvec")
-    ).localCheckpoint()  # m subspace trainings re-read this
+    ).localCheckpoint()  # both Lloyd rounds re-read this
 
-    def _train(j: int) -> DataFrame:
-        sub = nv.select("vec_id", F.slice("nvec", j * sd + 1, sd).alias("sub"))
-        cb = kmeans_fit(sub, k=ks, max_iter=2, tol=0.0, id_col="vec_id", vec_col="sub")
-        return cb.select(
-            F.lit(j).cast("int").alias("sub_j"),
-            F.col("cell").cast("int").alias("code"),
-            "c_vec",
+    seed_rows = nv.orderBy("vec_id").limit(ks).select("vec_id", "nvec").collect()
+    if len(seed_rows) < ks:
+        raise ValueError(
+            f"pq_train: ks={ks} but only {len(seed_rows)} vectors available to seed"
+        )
+    seed_rows.sort(key=lambda r: r["vec_id"])
+    # cb[(j, code)] = sub-centroid (code 1..ks = the ks lowest-id vectors'
+    # j-th slices — exactly kmeans_fit's init over each slice frame)
+    cb: dict[tuple[int, int], list[float]] = {
+        (j, c + 1): list(r["nvec"])[j * sd : (j + 1) * sd]
+        for j in range(m)
+        for c, r in enumerate(seed_rows)
+    }
+    cb_schema = "sub_j int, code int, c_vec array<double>"
+
+    def _cb_arr():
+        rows = [(j, c, v) for (j, c), v in sorted(cb.items())]
+        return spark.createDataFrame(rows, cb_schema).agg(
+            F.collect_list(F.struct("sub_j", "code", "c_vec")).alias("_cb")
         )
 
-    # The m trainings are independent lineages over the one checkpointed
-    # normalized frame — submit them concurrently (Spark's scheduler
-    # interleaves the tiny per-iteration jobs; kmeans_fit's Lloyd loop is
-    # driver-blocking, so sequential execution serializes m x iterations
-    # of fixed job-launch latency: measured 9.6s -> ~5s for q118 at sf0.1).
-    # Determinism is untouched: each training's result is a pure function
-    # of its own slice.
-    from concurrent.futures import ThreadPoolExecutor
+    for _ in range(2):  # max_iter=2, tol=0.0 — the exact unrollable build
+        # ONE job: explode each vector into its m (sub_j, code, sub) slices
+        # map-side (narrow), then the (sub_j, code, pos) partial/final
+        # average — the same avg over the same groups the per-subspace
+        # loops computed.
+        sliced = (
+            nv.crossJoin(F.broadcast(_cb_arr()))
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(m - 1)),
+                        lambda j: F.struct(
+                            j.cast("int").alias("sub_j"),
+                            F.slice(F.col("nvec"), j * sd + 1, sd).alias("sub"),
+                        ),
+                    )
+                ).alias("a"),
+                F.col("_cb"),
+            )
+            .select(
+                F.col("a.sub_j").alias("sub_j"),
+                F.col("a.sub").alias("sub"),
+                F.array_sort(
+                    F.transform(
+                        F.filter(
+                            F.col("_cb"), lambda c: c["sub_j"] == F.col("a.sub_j")
+                        ),
+                        lambda c: F.struct(
+                            F.round(_pq_sq_dist(F.col("a.sub"), c["c_vec"]), 6).alias(
+                                "d2"
+                            ),
+                            c["code"].alias("code"),
+                        ),
+                    )
+                )[0]["code"].alias("code"),
+            )
+        )
+        mean_rows = (
+            sliced.select("sub_j", "code", F.posexplode("sub").alias("pos", "x"))
+            .groupBy("sub_j", "code", "pos")
+            .agg(F.avg("x").alias("mm"))
+            .groupBy("sub_j", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mm"))),
+                    lambda s: s["mm"],
+                ).alias("n_vec")
+            )
+            .collect()
+        )
+        means = {(r["sub_j"], r["code"]): list(r["n_vec"]) for r in mean_rows}
+        # empty-cell carry-forward — kmeans_fit's left-join/coalesce rule
+        cb = {key: means.get(key, old) for key, old in cb.items()}
 
-    with ThreadPoolExecutor(max_workers=m) as pool:
-        books = list(pool.map(_train, range(m)))
-    out = books[0]
-    for b in books[1:]:
-        out = out.unionByName(b)
-    return out.localCheckpoint()
+    return spark.createDataFrame(
+        [(j, c, v) for (j, c), v in sorted(cb.items())], cb_schema
+    )
+
+
+def _pq_sq_dist(a, b):
+    # kmeans._sq_dist, re-exported here so pq_train's fused round uses the
+    # byte-identical fold expression the per-subspace kmeans_fit runs used
+    from mapreduce_paper_implementation_spark.operators.kmeans import _sq_dist
+
+    return _sq_dist(a, b)
 
 
 def pq_encode(
@@ -316,38 +409,57 @@ def pq_encode(
 ) -> DataFrame:
     """(vec_id, sub_j, code): each normalized subvector assigned to its
     nearest codebook centroid by ROUND(squared-L2, 6), ties to the lower
-    code — kmeans._assign's contract, so encode and training agree. One
-    broadcast join per subspace; the vectors never shuffle."""
-    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
-    from mapreduce_paper_implementation_spark.operators.kmeans import _assign
+    code — kmeans._assign's contract, so encode and training agree.
 
+    Round-14 shape: ONE narrow pass over the vectors computes all m codes
+    per row (pq_codes_arr) and posexplodes them — the previous formulation
+    unioned m per-subspace assignment branches over a persisted frame
+    (m reads + a window shuffle each; guide §2.4). No persist needed:
+    single consumer, single pass, the vectors never shuffle."""
+    return pq_codes_arr(emb, codebooks, m=m, dim=dim, id_col=id_col, vec_col=vec_col).select(
+        "vec_id",
+        F.posexplode("codes").alias("sub_j", "code"),
+    ).select("vec_id", F.col("sub_j").cast("int").alias("sub_j"), "code")
+
+
+def pq_codes_arr(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<int>) with codes[j+1] = the sub_j=j PQ code —
+    the array form ivf_pq_topk's ADC stage consumes directly (one narrow
+    map; the codebooks collapse to ONE broadcast array row). Per-subspace
+    arithmetic is identical to pq_encode's row contract: nearest code by
+    ROUND(squared-L2, 6) over the j-th slice, ties to the lower code."""
+    from mapreduce_paper_implementation_spark.operators.kmeans import _sq_dist
+
+    assert dim % m == 0, "dim must split evenly into m subspaces"
     sd = dim // m
-    # scoped_persist: the m per-subspace assigns all slice THIS frame —
-    # without the persist each replays the corpus scan + normalization
-    # (m corpus scans instead of 1; the q97 recompute class, caught by the
-    # round-10 plan audit)
-    nv = scoped_persist(
-        emb.select(
-            F.col(id_col).alias("vec_id"), normalized(to_double_vec(vec_col)).alias("nvec")
-        )
+    cb = codebooks.agg(
+        F.collect_list(F.struct("sub_j", "code", "c_vec")).alias("_cb")
     )
-    parts = []
-    for j in range(m):
-        vj = nv.select(F.col("vec_id").alias("id"), F.slice("nvec", j * sd + 1, sd).alias("vec"))
-        cbj = codebooks.where(F.col("sub_j") == j).select(
-            F.col("code").alias("cell"), "c_vec"
-        )
-        parts.append(
-            _assign(vj, cbj).select(
-                F.col("id").alias("vec_id"),
-                F.lit(j).cast("int").alias("sub_j"),
-                F.col("cell").cast("int").alias("code"),
+    nv = emb.select(
+        F.col(id_col).alias("vec_id"), normalized(to_double_vec(vec_col)).alias("nvec")
+    )
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.array_sort(
+            F.transform(
+                F.filter(F.col("_cb"), lambda c: c["sub_j"] == j),
+                lambda c: F.struct(
+                    F.round(
+                        _sq_dist(F.slice(F.col("nvec"), j * sd + 1, sd), c["c_vec"]), 6
+                    ).alias("d2"),
+                    c["code"].alias("code"),
+                ),
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        )[0]["code"],
+    )
+    return nv.crossJoin(F.broadcast(cb)).select("vec_id", codes.alias("codes"))
 
 
 def ivf_pq_topk(
@@ -419,37 +531,45 @@ def ivf_pq_topk(
         probes, centroids, nassign=nprobe, id_col=id_col, vec_col=vec_col
     ).select(F.col("id").alias("probe_id"), "cell")
 
-    enc = (
-        codes
-        if codes is not None
-        else pq_encode(emb, codebooks, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
-    )
-
-    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
-
-    # persisted for the same reason as pq_encode's nv: m LUT slices consume it
-    np_ = scoped_persist(
-        probes.select(
-            F.col(id_col).alias("probe_id"), normalized(to_double_vec(vec_col)).alias("nvec")
+    # candidate codes in ARRAY form: codes[j+1] = sub_j=j code. Inline
+    # encode emits the arrays directly (one narrow pass); published index
+    # rows fold to arrays with one (vec_id) aggregate.
+    if codes is not None:
+        enc_arr = codes.groupBy("vec_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_j", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
         )
-    )
-    luts = []
-    for j in range(m):
-        pj = np_.select("probe_id", F.slice("nvec", j * sd + 1, sd).alias("q"))
-        cbj = codebooks.where(F.col("sub_j") == j)
-        luts.append(
-            pj.crossJoin(cbj).select(
-                "probe_id",
-                F.lit(j).cast("int").alias("sub_j"),
-                "code",
-                F.round(dot(F.col("q"), F.col("c_vec")), 6)
-                .cast("decimal(12,6)")
-                .alias("w"),
-            )
+    else:
+        enc_arr = pq_codes_arr(
+            emb, codebooks, m=m, dim=dim, id_col=id_col, vec_col=vec_col
         )
-    lut = luts[0]
-    for l_ in luts[1:]:
-        lut = lut.unionByName(l_)
+
+    # Per-probe ADC lookup table as ONE flat array: w[sub_j * ks + code] =
+    # ROUND(dot(q_j, c_vec), 6)::DECIMAL(12,6) (codes are dense 1..ks —
+    # kmeans' one-centroid-per-cell invariant). The old formulation
+    # materialized m unioned (probe, sub_j, code, w) row slices over a
+    # persisted probe frame and JOINED them under the candidate rows —
+    # m x |pairs| join rows and a (probe, neighbor) re-aggregation; here
+    # the ADC score is a narrow m-lookup decimal fold after ONE join of
+    # the pair list with the candidate code arrays (guide §2.3/§2.4).
+    cbw = codebooks.agg(
+        F.collect_list(F.struct("sub_j", "code", "c_vec")).alias("_cb")
+    )
+    np_ = probes.select(
+        F.col(id_col).alias("probe_id"), normalized(to_double_vec(vec_col)).alias("nvec")
+    )
+    wflat = F.transform(
+        F.array_sort(F.col("_cb")),  # (sub_j, code) ascending == flat index order
+        lambda c: F.round(
+            dot(
+                F.slice(F.col("nvec"), c["sub_j"] * sd + 1, sd), c["c_vec"]
+            ),
+            6,
+        ).cast("decimal(12,6)"),
+    )
+    lut = np_.crossJoin(F.broadcast(cbw)).select("probe_id", wflat.alias("w"))
 
     pairs = (
         cand_cells.join(F.broadcast(probe_cells), "cell")
@@ -458,10 +578,26 @@ def ivf_pq_topk(
         .distinct()
     )
     adc = (
-        pairs.join(enc, enc["vec_id"] == pairs["neighbor_id"])
-        .join(F.broadcast(lut), ["probe_id", "sub_j", "code"])
-        .groupBy("probe_id", "neighbor_id")
-        .agg(F.sum("w").alias("adc"))  # exact decimal sum: order-free
+        pairs.join(enc_arr, enc_arr["vec_id"] == pairs["neighbor_id"])
+        .join(F.broadcast(lut), "probe_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            # exact decimal fold — order-free, same values the old
+            # SUM(w) over m joined rows produced
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0).cast("decimal(38,6)"),
+                lambda acc, j: acc
+                + F.element_at(
+                    F.col("w"),
+                    (
+                        j * ks
+                        + F.element_at(F.col("codes"), (j + 1).cast("int"))
+                    ).cast("int"),
+                ),
+            ).alias("adc"),
+        )
     )
     w_adc = Window.partitionBy("probe_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     shortlist = (

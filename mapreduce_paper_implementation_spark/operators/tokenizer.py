@@ -138,24 +138,6 @@ def _round_winner(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _apply_winner(vocab: DataFrame, win: DataFrame) -> DataFrame:
-    """Apply one round's winning merge to the vocab: broadcast the 1-row
-    winner, one codegen'd string replace map-side — zero shuffle
-    exchanges (the only exchange is the 1-row BroadcastExchange; pinned in
-    tests/test_plans.py)."""
-    return vocab.crossJoin(
-        F.broadcast(win.select(F.col("x").alias("_wx"), F.col("y").alias("_wy")))
-    ).select(
-        "w",
-        "freq",
-        F.replace(
-            F.col("symstr"),
-            F.concat(F.lit("<"), F.col("_wx"), F.lit("><"), F.col("_wy"), F.lit(">")),
-            F.concat(F.lit("<"), F.col("_wx"), F.col("_wy"), F.lit(">")),
-        ).alias("symstr"),
-    )
-
-
 def bpe_merges_from_wordfreq(wc: DataFrame, n_merges: int = 10) -> DataFrame:
     """The training loop over an already-aggregated (w, freq) table — the
     shared tail between batch q115 (word_freq over the corpus) and the
@@ -170,30 +152,32 @@ def bpe_merges_from_wordfreq(wc: DataFrame, n_merges: int = 10) -> DataFrame:
         .localCheckpoint()
     )
 
-    merge_frames: list[DataFrame] = []
+    # Round-14 loop shape (guide §1.2): the 1-row winner is COLLECTED (the
+    # kmeans-shift class of bounded driver round-trip — one (x, y, cnt)
+    # tuple per round, never data) and applied as a LITERAL replace folded
+    # onto the symstr EXPRESSION. Each round is then exactly ONE Spark job
+    # (the pair-count aggregate + TakeOrderedAndProject over the
+    # checkpointed vocab); the previous formulation checkpointed the 1-row
+    # winner AND the rewritten vocab every round (3 driver-blocking jobs +
+    # 2 localCheckpoint materializations per round). Round i re-applies
+    # the i-1 accumulated literal replaces map-side over the vocab scan —
+    # O(n_merges^2) cheap codegen'd string replaces on the Heaps-bounded
+    # word-TYPE table, in exchange for zero per-round materializations.
+    symstr = F.col("symstr")
+    wins: list[tuple[int, str, str, int]] = []
     for rnd in range(1, n_merges + 1):
-        # 1 row; localCheckpoint materializes this round's agg once
-        win = _round_winner(vocab).localCheckpoint()
-        if win.isEmpty():
+        cur = vocab.select("w", "freq", symstr.alias("symstr"))
+        rows = _round_winner(cur).collect()
+        if not rows:
             break
-        merge_frames.append(win.select(F.lit(rnd).cast("long").alias("rnd"), "x", "y", "cnt"))
-        # map-side merge application: broadcast the 1-row winner, one
-        # codegen'd replace over the vocab — the corpus is long gone
-        vocab = _apply_winner(vocab, win).localCheckpoint()
+        x, y, cnt = rows[0]["x"], rows[0]["y"], rows[0]["cnt"]
+        wins.append((rnd, x, y, int(cnt)))
+        symstr = F.replace(symstr, F.lit(f"<{x}><{y}>"), F.lit(f"<{x}{y}>"))
 
-    if not merge_frames:
-        return spark.createDataFrame(
-            [], "rnd bigint, left_sym string, right_sym string, pair_cnt bigint"
-        )
-    out = merge_frames[0]
-    for f in merge_frames[1:]:
-        out = out.unionByName(f)
-    return out.select(
-        "rnd",
-        F.col("x").alias("left_sym"),
-        F.col("y").alias("right_sym"),
-        F.col("cnt").cast("long").alias("pair_cnt"),
-    ).orderBy("rnd")
+    return spark.createDataFrame(
+        [(r, x, y, c) for r, x, y, c in wins],
+        "rnd bigint, left_sym string, right_sym string, pair_cnt bigint",
+    )
 
 
 def bpe_apply_merges(

@@ -472,17 +472,33 @@ def q83_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select(
         F.col("vec_id"), to_double_vec("embedding").alias("vec")
     ).withColumn("nrm", norm(F.col("vec")))
-    scored = v.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cell",
-        F.round(dot(F.col("vec"), F.col("c_vec")) / (F.col("nrm") * F.col("c_nrm")), 6)
-        .cast("decimal(9,6)")
-        .alias("cos_c"),
+    # same cell assignment as the q29/q72 index: best cosine, tie -> lower
+    # cell — computed as a NARROW per-vector argmax over the broadcast
+    # centroid array (round-14, guide §2.4: the old crossJoin(16) +
+    # row_number window shuffled every vector 16 times; the struct sort on
+    # (-cos_c, cell) is the identical (cos_c DESC, cell ASC) total order,
+    # negation exact on the decimal-backed doubles).
+    carr = cents.agg(
+        F.collect_list(F.struct("cell", "c_vec", "c_nrm")).alias("_cents")
     )
-    # same cell assignment as the q29/q72 index: best cosine, tie -> lower cell
-    aw = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
-    assigned = (
-        scored.withColumn("cr", F.row_number().over(aw)).where(F.col("cr") == 1).drop("cr")
+    best = F.array_sort(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (
+                    -F.round(
+                        dot(F.col("vec"), c["c_vec"]) / (F.col("nrm") * c["c_nrm"]), 6
+                    )
+                    .cast("decimal(9,6)")
+                ).alias("_nc"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )[0]
+    assigned = v.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        best["cell"].alias("cell"),
+        (-best["_nc"]).cast("decimal(9,6)").alias("cos_c"),
     )
     rw = Window.partitionBy("cell").orderBy(F.asc("cos_c"), F.asc("vec_id"))
     return (
@@ -2451,7 +2467,9 @@ def q109_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, sort=False).select(
+        "id_a", "id_b"
+    )  # immediately aggregated: output sort is dead cost
     src = docs.select("doc_id", "source")
     # corpus-sized map streams; bounded pair set broadcasts (twice)
     half = src.join(

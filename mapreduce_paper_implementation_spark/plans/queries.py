@@ -2293,7 +2293,9 @@ def q41_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-checks components against union-find on a fixed graph."""
     from mapreduce_paper_implementation_spark.operators.graph import dedup_clusters
 
-    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.1, sort=False
+    )  # dedup_clusters -> CC symmetrize+distinct: output sort is dead cost
     return dedup_clusters(pairs)
 
 

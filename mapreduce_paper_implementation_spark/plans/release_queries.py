@@ -148,7 +148,9 @@ def _split_labels(spark: SparkSession, docs: DataFrame) -> DataFrame:
     cut = _cc_cut_dir()
     if cut:
         return spark.read.parquet(cut)
-    return connected_components(ngram_jaccard_pairs(docs, threshold=0.1))
+    # sort=False: connected_components symmetrizes + distincts the pair set
+    # immediately — the global (id_a, id_b) sort is dead cost here.
+    return connected_components(ngram_jaccard_pairs(docs, threshold=0.1, sort=False))
 
 
 @query("q124_leakage_safe_split", _q124_oracle())
@@ -167,7 +169,9 @@ def q124_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOTE the leak joins need the PAIR GRAPH regardless of where the
     # labels come from, so q124 always builds pairs; only the label map
     # itself defaults to the release cut (_split_labels).
-    pairs = scoped_persist(ngram_jaccard_pairs(docs, threshold=0.1))
+    pairs = scoped_persist(
+        ngram_jaccard_pairs(docs, threshold=0.1, sort=False)
+    )  # consumed by joins/aggregates only; the persist would materialize the sort
     # gate on the SAME resolver _split_labels uses (round-13 ADVICE fix:
     # the old env-var-only check disagreed with _split_labels' isdir test
     # in the set-but-missing case — now that case raises in both)
@@ -499,17 +503,48 @@ def _q126_frame(spark: SparkSession, sf_dir: str, hashed: bool) -> DataFrame:
     # eval probe of BOTH rules (the q97 recompute class)
     shl = scoped_persist(sh8.join(labeled, "doc_id"))
 
-    def branch(rule: str, col: str):
-        train = shl.where(F.col(col) == "train").select("gh").distinct()
-        hits = (
-            shl.where(F.col(col) != "train")
-            .join(train, "gh")
-            .groupBy(F.col("doc_id"), F.col(col).alias("split"))
-            .agg(F.count("*").alias("hits"))
+    # Round-14 fusion (guide §2.4): the two rules used to run two
+    # distinct()s + two corpus-gram joins over shl. Both rules' "gram is in
+    # SOME train doc" sets now come from ONE groupBy(gh) flag aggregate,
+    # and one join of the eval-side rows against it feeds a per-doc
+    # conditional-count aggregate serving BOTH rules — 2 distincts +
+    # 2 joins + 2 two-level aggs collapse into 1 agg + 1 join + 1 agg.
+    # Counts are identical: hits(rule, doc) = #eval gram rows whose gh
+    # appears in >= 1 train doc under that rule.
+    gh_flags = shl.groupBy("gh").agg(
+        F.max((F.col("split_c") == "train").cast("int")).alias("in_tc"),
+        F.max((F.col("split_d") == "train").cast("int")).alias("in_td"),
+    )
+    ev_rows = shl.where(
+        (F.col("split_c") != "train") | (F.col("split_d") != "train")
+    )
+    perdoc = scoped_persist(
+        ev_rows.join(gh_flags, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.max("split_c").alias("split_c"),  # constant per doc
+            F.max("split_d").alias("split_d"),
+            F.sum(
+                F.when(
+                    (F.col("split_c") != "train") & (F.col("in_tc") == 1), 1
+                ).otherwise(0)
+            ).alias("hits_c"),
+            F.sum(
+                F.when(
+                    (F.col("split_d") != "train") & (F.col("in_td") == 1), 1
+                ).otherwise(0)
+            ).alias("hits_d"),
         )
-        agg = hits.groupBy("split").agg(
-            F.count("*").cast("long").alias("contaminated_docs"),
-            F.sum("hits").cast("long").alias("shared_8gram_hits"),
+    )
+
+    def branch(rule: str, col: str, hits_col: str):
+        agg = (
+            perdoc.where(F.col(hits_col) > 0)
+            .groupBy(F.col(col).alias("split"))
+            .agg(
+                F.count("*").cast("long").alias("contaminated_docs"),
+                F.sum(hits_col).cast("long").alias("shared_8gram_hits"),
+            )
         )
         members = (
             labeled.where(F.col(col) != "train")
@@ -530,8 +565,8 @@ def _q126_frame(spark: SparkSession, sf_dir: str, hashed: bool) -> DataFrame:
         )
 
     return (
-        branch("cluster", "split_c")
-        .unionByName(branch("doc", "split_d"))
+        branch("cluster", "split_c", "hits_c")
+        .unionByName(branch("doc", "split_d", "hits_d"))
         .orderBy("rule", "split")
     )
 
@@ -1678,35 +1713,63 @@ ORDER BY threshold
 
 @query("q138_dedup_threshold_curve", _q138_oracle())
 def q138_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-14 shape (guide §1.2/§2.3): the curve derives from TWO BOUNDED
+    # HISTOGRAMS over the pair set, never a x9 threshold explode.
+    #   n_pairs(t)       = #pairs with ju >= t          — suffix sum of the
+    #                      pairs-per-ju-bucket histogram (<= 10 rows);
+    #   n_docs_linked(t) = #docs whose MAX pair ju >= t — a doc is linked at
+    #                      t iff its best pair fires, so the per-doc max-ju
+    #                      histogram's suffix sums ARE the distinct counts
+    #                      (no x9 countDistinct shuffle).
+    # Bucket b = ju div 100000 is exact: thresholds are the multiples
+    # t_i = i*100000, and for integers ju >= i*100000 <=> ju div 100000 >= i.
+    # The pair set is persisted so the q20 inverted-index join runs ONCE —
+    # the previous formulation recomputed it for BOTH aggregates (measured
+    # 21.2 s solo; see OPTIMIZATION_r14.md). Thresholds with zero firing
+    # pairs drop via the n_pairs > 0 filter — identical to the oracle's
+    # inner-join-on-empty-group semantics (n_pairs = 0 implies
+    # n_docs_linked = 0 and vice versa).
+    from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
     from mapreduce_paper_implementation_spark.operators.dedup import (
         ngram_jaccard_pairs,
     )
 
     pairs = ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.1
+        load_table(spark, sf_dir, "documents"), threshold=0.1, sort=False
     )
-    hit = (
-        pairs.withColumn(
-            "ju", F.round(F.col("jaccard") * 1000000).cast("long")
-        )
-        .select(
+    pj = scoped_persist(
+        pairs.select(
             "id_a",
             "id_b",
-            "ju",
-            F.explode(
-                F.array(*[F.lit(t).cast("long") for t in _Q138_THRESH_MICROS])
-            ).alias("tu"),
+            F.round(F.col("jaccard") * 1000000).cast("long").alias("ju"),
         )
-        .where(F.col("ju") >= F.col("tu"))
     )
-    pa = hit.groupBy("tu").agg(F.count("*").cast("long").alias("n_pairs"))
-    dd = (
-        hit.select("tu", F.explode(F.array("id_a", "id_b")).alias("id"))
+    phist = pj.groupBy((F.col("ju") / 100000).cast("long").alias("b")).agg(
+        F.count("*").alias("c")
+    )
+    dhist = (
+        pj.select(F.explode(F.array("id_a", "id_b")).alias("id"), "ju")
+        .groupBy("id")
+        .agg(F.max("ju").alias("mu"))
+        .groupBy((F.col("mu") / 100000).cast("long").alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+    th = spark.range(1, 10).select(
+        (F.col("id") * 100000).cast("long").alias("tu"), F.col("id").alias("i")
+    )
+    pa = (
+        th.join(F.broadcast(phist), phist["b"] >= th["i"])
         .groupBy("tu")
-        .agg(F.countDistinct("id").cast("long").alias("n_docs_linked"))
+        .agg(F.sum("c").cast("long").alias("n_pairs"))
+    )
+    dd = (
+        th.join(F.broadcast(dhist), dhist["b"] >= th["i"])
+        .groupBy("tu")
+        .agg(F.sum("c").cast("long").alias("n_docs_linked"))
     )
     return (
         pa.join(dd, "tu")
+        .where(F.col("n_pairs") > 0)
         .select(
             (F.col("tu").cast("double") / 1000000).alias("threshold"),
             "n_pairs",

@@ -542,16 +542,16 @@ def test_q113_weighted_sample_never_ranks_the_corpus(spark, sf_dir):
 
 
 def test_q115_training_round_shape_uncheckpointed(spark, sf_dir):
-    """VERDICT r10 ask #5: PLANS.md's q115 row reads "1 exchange / 0 scans"
-    because localCheckpoint per training round truncates lineage — the tree
-    walk structurally cannot see the per-round work. Pin the ROUND shape
-    here instead, on the production round helpers un-checkpointed:
-    (a) pair counting is a partial+final hash aggregate pair around one
-    exchange, (b) the winner is TakeOrderedAndProject (never a global
-    sort), (c) the merge apply adds ZERO shuffle exchanges — its only
-    exchange is the 1-row winner broadcast."""
+    """VERDICT r10 ask #5: PLANS.md's q115 row cannot see the per-round work
+    (lineage truncation). Pin the ROUND shape here instead, on the
+    production round helper un-checkpointed: (a) pair counting is a
+    partial+final hash aggregate pair around one exchange, (b) the winner
+    is TakeOrderedAndProject (never a global sort). The merge APPLY is a
+    driver-side literal replace since round 14 (the 1-row winner is
+    collected — the kmeans-shift class of bounded round-trip), so the
+    per-round distributed work is exactly this one job; the job-count gate
+    lives in test_round14_additions.py."""
     from mapreduce_paper_implementation_spark.operators.tokenizer import (
-        _apply_winner,
         _round_winner,
         word_freq,
         _wrap_chars,
@@ -569,8 +569,3 @@ def test_q115_training_round_shape_uncheckpointed(spark, sf_dir):
     assert "Sort " not in wp  # the winner pick must never global-sort
     assert wp.count("HashAggregate") >= 2 and "partial_sum" in wp, wp
     assert wp.count("Exchange hashpartitioning") == 1, wp
-
-    applied = _apply_winner(vocab, win.localCheckpoint())
-    ap = applied._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange hashpartitioning" not in ap, ap
-    assert "BroadcastExchange" in ap and "BroadcastNestedLoopJoin" in ap, ap

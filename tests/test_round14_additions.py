@@ -507,3 +507,167 @@ def test_mixture_export_off_release_view_meta(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, dv.collect())) == sorted(map(tuple, dd.collect()))
     mv.pop("version"); md.pop("version")
     assert _json.dumps(mv, sort_keys=True) == _json.dumps(md, sort_keys=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-14 OPTIMIZATION gates — the rewrites must preserve the previous
+# formulations' exact semantics (OPTIMIZATION_r14.md):
+#   (1) narrow argmin/top-n cell assignment == the old crossJoin(k) +
+#       row_number window formulation, row for row;
+#   (2) kmeans_fit's driver-held Lloyd loop == the old all-Spark loop;
+#   (3) the one-pass PQ encode == the old per-subspace assignment union;
+#   (4) the BPE training loop runs ONE Spark job per merge round (the
+#       collected 1-row winner + literal-replace apply), and assignment
+#       plans carry no per-vector window shuffle.
+# ---------------------------------------------------------------------------
+
+
+def test_assign_cells_narrow_matches_window_formulation_and_plan(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from mapreduce_paper_implementation_spark.functions.vectors import (
+        cosine,
+        norm,
+        to_double_vec,
+    )
+    from mapreduce_paper_implementation_spark.operators.dedup import assign_cells
+    from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=16, max_iter=2, tol=0.0)
+    got = assign_cells(emb, cents, nassign=2)
+
+    # the pre-round-14 formulation, inline: crossJoin + row_number window
+    ref_c = cents.select("cell", "c_vec", norm(F.col("c_vec")).alias("c_nrm"))
+    v = emb.select(
+        F.col("vec_id").alias("id"), to_double_vec("embedding").alias("vec")
+    ).withColumn("nrm", norm(F.col("vec")))
+    scored = v.crossJoin(F.broadcast(ref_c)).select(
+        "id",
+        "cell",
+        F.round(
+            cosine(F.col("vec"), F.col("c_vec"), F.col("nrm"), F.col("c_nrm")), 6
+        ).alias("c_cos"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("c_cos"), F.asc("cell"))
+    ref = (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 2)
+        .select("id", F.col("cell").cast("int").alias("cell"))
+    )
+    got_rows = sorted((r["id"], r["cell"]) for r in got.select("id", "cell").collect())
+    ref_rows = sorted((r["id"], r["cell"]) for r in ref.collect())
+    assert got_rows == ref_rows
+
+    # plan gate: assignment is narrow — no window, no hash exchange of the
+    # vectors (the only exchanges are the 1-row centroid-array broadcast
+    # build's SinglePartition agg)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_kmeans_fit_matches_pre_round14_all_spark_loop(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from mapreduce_paper_implementation_spark.functions.vectors import to_double_vec
+    from mapreduce_paper_implementation_spark.operators.kmeans import (
+        _sq_dist,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {r["cell"]: list(r["c_vec"]) for r in kmeans_fit(emb, k=8, max_iter=2, tol=0.0).collect()}
+
+    # the pre-round-14 loop, inline: explode+window assign, distributed
+    # means, left-join coalesce — bit-for-bit the old operator
+    v = emb.select(F.col("vec_id").alias("id"), to_double_vec("embedding").alias("vec")).localCheckpoint()
+    cents = (
+        v.orderBy("id")
+        .limit(8)
+        .select(
+            F.row_number().over(Window.orderBy("id")).alias("cell"),
+            F.col("vec").alias("c_vec"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(2):
+        scored = v.crossJoin(F.broadcast(cents)).select(
+            "id", "vec", "cell", F.round(_sq_dist(F.col("vec"), F.col("c_vec")), 6).alias("d2")
+        )
+        w = Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cell"))
+        assigned = (
+            scored.withColumn("r", F.row_number().over(w)).where(F.col("r") == 1).select("vec", "cell")
+        )
+        means = (
+            assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("n_vec")
+            )
+        )
+        cents = (
+            cents.join(means, "cell", "left")
+            .select("cell", F.coalesce("n_vec", "c_vec").alias("c_vec"))
+            .localCheckpoint()
+        )
+    ref = {r["cell"]: list(r["c_vec"]) for r in cents.collect()}
+    assert got == ref
+
+
+def test_pq_encode_matches_pre_round14_per_subspace_assign(spark, sf_dir):
+    from mapreduce_paper_implementation_spark.operators.kmeans import _assign
+    from mapreduce_paper_implementation_spark.operators.similarity import (
+        normalized,
+        pq_encode,
+        pq_train,
+    )
+    from mapreduce_paper_implementation_spark.functions.vectors import to_double_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, ks=16, dim=64)
+    got = sorted(
+        (r["vec_id"], r["sub_j"], r["code"])
+        for r in pq_encode(emb, books, m=8, dim=64).collect()
+    )
+    nv = emb.select(
+        F.col("vec_id").alias("vec_id"), normalized(to_double_vec("embedding")).alias("nvec")
+    )
+    ref = []
+    for j in range(8):
+        vj = nv.select(F.col("vec_id").alias("id"), F.slice("nvec", j * 8 + 1, 8).alias("vec"))
+        cbj = books.where(F.col("sub_j") == j).select(F.col("code").alias("cell"), "c_vec")
+        ref.extend(
+            (r["id"], j, r["cell"]) for r in _assign(vj, cbj).select("id", "cell").collect()
+        )
+    assert got == sorted(ref)
+
+
+def test_bpe_training_loop_is_one_job_per_round(spark, sf_dir):
+    """Round-14 loop shape: n_merges rounds cost n_merges winner jobs over
+    the checkpointed vocab (plus the checkpoint itself) — the old loop's
+    per-round winner checkpoint + isEmpty + vocab checkpoint tripled it."""
+    from mapreduce_paper_implementation_spark.operators.tokenizer import (
+        bpe_merges_from_wordfreq,
+        word_freq,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = word_freq(docs).localCheckpoint()  # exclude corpus-scan jobs
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    merges = bpe_merges_from_wordfreq(wc, 5)
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert merges.count() == 5
+    # 1 vocab checkpoint + per round ONE winner action (2 jobs under AQE:
+    # the agg-exchange stage + the TakeOrdered result stage). The old loop
+    # added a winner localCheckpoint + isEmpty + a vocab localCheckpoint
+    # per round on top (~5 jobs/round).
+    assert after - before <= 2 * 5 + 2, (
+        f"bpe_merges_from_wordfreq(5) ran {after - before} jobs — the "
+        "one-action-per-round loop regressed"
+    )
