@@ -88,7 +88,13 @@ def _shingle_frame(
     result is consumed (bench/driver do this per query)."""
     from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
 
-    sh = docs.select(
+    from mapreduce_paper_implementation_spark.operators.parallel import (
+        spread_partitions,
+    )
+
+    # spread the DOC projection, not the shingle arrays: the repartition
+    # then moves raw text once and the shingle build runs parallel
+    sh = spread_partitions(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
     ).where(F.size("shingles") > 0)
     return scoped_persist(sh)
@@ -365,7 +371,11 @@ def _ngram_cooccurrence(
     projections live in the two public wrappers so a fix to this skeleton
     reaches both (ADVICE r07: the two copies had started to drift).
     """
-    sh = docs.select(
+    from mapreduce_paper_implementation_spark.operators.parallel import (
+        spread_partitions,
+    )
+
+    sh = spread_partitions(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
     ).where(F.size("shingles") > 0)
     # The inverted index feeds FOUR consumers (per-doc sizes, the hot-set
@@ -817,8 +827,12 @@ def assign_cells(
     carr = centroids.select(
         "cell", "c_vec", norm(F.col("c_vec")).alias("c_nrm")
     ).agg(F.collect_list(F.struct("cell", "c_vec", "c_nrm")).alias("_cents"))
-    v = emb.select(
-        F.col(id_col).alias("id"), to_double_vec(vec_col).alias("vec")
+    from mapreduce_paper_implementation_spark.operators.parallel import (
+        spread_partitions,
+    )
+
+    v = spread_partitions(
+        emb.select(F.col(id_col).alias("id"), to_double_vec(vec_col).alias("vec"))
     ).withColumn("nrm", norm(F.col("vec")))
     top = F.slice(
         F.array_sort(

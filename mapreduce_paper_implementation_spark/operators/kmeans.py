@@ -112,9 +112,15 @@ def kmeans_fit(
     oracles replay — so the shift check is a generic guard, not a tested
     early-exit path.)
     """
+    from mapreduce_paper_implementation_spark.operators.parallel import (
+        spread_partitions,
+    )
+
     spark = emb.sparkSession
     v = emb.select(F.col(id_col).alias("id"), to_double_vec(vec_col).alias("vec"))
-    v = v.localCheckpoint()  # read source once; iterations rescan this
+    # spread: the per-iteration argmin+re-center job inherits THIS frame's
+    # partitioning; a one-row-group scan would pin it to one core
+    v = spread_partitions(v).localCheckpoint()  # read source once; iterations rescan this
 
     init = v.orderBy("id").limit(k).select("id", "vec").collect()
     if len(init) < k:

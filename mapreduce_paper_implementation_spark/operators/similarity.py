@@ -40,7 +40,11 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast probes, scan candidates once.
     Returns (probe_id, neighbor_id, cos_sim DECIMAL(9,6), rnk)."""
-    cand = _prep(emb, id_col, vec_col)
+    from mapreduce_paper_implementation_spark.operators.parallel import (
+        spread_partitions,
+    )
+
+    cand = spread_partitions(_prep(emb, id_col, vec_col))
     p = _prep(probes, id_col, vec_col).select(
         F.col("id").alias("probe_id"), F.col("vec").alias("p_vec"), F.col("nrm").alias("p_nrm")
     )
@@ -117,7 +121,13 @@ def lsh_topk(
         )
     planes = _hyperplanes(dim, n_planes, seed)
 
-    cand = _prep(emb, id_col, vec_col).withColumn("bucket", lsh_bucket_expr("vec", planes))
+    from mapreduce_paper_implementation_spark.operators.parallel import (
+        spread_partitions,
+    )
+
+    cand = spread_partitions(_prep(emb, id_col, vec_col)).withColumn(
+        "bucket", lsh_bucket_expr("vec", planes)
+    )
     p = (
         _prep(probes, id_col, vec_col)
         .withColumn("bucket", lsh_bucket_expr("vec", planes))
@@ -171,7 +181,11 @@ def ivf_topk(
     offline index-build step) or default to the deterministic n_cells
     lowest-id vectors: assign every vector to its nearest centroid by
     cosine, probes scan their `nprobe` nearest cells."""
-    v = _prep(emb, id_col, vec_col)
+    from mapreduce_paper_implementation_spark.operators.parallel import (
+        spread_partitions,
+    )
+
+    v = spread_partitions(_prep(emb, id_col, vec_col))
     if centroids is not None:
         cents = centroids.select(
             "cell", F.col("c_vec"), norm(F.col("c_vec")).alias("c_nrm")
@@ -307,8 +321,15 @@ def pq_train(
     assert dim % m == 0, "dim must split evenly into m subspaces"
     spark = emb.sparkSession
     sd = dim // m
-    nv = emb.select(
-        F.col(id_col).alias("vec_id"), normalized(to_double_vec(vec_col)).alias("nvec")
+    from mapreduce_paper_implementation_spark.operators.parallel import (
+        spread_partitions,
+    )
+
+    nv = spread_partitions(
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            normalized(to_double_vec(vec_col)).alias("nvec"),
+        )
     ).localCheckpoint()  # both Lloyd rounds re-read this
 
     seed_rows = nv.orderBy("vec_id").limit(ks).select("vec_id", "nvec").collect()
@@ -439,11 +460,18 @@ def pq_codes_arr(
 
     assert dim % m == 0, "dim must split evenly into m subspaces"
     sd = dim // m
+    from mapreduce_paper_implementation_spark.operators.parallel import (
+        spread_partitions,
+    )
+
     cb = codebooks.agg(
         F.collect_list(F.struct("sub_j", "code", "c_vec")).alias("_cb")
     )
-    nv = emb.select(
-        F.col(id_col).alias("vec_id"), normalized(to_double_vec(vec_col)).alias("nvec")
+    nv = spread_partitions(
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            normalized(to_double_vec(vec_col)).alias("nvec"),
+        )
     )
     codes = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),

@@ -493,15 +493,29 @@ def _q126_frame(spark: SparkSession, sf_dir: str, hashed: bool) -> DataFrame:
     # DuckDB oracle keeps joining on gram TEXT, so the value-hash gate
     # doubles as the hash-collision audit (a colliding pair of distinct
     # grams would inflate a count and break the gate).
-    sh8 = docs.select(
-        "doc_id", F.explode(word_shingles("text", _Q126_N)).alias("shingle")
-    ).select(
-        "doc_id",
-        (F.xxhash64("shingle") if hashed else F.col("shingle")).alias("gh"),
+    # JOIN BEFORE EXPLODE (round-14, guide §3.3): attaching the split labels
+    # to the gram rows used to shuffle the exploded corpus-gram frame by
+    # doc_id; joining the doc-scale label map onto the DOCS first moves only
+    # doc rows, and the gram explode then runs map-side on the join's
+    # already-parallel output. One (doc, gram-hash, splits) frame feeds the
+    # train-set build AND the eval probe of BOTH rules (the q97 recompute
+    # class).
+    shl = scoped_persist(
+        docs.select("doc_id", "text")
+        .join(labeled, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(word_shingles("text", _Q126_N)).alias("shingle"),
+            "split_c",
+            "split_d",
+        )
+        .select(
+            "doc_id",
+            (F.xxhash64("shingle") if hashed else F.col("shingle")).alias("gh"),
+            "split_c",
+            "split_d",
+        )
     )
-    # one (doc, gram-hash, splits) frame feeds the train-set build AND the
-    # eval probe of BOTH rules (the q97 recompute class)
-    shl = scoped_persist(sh8.join(labeled, "doc_id"))
 
     # Round-14 fusion (guide §2.4): the two rules used to run two
     # distinct()s + two corpus-gram joins over shl. Both rules' "gram is in
@@ -848,12 +862,17 @@ def release_cut_frames(
     )
 
     # --- lexical boundary gate (q126's hashed-gram discipline) ---
+    # join-before-explode (guide §3.3): attach the doc-scale split label to
+    # the DOCS, then explode — the gram frame never shuffles by doc_id
     g8l = scoped_persist(
-        docs.select(
-            "doc_id", F.explode(word_shingles("text", _Q126_N)).alias("shingle")
-        )
-        .select("doc_id", F.xxhash64("shingle").alias("gh"))
+        docs.select("doc_id", "text")
         .join(lab.select("doc_id", "split"), "doc_id")
+        .select(
+            "doc_id",
+            F.explode(word_shingles("text", _Q126_N)).alias("shingle"),
+            "split",
+        )
+        .select("doc_id", F.xxhash64("shingle").alias("gh"), "split")
     )
     evg = g8l.where(F.col("split") != "train").select("gh").distinct()
     lex_bad = (
