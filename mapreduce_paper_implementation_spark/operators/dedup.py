@@ -378,35 +378,37 @@ def _ngram_cooccurrence(
     sh = docs.select(id_col, text_col).select(
         F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
     ).where(F.size("shingles") > 0)
-    # The inverted index feeds FOUR consumers (per-doc sizes, the hot-set
-    # aggregate, and both sides of the self-join) and Spark reuses none of
-    # them — persist so the corpus is shingled exactly once. Per-doc set
-    # sizes come from the index itself (shingles are distinct per doc, so
-    # size == row count), saving a second corpus scan.
+    # The inverted index feeds TWO consumers (per-doc sizes and the posting
+    # lists) and Spark reuses neither — persist so the corpus is shingled
+    # exactly once. Per-doc set sizes come from the index itself (shingles
+    # are distinct per doc, so size == row count), saving a second corpus
+    # scan.
     from mapreduce_paper_implementation_spark.operators.caching import scoped_persist
 
     inv = scoped_persist(sh.select("id", F.explode("shingles").alias("shingle")))
     sizes = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
 
-    if max_df is not None:
-        # df per shingle is a partial-agg count over the index. The filter
-        # joins against the HOT set (df > max_df), which is tiny by
-        # definition — boilerplate shingles are few even when each is huge —
-        # so it broadcasts and the index streams map-side through the anti
-        # join. (The complement — semi-joining the cold set — shuffles the
-        # whole index a second time, and the cold set GROWS with the corpus.)
-        hot = (
-            inv.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .where(F.col("_df") > max_df)
-            .select("shingle")
-        )
-        inv = inv.join(F.broadcast(hot), "shingle", "anti")
-
-    l, r = inv.alias("l"), inv.alias("r")
+    # Posting-list co-occurrence (round-15, guide §2.4): ONE shuffle of the
+    # index (groupBy shingle -> sorted doc-id posting list) replaces the
+    # previous THREE — the hot-df count aggregate plus both sides of a
+    # shingle self-join. The df filter becomes a free size() predicate on
+    # the list: df = 1 shingles (the vast majority of a real corpus) can
+    # contribute no pair and are dropped before enumeration, and df >
+    # max_df posting lists are the hot cut, applied at the identical
+    # boundary as the old broadcast anti-join. Ordered pairs then stream
+    # out of each list via posexplode + slice — the same sum(df^2) pair
+    # rows the self-join produced, minus the join's hash-probe and second
+    # pass over the index. Per-list memory is bounded by max_df ids.
+    posts = inv.groupBy("shingle").agg(F.array_sort(F.collect_list("id")).alias("ids"))
+    df_cap = (F.size("ids") <= max_df) if max_df is not None else F.lit(True)
+    posts = posts.where((F.size("ids") >= 2) & df_cap)
     co = (
-        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.id") < F.col("r.id")))
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        posts.select(F.posexplode("ids").alias("_i", "id_a"), "ids")
+        .select(
+            "id_a",
+            F.explode(F.slice("ids", F.col("_i") + 2, F.size("ids"))).alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))

@@ -544,6 +544,23 @@ def ivf_pq_topk(
     from mapreduce_paper_implementation_spark.operators.kmeans import kmeans_fit
 
     sd = dim // m
+    if centroids is None and codebooks is None:
+        # Inline index build: the coarse-centroid training and the PQ
+        # codebook training are independent pipelines over the same input —
+        # overlap their driver-blocking job chains on threads (guide §2.6).
+        # Neither holds a scoped_persist (localCheckpoint + bounded
+        # collects only), and both are deterministic, so concurrency
+        # cannot change a result.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as _pool:
+            _fut_cb = _pool.submit(
+                pq_train, emb, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col
+            )
+            centroids = kmeans_fit(
+                emb, k=n_cells, max_iter=2, tol=0.0, id_col=id_col, vec_col=vec_col
+            )
+            codebooks = _fut_cb.result()
     if centroids is None:
         centroids = kmeans_fit(emb, k=n_cells, max_iter=2, tol=0.0, id_col=id_col, vec_col=vec_col)
     if codebooks is None:
